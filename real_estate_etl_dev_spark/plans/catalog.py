@@ -1,0 +1,599 @@
+"""Query catalog — the driver-facing inventory of implemented operators.
+
+Each entry maps one (or more) operator rows from SURVEY §2 to
+
+  * a PySpark plan  ``fn(spark, sf_dir) -> DataFrame``  and
+  * an equivalent DuckDB oracle SQL string (``None`` for ops DuckDB
+    can't express — the driver then records a weaker rows-only check).
+
+Conventions that keep the driver's hash-compare honest:
+  * every computed column is aliased identically on both sides;
+  * float aggregates are ``round(x, 2..6)`` on both sides;
+  * timestamps are emitted as formatted strings (tz/precision safe);
+  * integer-ish outputs are BIGINT on both sides (DuckDB ``sum`` is
+    HUGEINT → explicit CAST; Spark ``row_number``/``size`` are INT →
+    explicit ``.cast("long")``).
+
+Scale notes live on each query: what shuffles, what broadcasts, and
+why the plan survives 100 TB.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..sources.readers import load_table
+
+
+@dataclass(frozen=True)
+class Query:
+    name: str
+    fn: Callable[[SparkSession, str], DataFrame]
+    oracle: str | None
+    survey: str = ""  # SURVEY §2 operator ids this covers
+    tags: tuple = field(default_factory=tuple)
+
+
+CATALOG: dict[str, Query] = {}
+
+
+def query(name: str, oracle: str | None, survey: str = "", tags: tuple = ()):
+    def deco(fn):
+        CATALOG[name] = Query(name, fn, oracle, survey, tags)
+        return fn
+
+    return deco
+
+
+def query_fns() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    return {name: q.fn for name, q in CATALOG.items()}
+
+
+def oracle_sqls() -> dict[str, str]:
+    return {name: q.oracle for name, q in CATALOG.items() if q.oracle is not None}
+
+
+def T(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, sf_dir, name)
+
+
+# ---------------------------------------------------------------------------
+# A. Aggregations / monthly analytics  (SURVEY §2.4)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "monthly_order_counts",
+    """
+    SELECT strftime(o_orderdate, '%Y-%m') AS month,
+           count(*) AS n_orders
+    FROM orders GROUP BY month ORDER BY month
+    """,
+    survey="A3,O4",
+)
+def monthly_order_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A3: derived-key monthly count (reference api/routers/analytics_routes.py:28-43
+    loops in Python; here the regex/bucket+count is one hash-agg inside the engine).
+
+    Scale: single shuffle on ~24 month keys, partial agg map-side; scan
+    prunes to one column (ReadSchema shows o_orderdate only)."""
+    orders = T(spark, sf_dir, "orders")
+    return (
+        orders.select(F.date_format("o_orderdate", "yyyy-MM").alias("month"))
+        .groupBy("month")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+        .orderBy("month")
+    )
+
+
+@query(
+    "event_type_counts",
+    """
+    SELECT event_type, count(*) AS n
+    FROM events GROUP BY event_type ORDER BY event_type
+    """,
+    survey="A1",
+)
+def event_type_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1: group-by status count (reference api/routers/data_routes.py:46-62
+    queue stats). Map-side partial agg; 5 keys → no skew concern."""
+    return (
+        T(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("event_type")
+    )
+
+
+@query(
+    "groupwise_max_order_date",
+    """
+    SELECT o_custkey, strftime(max(o_orderdate), '%Y-%m-%d') AS last_order_date
+    FROM orders GROUP BY o_custkey ORDER BY o_custkey
+    """,
+    survey="A4",
+)
+def groupwise_max_order_date(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A4: groupwise max (reference analytics_routes.py:62-67
+    max(Report.created_at) per source)."""
+    return (
+        T(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(F.date_format(F.max("o_orderdate"), "yyyy-MM-dd").alias("last_order_date"))
+        .orderBy("o_custkey")
+    )
+
+
+@query(
+    "filtered_error_count",
+    """
+    SELECT CAST(count(*) AS BIGINT) AS n_errors
+    FROM events WHERE event_type = 'error'
+    """,
+    survey="A6,P4",
+)
+def filtered_error_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A6/P4: filtered count (reference queue_routes.py:120-131 Error count).
+    Predicate pushes to parquet scan (PushedFilters)."""
+    return (
+        T(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "error")
+        .agg(F.count(F.lit(1)).alias("n_errors"))
+    )
+
+
+@query(
+    "distinct_mktsegments",
+    """
+    SELECT DISTINCT c_mktsegment AS segment FROM customer ORDER BY segment
+    """,
+    survey="A8,E1,O2",
+)
+def distinct_mktsegments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A8/E1: distinct-set aggregate, sorted (reference queue_routes.py:48-58
+    unique domains). distinct = hash-agg; tiny result."""
+    return (
+        T(spark, sf_dir, "customer")
+        .select(F.col("c_mktsegment").alias("segment"))
+        .distinct()
+        .orderBy("segment")
+    )
+
+
+# ---------------------------------------------------------------------------
+# J. Joins  (SURVEY §2.3)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "latest_order_per_customer",
+    """
+    SELECT o_custkey,
+           o_orderkey AS latest_orderkey,
+           strftime(o_orderdate, '%Y-%m-%d') AS order_date,
+           round(o_totalprice, 2) AS total_price
+    FROM (
+      SELECT *, row_number() OVER (
+               PARTITION BY o_custkey
+               ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+      FROM orders
+    ) WHERE rn = 1 ORDER BY o_custkey
+    """,
+    survey="J1,W2",
+)
+def latest_order_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J1/W2: groupwise-max top-1 per group. The reference rewrites this as a
+    subquery self-join (analytics_routes.py:62-94); Spark-first it's a window
+    rank — ONE shuffle on the partition key instead of agg+join (two).
+
+    Scale: shuffle partitions by o_custkey; deterministic tie-break on
+    orderkey so replays/oracles agree."""
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.desc("o_orderdate"), F.desc("o_orderkey")
+    )
+    return (
+        T(spark, sf_dir, "orders")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "o_custkey",
+            F.col("o_orderkey").alias("latest_orderkey"),
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("order_date"),
+            F.round("o_totalprice", 2).alias("total_price"),
+        )
+        .orderBy("o_custkey")
+    )
+
+
+@query(
+    "revenue_by_nation",
+    """
+    SELECT n.n_name AS nation,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           round(sum(o.o_totalprice), 2) AS revenue
+    FROM orders o
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    GROUP BY n.n_name ORDER BY nation
+    """,
+    survey="J2,A2",
+)
+def revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J2/A2: fact⋈dim equi-join + agg (reference tag_routes.py:24-40).
+
+    Scale: nation (25 rows) and customer (SF-bounded dim) are broadcast —
+    orders never shuffles for the join; only the 25-key agg shuffles."""
+    orders = T(spark, sf_dir, "orders")
+    customer = T(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    nation = T(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    return (
+        orders.join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
+        .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+        )
+        .orderBy("nation")
+    )
+
+
+@query(
+    "customers_without_orders",
+    """
+    SELECT c_custkey, c_name FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    ORDER BY c_custkey
+    """,
+    survey="J6,E2,P9",
+)
+def customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J6/E2: left anti-join (reference balihomeimmo.py:28-43 skip-known-urls,
+    data_routes.py:117-118 url difference).
+
+    Scale: anti-join on the key; with a small right side Spark picks
+    broadcast-anti automatically under AQE."""
+    customer = T(spark, sf_dir, "customer")
+    orders = T(spark, sf_dir, "orders").select("o_custkey")
+    return (
+        customer.join(orders, customer.c_custkey == orders.o_custkey, "left_anti")
+        .select("c_custkey", "c_name")
+        .orderBy("c_custkey")
+    )
+
+
+@query(
+    "customers_with_march_1995_orders",
+    """
+    SELECT c.c_custkey, c.c_name, c.c_mktsegment
+    FROM customer c
+    WHERE EXISTS (
+      SELECT 1 FROM orders o
+      WHERE o.o_custkey = c.c_custkey
+        AND o.o_orderdate >= TIMESTAMP '1995-03-01'
+        AND o.o_orderdate <  TIMESTAMP '1995-04-01'
+    )
+    ORDER BY c_custkey
+    """,
+    survey="J7,P6,P8",
+)
+def customers_with_march_1995_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J7/P6/P8: left semi-join against a month window (reference
+    queue_routes.py:69-105 this-month sync). Month window = two timestamp
+    comparisons → pushed to the scan; semi-join keeps only key columns."""
+    customer = T(spark, sf_dir, "customer")
+    orders = (
+        T(spark, sf_dir, "orders")
+        .filter(
+            (F.col("o_orderdate") >= F.lit("1995-03-01").cast("timestamp"))
+            & (F.col("o_orderdate") < F.lit("1995-04-01").cast("timestamp"))
+        )
+        .select("o_custkey")
+    )
+    return (
+        customer.join(orders, customer.c_custkey == orders.o_custkey, "left_semi")
+        .select("c_custkey", "c_name", "c_mktsegment")
+        .orderBy("c_custkey")
+    )
+
+
+@query(
+    "duplicate_docs_cross_source",
+    """
+    SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b,
+           a.lang AS lang, a.n_chars AS n_chars
+    FROM documents a JOIN documents b
+      ON a.n_chars = b.n_chars AND a.lang = b.lang
+     AND a.doc_id < b.doc_id AND a.source <> b.source
+    ORDER BY doc_id_a, doc_id_b
+    """,
+    survey="J4",
+)
+def duplicate_docs_cross_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J4: cross-source duplicate-detection self-join (reference
+    pipelines/property.py:128-153 — 6-key equality, source != source).
+
+    Spark-first: ONE set-based self-join per batch instead of the
+    reference's per-insert probe. Scale: equi-join keys carry the
+    composite key so it's a hash join, not a cross join; null keys are
+    filtered first (SQL NULL-equality semantics + skew dodge);
+    `a.doc_id < b.doc_id` halves the pair space deterministically."""
+    d = (
+        T(spark, sf_dir, "documents")
+        .select("doc_id", "lang", "source", "n_chars")
+        .filter(F.col("n_chars").isNotNull() & F.col("lang").isNotNull())
+    )
+    a, b = d.alias("a"), d.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.n_chars") == F.col("b.n_chars"))
+            & (F.col("a.lang") == F.col("b.lang")),
+        )
+        .filter(
+            (F.col("a.doc_id") < F.col("b.doc_id"))
+            & (F.col("a.source") != F.col("b.source"))
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_id_a"),
+            F.col("b.doc_id").alias("doc_id_b"),
+            F.col("a.lang").alias("lang"),
+            F.col("a.n_chars").alias("n_chars"),
+        )
+        .orderBy("doc_id_a", "doc_id_b")
+    )
+
+
+@query(
+    "duplicate_docs_same_source",
+    """
+    SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b,
+           a.source AS source, a.n_chars AS n_chars
+    FROM documents a JOIN documents b
+      ON a.n_chars = b.n_chars AND a.lang = b.lang AND a.source = b.source
+     AND a.doc_id < b.doc_id
+    ORDER BY doc_id_a, doc_id_b
+    """,
+    survey="J5",
+)
+def duplicate_docs_same_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J5: same-source duplicate self-join (reference
+    pipelines/property.py:154-178 — same keys, source == source, url != url)."""
+    d = (
+        T(spark, sf_dir, "documents")
+        .select("doc_id", "lang", "source", "n_chars")
+        .filter(F.col("n_chars").isNotNull() & F.col("lang").isNotNull())
+    )
+    a, b = d.alias("a"), d.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.n_chars") == F.col("b.n_chars"))
+            & (F.col("a.lang") == F.col("b.lang"))
+            & (F.col("a.source") == F.col("b.source")),
+        )
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("doc_id_a"),
+            F.col("b.doc_id").alias("doc_id_b"),
+            F.col("a.source").alias("source"),
+            F.col("a.n_chars").alias("n_chars"),
+        )
+        .orderBy("doc_id_a", "doc_id_b")
+    )
+
+
+@query(
+    "doc_embedding_enrichment",
+    """
+    SELECT d.lang AS lang, e.label AS label, CAST(count(*) AS BIGINT) AS n
+    FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id
+    GROUP BY d.lang, e.label ORDER BY lang, label
+    """,
+    survey="J3,J8",
+)
+def doc_embedding_enrichment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J3/J8: key-lookup enrichment join (reference tag_routes.py:78-101 does
+    this as an N+1 per-row query; ml_region_prediction.py:31-39 as url match).
+    One distributed join replaces N round-trips."""
+    docs = T(spark, sf_dir, "documents").select("doc_id", "lang")
+    emb = T(spark, sf_dir, "embeddings").select("vec_id", "label")
+    return (
+        docs.join(emb, docs.doc_id == emb.vec_id)
+        .groupBy("lang", "label")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("lang", "label")
+    )
+
+
+# ---------------------------------------------------------------------------
+# O/W. Sorts, pagination, sequences  (SURVEY §2.5, §2.6)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "orders_page3_by_price",
+    """
+    SELECT rn, o_orderkey, round(o_totalprice, 2) AS total_price
+    FROM (
+      SELECT o_orderkey, o_totalprice, row_number() OVER (
+               ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
+      FROM orders
+    ) WHERE rn BETWEEN 101 AND 150 ORDER BY rn
+    """,
+    survey="O1,O5",
+)
+def orders_page3_by_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O1/O5: ORDER BY ... OFFSET/LIMIT pagination (reference
+    queue_routes.py:28-37, page size 50). Offset expressed as a
+    row_number filter.
+
+    Scale note: a global row_number is a single-partition sort — fine for
+    a serve-path page; for deep pagination at 100 TB use keyset
+    pagination (WHERE sort_key < last_seen) instead; documented here and
+    implemented in operators/analytics.py:paginate_keyset."""
+    w = Window.orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+    return (
+        T(spark, sf_dir, "orders")
+        .select("o_orderkey", "o_totalprice")
+        .withColumn("rn", F.row_number().over(w).cast("long"))
+        .filter((F.col("rn") >= 101) & (F.col("rn") <= 150))
+        .select("rn", "o_orderkey", F.round("o_totalprice", 2).alias("total_price"))
+        .orderBy("rn")
+    )
+
+
+@query(
+    "order_sequence_ids",
+    """
+    SELECT o_orderkey,
+           'ORD_' || strftime(o_orderdate, '%y_%m') || '_'
+                  || substring(o_orderpriority, 1, 1) || '_'
+                  || lpad(CAST(row_number() OVER (
+                       PARTITION BY strftime(o_orderdate, '%y_%m'),
+                                    substring(o_orderpriority, 1, 1)
+                       ORDER BY o_orderkey) AS VARCHAR), 3, '0') AS seq_id
+    FROM orders ORDER BY o_orderkey
+    """,
+    survey="W1,R5",
+)
+def order_sequence_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W1/R5: partitioned sequence — the reid_id generator analog
+    (reference models/listing.py:66-85 does SELECT max per insert; here
+    it's one window pass, deterministic by ordering on the natural key).
+
+    Scale: shuffle on (month, code); each partition's sequence is
+    independent — no global coordination, unlike the reference's racy
+    max-probe."""
+    month = F.date_format("o_orderdate", "yy_MM")
+    code = F.substring("o_orderpriority", 1, 1)
+    w = Window.partitionBy(month, code).orderBy("o_orderkey")
+    seq = F.lpad(F.row_number().over(w).cast("string"), 3, "0")
+    return (
+        T(spark, sf_dir, "orders")
+        .select(
+            "o_orderkey",
+            F.concat_ws("_", F.lit("ORD"), month, code, seq).alias("seq_id"),
+        )
+        .orderBy("o_orderkey")
+    )
+
+
+# ---------------------------------------------------------------------------
+# P/R/F. Filters, classification rules, scalar extraction  (SURVEY §2.2, 2.8, 2.10)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "part_type_like_filter",
+    """
+    SELECT p_brand, CAST(count(*) AS BIGINT) AS n
+    FROM part
+    WHERE p_type LIKE '%ECO%' OR regexp_matches(p_type, 'PROMO|STANDARD')
+    GROUP BY p_brand ORDER BY p_brand
+    """,
+    survey="P5,P13",
+)
+def part_type_like_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P5/P13: LIKE + regex predicates (reference queue_routes.py:33-34 LIKE,
+    kibarer.py:70-75 re.search gate)."""
+    return (
+        T(spark, sf_dir, "part")
+        .filter(F.col("p_type").like("%ECO%") | F.col("p_type").rlike("PROMO|STANDARD"))
+        .groupBy("p_brand")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("p_brand")
+    )
+
+
+@query(
+    "order_tab_classification",
+    """
+    SELECT CASE WHEN o_totalprice >= 400000 THEN 'LUXURY LISTINGS'
+                WHEN o_orderpriority = '1-URGENT' THEN 'ALL LAND'
+                ELSE 'DATA' END AS tab,
+           CAST(count(*) AS BIGINT) AS n,
+           round(sum(o_totalprice), 2) AS total
+    FROM orders GROUP BY tab ORDER BY tab
+    """,
+    survey="R1",
+)
+def order_tab_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R1: classify_tab CASE chain (reference models/listing.py:87-101 —
+    luxury price threshold / Land / DATA), applied as a pure column
+    expression so it stays inside whole-stage codegen."""
+    tab = (
+        F.when(F.col("o_totalprice") >= 400000, "LUXURY LISTINGS")
+        .when(F.col("o_orderpriority") == "1-URGENT", "ALL LAND")
+        .otherwise("DATA")
+    )
+    return (
+        T(spark, sf_dir, "orders")
+        .select(tab.alias("tab"), "o_totalprice")
+        .groupBy("tab")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("o_totalprice"), 2).alias("total"),
+        )
+        .orderBy("tab")
+    )
+
+
+@query(
+    "events_json_value_sum",
+    """
+    SELECT event_type,
+           CAST(sum(CAST(regexp_extract(props, '"k": (\\d+)', 1) AS BIGINT)) AS BIGINT)
+             AS k_sum
+    FROM events GROUP BY event_type ORDER BY event_type
+    """,
+    survey="S6,F32",
+)
+def events_json_value_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S6/F32: embedded-JSON extraction (reference dotproperty.py:90-106
+    JSON-LD via jmespath; func.py:919-933 tolerant parse → from_json/
+    get_json_object here — null on malformed, same semantics)."""
+    return (
+        T(spark, sf_dir, "events")
+        .select(
+            "event_type",
+            F.get_json_object("props", "$.k").cast("long").alias("k"),
+        )
+        .groupBy("event_type")
+        .agg(F.sum("k").alias("k_sum"))
+        .orderBy("event_type")
+    )
+
+
+@query(
+    "doc_token_stats",
+    """
+    SELECT lang,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           round(avg(CAST(len(string_split(text, ' ')) AS DOUBLE)), 4) AS avg_tokens,
+           CAST(max(len(string_split(text, ' '))) AS BIGINT) AS max_tokens
+    FROM documents GROUP BY lang ORDER BY lang
+    """,
+    survey="W3,F-text",
+    tags=("text-analysis",),
+)
+def doc_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting over documents (text-analysis extension; also W3
+    array-function shape — array ops instead of windows, reference
+    func.py:445-447). split stays JVM-side (no Python UDF)."""
+    toks = F.size(F.split("text", " ")).cast("long")
+    return (
+        T(spark, sf_dir, "documents")
+        .select("lang", toks.alias("n_tokens"))
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.round(F.avg("n_tokens"), 4).alias("avg_tokens"),
+            F.max("n_tokens").alias("max_tokens"),
+        )
+        .orderBy("lang")
+    )
