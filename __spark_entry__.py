@@ -28,7 +28,8 @@ def entry(spark: SparkSession) -> DataFrame:
     SURVEY §7.5: monthly-count analytics (A3) — scan → month bucket →
     hash agg → sort, the minimum slice that exercises the whole stack.
     """
-    return catalog.monthly_order_counts(spark, "/root/testdata/sf0.001")
+    sf_dir = os.environ.get("SPARK_GRAFT_ENTRY_SF_DIR", "/root/testdata/sf0.001")
+    return catalog.monthly_order_counts(spark, sf_dir)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

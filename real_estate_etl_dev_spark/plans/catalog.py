@@ -225,13 +225,15 @@ def latest_order_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
 def revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """J2/A2: fact⋈dim equi-join + agg (reference tag_routes.py:24-40).
 
-    Scale: nation (25 rows) and customer (SF-bounded dim) are broadcast —
-    orders never shuffles for the join; only the 25-key agg shuffles."""
+    Scale: nation (25 rows, bounded at any SF) is force-broadcast;
+    customer GROWS with SF, so its join strategy is left to
+    AQE/auto-broadcast — forcing the hint would OOM executors at large
+    SF. Only the 25-key agg shuffles the fact side."""
     orders = T(spark, sf_dir, "orders")
     customer = T(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
     nation = T(spark, sf_dir, "nation").select("n_nationkey", "n_name")
     return (
-        orders.join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
+        orders.join(customer, orders.o_custkey == customer.c_custkey)
         .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
         .groupBy(F.col("n_name").alias("nation"))
         .agg(
@@ -473,12 +475,12 @@ def order_sequence_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
     code = F.substring("o_orderpriority", 1, 1)
     w = Window.partitionBy(month, code).orderBy("o_orderkey")
     seq = F.lpad(F.row_number().over(w).cast("string"), 3, "0")
+    # F.concat (not concat_ws): null-propagating, matching the oracle's
+    # `||` — concat_ws would silently skip NULL segments and diverge.
+    seq_id = F.concat(F.lit("ORD_"), month, F.lit("_"), code, F.lit("_"), seq)
     return (
         T(spark, sf_dir, "orders")
-        .select(
-            "o_orderkey",
-            F.concat_ws("_", F.lit("ORD"), month, code, seq).alias("seq_id"),
-        )
+        .select("o_orderkey", seq_id.alias("seq_id"))
         .orderBy("o_orderkey")
     )
 
@@ -547,7 +549,7 @@ def order_tab_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
     "events_json_value_sum",
     """
     SELECT event_type,
-           CAST(sum(CAST(regexp_extract(props, '"k": (\\d+)', 1) AS BIGINT)) AS BIGINT)
+           CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT)
              AS k_sum
     FROM events GROUP BY event_type ORDER BY event_type
     """,
