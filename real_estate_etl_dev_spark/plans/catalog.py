@@ -599,3 +599,13 @@ def doc_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+# ---------------------------------------------------------------------------
+# Sibling catalog modules register additional queries on import.
+# (Placed at the bottom so the @query decorator machinery above is
+# fully defined; each module guards against double-registration via
+# the CATALOG dict keyed on unique names.)
+# ---------------------------------------------------------------------------
+
+from . import extraction  # noqa: E402,F401  (registers F*-case queries)
