@@ -1,0 +1,361 @@
+"""Catalog queries for the merge engine — SURVEY §2.3 J9, §2.10
+R4/R6/R7, §2.5 W1/R5 sequence continuation.
+
+Fixture strategy: ``current`` and ``staging`` listing tables are
+derived from ``orders`` via SQL snippets valid in BOTH Spark SQL and
+DuckDB (shared by construction — inputs aren't what's under test).
+The Spark side then runs :func:`operators.merge.merge_listings`; the
+oracle is an independent hand-derived SQL implementation of the
+published merge policy (models/listing.py:103-167).  pytest scenario
+goldens (tests/test_merge.py) anchor that policy to reference traces.
+
+Scale: the merge is one full-outer hash join on url + projection; the
+fixture adds only a scan+filter on each side.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.merge import apply_tombstones, change_log, merge_listings
+from ..operators.rules import backfill_sold_at
+from ..sources.readers import load_table
+from .catalog import query
+from .fixtures import RUN_DATE
+
+# --- shared fixture snippets (valid in Spark SQL *and* DuckDB) -------------
+
+K = "o_orderkey"
+
+CUR_COLS: dict[str, str] = {
+    "url": f"'u' || {K}",
+    "price": f"({K} % 7) * 100000",
+    "currency": f"CASE {K} % 2 WHEN 0 THEN 'IDR' ELSE 'USD' END",
+    "availability": "'Available'",
+    "is_available": "TRUE",
+    "is_off_plan": f"({K} % 4) = 0",
+    "image_url": f"CASE {K} % 3 WHEN 0 THEN '' ELSE 'img' || ({K} % 3) END",
+    "description": f"CASE {K} % 5 WHEN 0 THEN '' ELSE 'old desc ' || ({K} % 5) END",
+    "location": f"CASE {K} % 3 WHEN 0 THEN NULL ELSE 'Loc' || ({K} % 3) END",
+    "leasehold_years": f"CASE {K} % 2 WHEN 0 THEN NULL ELSE CAST({K} % 30 AS DOUBLE) END",
+    "contract_type": f"CASE {K} % 2 WHEN 0 THEN 'Freehold' ELSE 'Leasehold' END",
+    "property_type": f"CASE {K} % 3 WHEN 0 THEN 'Villa' WHEN 1 THEN 'Land' ELSE 'House' END",
+    "bedrooms": f"CAST({K} % 6 AS DOUBLE)",
+    "bathrooms": f"CAST({K} % 4 AS DOUBLE)",
+    "build_size": f"CAST(({K} % 9) * 10 AS DOUBLE)",
+    "land_size": f"CAST(({K} % 11) * 10 AS DOUBLE)",
+    "land_zoning": "CAST(NULL AS STRING)",
+    "property_id": f"'P' || {K}",
+    "listed_date": "'2024-01-15'",
+    "sold_at": "CAST(NULL AS TIMESTAMP)",
+    "tab": "'DATA'",
+}
+CUR_FILTER = f"{K} % 10 <> 0"
+
+STG_COLS: dict[str, str] = {
+    "url": f"'u' || {K}",
+    "price": (
+        f"CASE {K} % 5 WHEN 2 THEN -1 WHEN 3 THEN 0 WHEN 4 THEN 6000000 "
+        f"ELSE ({K} % 13) * 90000 END"
+    ),
+    "currency": f"CASE {K} % 2 WHEN 0 THEN 'IDR' ELSE 'USD' END",
+    "availability": (
+        f"CASE {K} % 6 WHEN 1 THEN 'Sold' WHEN 3 THEN 'Delisted' "
+        f"WHEN 5 THEN NULL ELSE 'Available' END"
+    ),
+    "is_available": f"{K} % 6 NOT IN (1, 3, 5)",
+    "is_off_plan": f"({K} % 8) = 0",
+    "image_url": f"'img-new' || ({K} % 2)",
+    "description": f"CASE {K} % 4 WHEN 0 THEN '' ELSE 'new desc ' || ({K} % 4) END",
+    "location": f"CASE {K} % 5 WHEN 0 THEN NULL ELSE 'NewLoc' || ({K} % 5) END",
+    "leasehold_years": f"CASE {K} % 3 WHEN 0 THEN NULL ELSE CAST({K} % 25 AS DOUBLE) END",
+    "contract_type": f"CASE {K} % 5 WHEN 0 THEN 'Leasehold' ELSE 'Freehold' END",
+    "property_type": (
+        f"CASE {K} % 4 WHEN 0 THEN 'Villa' WHEN 1 THEN 'Land' "
+        f"WHEN 2 THEN 'House' ELSE 'Apartment' END"
+    ),
+    "bedrooms": f"CAST({K} % 5 AS DOUBLE)",
+    "bathrooms": f"CAST({K} % 4 AS DOUBLE)",
+    "build_size": f"CAST(({K} % 10) * 10 AS DOUBLE)",
+    "land_size": f"CAST(({K} % 11) * 10 AS DOUBLE)",
+    "land_zoning": f"CASE {K} % 6 WHEN 0 THEN 'Residential' ELSE NULL END",
+    "property_id": f"'P' || {K}",
+    "listed_date": f"CASE {K} % 7 WHEN 0 THEN '01/15/24' ELSE '2024-01-15' END",
+    "sold_at": (
+        f"CASE {K} % 9 WHEN 5 THEN TIMESTAMP '2026-01-01 00:00:00' "
+        f"ELSE CAST(NULL AS TIMESTAMP) END"
+    ),
+}
+STG_FILTER = f"{K} % 3 <> 2"
+
+
+def _fixture_frame(
+    spark: SparkSession, sf_dir: str, cols: dict[str, str], flt: str
+) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.filter(F.expr(flt)).selectExpr(
+        *[f"({expr}) AS {name}" for name, expr in cols.items()]
+    )
+
+
+def current_fixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _fixture_frame(spark, sf_dir, CUR_COLS, CUR_FILTER)
+
+
+def staging_fixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _fixture_frame(spark, sf_dir, STG_COLS, STG_FILTER)
+
+
+def _cte(name: str, cols: dict[str, str], flt: str) -> str:
+    sels = ", ".join(f"({expr}) AS {col}" for col, expr in cols.items())
+    return f"{name} AS (SELECT {sels} FROM orders WHERE {flt})"
+
+
+# --- oracle: independent SQL implementation of the merge policy ------------
+
+_T = {
+    "str": "({x} IS NOT NULL AND {x} <> '')",
+    "num": "({x} IS NOT NULL AND {x} <> 0)",
+    "bool": "COALESCE({x}, FALSE)",
+    "ts": "({x} IS NOT NULL)",
+}
+
+
+def _generic(new: str, old: str, falsy: str) -> tuple[str, str]:
+    """(changed_cond, merged_value) for the fill/override rule."""
+    tn = _T[falsy].format(x=new)
+    to = _T[falsy].format(x=old)
+    changed = f"(({tn} AND NOT {to}) OR ({tn} AND {to} AND {new} <> {old}))"
+    value = f"CASE WHEN {changed} THEN {new} ELSE {old} END"
+    return changed, value
+
+
+_FIELD_SPECS: list[tuple[str, str, str]] = [
+    ("price", "price", "num"),
+    ("currency", "generic", "str"),
+    ("availability", "availability", "str"),
+    ("is_available", "generic", "bool"),
+    ("is_off_plan", "generic", "bool"),
+    ("image_url", "generic", "str"),
+    ("description", "generic", "str"),
+    ("location", "generic", "str"),
+    ("leasehold_years", "overwrite_diff", "num"),
+    ("contract_type", "generic", "str"),
+    ("property_type", "generic", "str"),
+    ("bedrooms", "generic", "num"),
+    ("bathrooms", "generic", "num"),
+    ("build_size", "generic", "num"),
+    ("land_size", "generic", "num"),
+    ("land_zoning", "generic", "str"),
+    ("property_id", "generic", "str"),
+    ("listed_date", "generic", "str"),
+    ("sold_at", "overwrite_diff", "ts"),
+]
+
+_AVAIL_COND = "(matched AND (s_availability IS DISTINCT FROM 'Available'))"
+_STAMP = "TIMESTAMP '2026-01-01 00:00:00'"
+
+
+def _field_sql(name: str, kind: str, falsy: str) -> tuple[str, str]:
+    """(changed_cond, merged_value) over the joined CTE columns."""
+    new, old = f"s_{name}", f"c_{name}"
+    if name == "sold_at":
+        old = f"(CASE WHEN {_AVAIL_COND} THEN {_STAMP} ELSE c_sold_at END)"
+    if name == "is_available":
+        old = f"(CASE WHEN {_AVAIL_COND} THEN FALSE ELSE c_is_available END)"
+    if kind == "availability":
+        g_changed, g_value = _generic(new, old, falsy)
+        changed = f"({_AVAIL_COND} OR (NOT {_AVAIL_COND} AND {g_changed}))"
+        value = f"CASE WHEN {_AVAIL_COND} THEN {old} ELSE {g_value} END"
+    elif kind == "price":
+        g_changed, g_value = _generic(new, old, falsy)
+        changed = f"(({new} <> -1 OR {new} IS NULL) AND {g_changed})"
+        value = f"CASE WHEN {new} = -1 THEN {old} ELSE {g_value} END"
+    elif kind == "overwrite_diff":
+        changed = f"({new} IS DISTINCT FROM {old})"
+        value = f"CASE WHEN {changed} THEN {new} ELSE {old} END"
+    else:
+        changed, value = _generic(new, old, falsy)
+    changed = f"(matched AND COALESCE({changed}, FALSE))"
+    final = (
+        f"CASE WHEN c_url IS NULL THEN {new} "
+        f"WHEN s_url IS NULL THEN c_{name} ELSE ({value}) END"
+    )
+    return changed, final
+
+
+def _joined_cte() -> str:
+    c_sel = ", ".join(f"c.{n} AS c_{n}" for n in list(CUR_COLS))
+    s_sel = ", ".join(f"s.{n} AS s_{n}" for n in list(STG_COLS))
+    return (
+        f"j AS (SELECT {c_sel}, {s_sel}, "
+        "(c.url IS NOT NULL AND s.url IS NOT NULL) AS matched "
+        "FROM cur c FULL OUTER JOIN stg s ON c.url = s.url)"
+    )
+
+
+def _merge_oracle_sql() -> str:
+    fields = []
+    changed_terms = []
+    for name, kind, falsy in _FIELD_SPECS:
+        changed, final = _field_sql(name, kind, falsy)
+        if name == "sold_at":
+            final = f"strftime(({final}), '%Y-%m-%d %H:%M:%S')"
+        fields.append(f"({final}) AS {name}")
+        changed_terms.append(f"CAST({changed} AS INT)")
+    n_changes = " + ".join(changed_terms)
+    _, price_final = _field_sql("price", "price", "num")
+    _, cur_final = _field_sql("currency", "generic", "str")
+    _, pt_final = _field_sql("property_type", "generic", "str")
+    classify = (
+        f"CASE WHEN ({price_final}) IS NOT NULL AND ({price_final}) >= 78656000000 "
+        f"AND ({cur_final}) = 'IDR' THEN 'LUXURY LISTINGS' "
+        f"WHEN ({price_final}) IS NOT NULL AND ({price_final}) >= 5000000 "
+        f"AND ({cur_final}) = 'USD' THEN 'LUXURY LISTINGS' "
+        f"WHEN ({pt_final}) = 'Land' THEN 'ALL LAND' ELSE 'DATA' END"
+    )
+    return f"""
+    WITH {_cte("cur", CUR_COLS, CUR_FILTER)},
+         {_cte("stg", STG_COLS, STG_FILTER)},
+         {_joined_cte()}
+    SELECT COALESCE(c_url, s_url) AS url,
+           {", ".join(fields)},
+           CAST(c_url IS NULL AS BOOLEAN) AS is_new,
+           CAST(({n_changes}) AS BIGINT) AS n_changes,
+           CASE WHEN c_url IS NULL OR ({n_changes}) > 0
+                THEN ({classify}) ELSE 'DATA' END AS tab
+    FROM j ORDER BY url
+    """
+
+
+def _change_log_oracle_sql() -> str:
+    selects = []
+    for name, kind, falsy in _FIELD_SPECS:
+        changed, _ = _field_sql(name, kind, falsy)
+        new, old = f"s_{name}", f"c_{name}"
+        if name == "sold_at":
+            old = f"(CASE WHEN {_AVAIL_COND} THEN {_STAMP} ELSE c_sold_at END)"
+            old_s = f"strftime({old}, '%Y-%m-%d %H:%M:%S')"
+            new_s = f"strftime({new}, '%Y-%m-%d %H:%M:%S')"
+        elif name == "is_available":
+            old = f"(CASE WHEN {_AVAIL_COND} THEN FALSE ELSE c_is_available END)"
+            old_s, new_s = f"CAST({old} AS STRING)", f"CAST({new} AS STRING)"
+        else:
+            old_s, new_s = f"CAST({old} AS STRING)", f"CAST({new} AS STRING)"
+        selects.append(
+            f"SELECT COALESCE(c_url, s_url) AS url, '{name}' AS field, "
+            f"{old_s} AS old, {new_s} AS new FROM j WHERE {changed}"
+        )
+    union = " UNION ALL ".join(selects)
+    return f"""
+    WITH {_cte("cur", CUR_COLS, CUR_FILTER)},
+         {_cte("stg", STG_COLS, STG_FILTER)},
+         {_joined_cte()}
+    SELECT * FROM ({union}) ORDER BY url, field
+    """
+
+
+@query("merge_scd1", _merge_oracle_sql(), survey="J9,R4,S14")
+def merge_scd1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J9/R4: the SCD-1 field-policy merge over staging vs current
+    fixture tables — inserts, untouched carries, sentinel price,
+    availability side effects, overwrite-to-null, fill/override rules,
+    tab re-classification (ref models/listing.py:103-167,
+    reid/pipelines/property.py:96-126).
+
+    Scale: one full-outer shuffle join on url; no per-key probes."""
+    cur = current_fixture(spark, sf_dir)
+    stg = staging_fixture(spark, sf_dir)
+    merged = merge_listings(cur, stg, run_date=RUN_DATE)
+    return merged.select(
+        "url",
+        *[c for c in merged.columns if c not in ("url", "changes", "sold_at", "is_new", "n_changes", "tab")],
+        F.date_format("sold_at", "yyyy-MM-dd HH:mm:ss").alias("sold_at"),
+        "is_new",
+        "n_changes",
+        "tab",
+    ).orderBy("url")
+
+
+@query("merge_change_log", _change_log_oracle_sql(), survey="R4-cdc")
+def merge_change_log(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R4 CDC: the per-field change entries exploded to rows — the
+    reference's ``get_changes`` dicts as a change-feed DataFrame
+    (models/listing.py:151-170)."""
+    cur = current_fixture(spark, sf_dir)
+    stg = staging_fixture(spark, sf_dir)
+    merged = merge_listings(cur, stg, run_date=RUN_DATE)
+    return change_log(merged).orderBy("url", "field")
+
+
+@query(
+    "sold_at_backfill",
+    f"""
+    WITH listing AS (
+      SELECT 'u' || {K} AS url,
+             ({K} % 3 <> 0) AS is_available,
+             CASE {K} % 4 WHEN 1 THEN TIMESTAMP '2025-06-15 08:00:00' ELSE CAST(NULL AS TIMESTAMP) END AS sold_at,
+             o_orderdate AS updated_at
+      FROM orders
+    )
+    SELECT url,
+           strftime(
+             CASE WHEN NOT is_available AND sold_at IS NULL
+                  THEN date_trunc('month', updated_at) - INTERVAL 1 MONTH
+                  ELSE sold_at END,
+             '%Y-%m-%d %H:%M:%S') AS sold_at_filled
+    FROM listing ORDER BY url
+    """,
+    survey="R7",
+)
+def sold_at_backfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R7: unavailable rows missing sold_at get first-of-previous-month
+    of updated_at (ref fill_missing_sold_at.py:7-27) — one projection
+    instead of the reference's per-row commit loop."""
+    orders = load_table(spark, sf_dir, "orders")
+    listing = orders.selectExpr(
+        f"'u' || {K} AS url",
+        f"({K} % 3 <> 0) AS is_available",
+        f"CASE {K} % 4 WHEN 1 THEN TIMESTAMP '2025-06-15 08:00:00' ELSE CAST(NULL AS TIMESTAMP) END AS sold_at",
+        "o_orderdate AS updated_at",
+    )
+    return listing.select(
+        "url",
+        F.date_format(
+            backfill_sold_at("is_available", "sold_at", "updated_at"),
+            "yyyy-MM-dd HH:mm:ss",
+        ).alias("sold_at_filled"),
+    ).orderBy("url")
+
+
+@query(
+    "delist_tombstones",
+    f"""
+    WITH {_cte("cur", CUR_COLS, CUR_FILTER)}
+    SELECT url,
+           CASE WHEN {K} % 12 = 7 THEN 'Delisted' ELSE availability END AS availability,
+           CASE WHEN {K} % 12 = 7 THEN FALSE ELSE is_available END AS is_available,
+           CASE WHEN {K} % 12 = 7 THEN strftime({_STAMP}, '%Y-%m-%d %H:%M:%S') END AS sold_at
+    FROM (SELECT c.*, CAST(substring(c.url, 2) AS BIGINT) AS {K} FROM cur c)
+    ORDER BY url
+    """,
+    survey="R6",
+)
+def delist_tombstones(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R6: redirect/404 tombstones applied as one broadcast join over
+    the current table (ref reid/spiders/lazudi.py:83-107,
+    base.py:14-30 do per-row UPDATEs)."""
+    cur = current_fixture(spark, sf_dir)
+    tombs = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.expr(f"{CUR_FILTER} AND {K} % 12 = 7"))
+        .selectExpr(f"'u' || {K} AS url")
+    )
+    out = apply_tombstones(cur, tombs, run_date=RUN_DATE)
+    return out.select(
+        "url",
+        "availability",
+        "is_available",
+        F.date_format("sold_at", "yyyy-MM-dd HH:mm:ss").alias("sold_at"),
+    ).orderBy("url")
