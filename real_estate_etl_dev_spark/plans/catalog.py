@@ -611,3 +611,4 @@ def doc_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 from . import extraction  # noqa: E402,F401  (registers F*-case queries)
 from . import merging  # noqa: E402,F401  (registers merge-engine queries)
 from . import quality  # noqa: E402,F401  (registers DQ-rule queries)
+from . import llmdata  # noqa: E402,F401  (registers dedup/ANN/text queries)

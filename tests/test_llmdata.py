@@ -1,0 +1,112 @@
+"""Unit tests for the LLM-data operators: dedup tiers, similarity
+search, multimodal plumbing."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from real_estate_etl_dev_spark.operators.dedup import (
+    dedup_exact_groups,
+    dedup_exact_keep_first,
+    dedup_minhash_pairs,
+    dedup_simhash_pairs,
+    ngram_jaccard,
+    simhash64,
+)
+from real_estate_etl_dev_spark.operators.multimodal import (
+    attach_binary,
+    fake_feature_extractor,
+)
+from real_estate_etl_dev_spark.operators.similarity import cosine_topk, lsh_topk
+
+DOCS = [
+    (1, "the quick brown fox jumps over the lazy dog"),
+    (2, "the quick brown fox jumps over the lazy dog"),   # exact dup of 1
+    (3, "the quick brown fox jumps over the lazy cat"),   # near dup
+    (4, "completely different words entirely here now"),
+    (5, "another unrelated document text body sample"),
+]
+
+
+def docs_df(spark):
+    return spark.createDataFrame(DOCS, "doc_id long, text string")
+
+
+def test_exact_dedup(spark):
+    d = docs_df(spark)
+    groups = dedup_exact_groups(d).collect()
+    assert len(groups) == 1
+    assert groups[0]["keeper"] == 1 and groups[0]["n_dups"] == 2
+    kept = dedup_exact_keep_first(d)
+    assert sorted(r["doc_id"] for r in kept.collect()) == [1, 3, 4, 5]
+
+
+def test_minhash_pairs(spark):
+    pairs = {
+        (r["id_a"], r["id_b"]): r["jaccard_dist"]
+        for r in dedup_minhash_pairs(docs_df(spark), threshold=0.8, shingle_n=2).collect()
+    }
+    assert pairs[(1, 2)] == 0.0  # exact dup at distance 0
+    assert (1, 3) in pairs and 0 < pairs[(1, 3)] < 0.8  # near dup
+
+
+def test_simhash(spark):
+    d = docs_df(spark)
+    sims = {r["doc_id"]: r["s"] for r in d.select("doc_id", simhash64("text").alias("s")).collect()}
+    assert sims[1] == sims[2]  # identical text → identical fingerprint
+    pairs = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in dedup_simhash_pairs(d, max_hamming=16).collect()
+    }
+    assert pairs[(1, 2)] == 0
+    assert (1, 3) in pairs  # near dup within hamming budget
+
+
+def test_ngram_jaccard(spark):
+    df = spark.createDataFrame(
+        [(["a", "b", "c"], ["b", "c", "d"])], "a array<string>, b array<string>"
+    )
+    got = df.select(ngram_jaccard(F.col("a"), F.col("b")).alias("j")).collect()[0][0]
+    assert got == 0.5  # |{b,c}| / |{a,b,c,d}|
+
+
+VECS = [
+    (0, [1.0, 0.0, 0.0]),
+    (1, [0.9, 0.1, 0.0]),
+    (2, [0.0, 1.0, 0.0]),
+    (3, [0.0, 0.0, 1.0]),
+    (4, [1.0, 0.05, 0.0]),
+]
+
+
+def vec_df(spark):
+    return spark.createDataFrame(VECS, "vec_id long, embedding array<double>")
+
+
+def test_cosine_topk(spark):
+    emb = vec_df(spark)
+    queries = emb.filter(F.col("vec_id") == 0)
+    got = cosine_topk(emb, queries, k=2).collect()
+    ranked = [(r["rank"], r["neighbor_id"]) for r in sorted(got, key=lambda r: r["rank"])]
+    assert ranked == [(1, 4), (2, 1)]  # closest first, self excluded
+
+
+def test_lsh_topk_finds_identical_bucket(spark):
+    emb = vec_df(spark)
+    queries = emb.filter(F.col("vec_id") == 0)
+    got = lsh_topk(emb, queries, k=3, n_planes=4).collect()
+    # near-identical vectors must share the query's bucket
+    assert 4 in {r["neighbor_id"] for r in got}
+    top = min(got, key=lambda r: r["rank"])
+    assert top["neighbor_id"] == 4
+
+
+def test_multimodal_plumbing(spark):
+    d = attach_binary(docs_df(spark))
+    row = d.filter(F.col("doc_id") == 1).select("payload_meta.*").collect()[0]
+    assert row["n_bytes"] == len(DOCS[0][1])
+    feats = {r["doc_id"]: r.asDict() for r in fake_feature_extractor(d).collect()}
+    assert feats[1]["n_bytes"] == len(DOCS[0][1])
+    assert feats[1]["first_byte"] == ord("t")
+    assert feats[1]["last_byte"] == ord("g")
+    assert feats[1]["n_tokens"] == 9
