@@ -612,3 +612,4 @@ from . import extraction  # noqa: E402,F401  (registers F*-case queries)
 from . import merging  # noqa: E402,F401  (registers merge-engine queries)
 from . import quality  # noqa: E402,F401  (registers DQ-rule queries)
 from . import llmdata  # noqa: E402,F401  (registers dedup/ANN/text queries)
+from . import serving  # noqa: E402,F401  (registers pagination/sink/ML queries)
