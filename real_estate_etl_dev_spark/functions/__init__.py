@@ -10,6 +10,14 @@ Import surface: ``from real_estate_etl_dev_spark import functions as fx``.
 
 from .combinators import map_compose, map_compose_array, take_first, take_first_typed
 from .core import col_of, rex
+from .customs import (
+    extract_publish_date,
+    fa_remover,
+    find_code_before_paren,
+    find_years,
+    get_balivillasales_price,
+    lease_or_free_hold,
+)
 from .dates import (
     epoch_millis,
     find_published_date,

@@ -613,3 +613,4 @@ from . import merging  # noqa: E402,F401  (registers merge-engine queries)
 from . import quality  # noqa: E402,F401  (registers DQ-rule queries)
 from . import llmdata  # noqa: E402,F401  (registers dedup/ANN/text queries)
 from . import serving  # noqa: E402,F401  (registers pagination/sink/ML queries)
+from . import ingest  # noqa: E402,F401  (registers scan/projection queries)

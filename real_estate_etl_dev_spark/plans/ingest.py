@@ -1,0 +1,214 @@
+"""Catalog queries for the scan/ingest stage — SURVEY §2.1 S1-S9 and
+the §2.2 P1-P3 projection DSL.
+
+Network-free by design: the fetch kernel is a deterministic fake
+(sources/scans.py), so the dataflow shapes — pagination fan-out,
+detail-fetch map stage, HTML-in-JSON parsing, incremental seeding —
+are exercised end-to-end and oracle-checked without HTTP.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .. import functions as fx
+from ..operators.projection import Field, project_fields, rename_and_derive
+from ..sources.readers import load_table
+from ..sources.scans import fetch_details, html_in_json, incremental_seed, page_fanout
+from .catalog import query
+from .fixtures import PRICE_TEXTS, TITLES, listing_fixture
+
+
+@query(
+    "page_fanout_scan",
+    """
+    SELECT n_name AS source,
+           CAST(unnest(generate_series(1, greatest(CAST(ceil((n_nationkey * 37 + 12) / 10.0) AS INT), 1))) AS BIGINT) AS page
+    FROM nation ORDER BY source, page
+    """,
+    survey="S1,S3,S4",
+)
+def page_fanout_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S1/S3/S4: pagination fan-out — manifest rows explode into page
+    tasks from a count-derived last page (ref ubudproperty.py:34-67,
+    luxindoproperty.py:25-60, balipropertiesforsale.py:40-76).
+
+    Scale: the manifest is tiny; explode is map-side; repartition
+    after fan-out spreads the fetch stage."""
+    nation = load_table(spark, sf_dir, "nation")
+    manifest = nation.select(
+        F.col("n_name").alias("source"),
+        F.concat(F.lit("https://api/"), F.col("n_name")).alias("base_url"),
+        (F.col("n_nationkey") * 37 + 12).alias("total_count"),
+    )
+    out = page_fanout(manifest, page_size=10)
+    return out.select("source", F.col("page").cast("long").alias("page")).orderBy(
+        "source", "page"
+    )
+
+
+@query(
+    "detail_fetch_extract",
+    """
+    SELECT 'https://site/listing/' || o_orderkey AS url,
+           CAST(200 AS BIGINT) AS status,
+           CAST(o_orderkey AS BIGINT) AS listing_key,
+           CAST(o_orderkey * 1000 AS BIGINT) AS usd
+    FROM orders ORDER BY url
+    """,
+    survey="S2,S7",
+)
+def detail_fetch_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S2/S7: the detail-fetch map stage (mapInPandas, deterministic
+    fake kernel) chained straight into the extraction library — title
+    key + USD price mined from the fetched body
+    (ref ubudproperty.py:69-172 parse_detail; the kernel swap point
+    is where cookies/proxies live, balihomeimmo.py:46-82)."""
+    orders = load_table(spark, sf_dir, "orders")
+    urls = orders.select(
+        F.concat(F.lit("https://site/listing/"), F.col("o_orderkey").cast("string")).alias(
+            "url"
+        )
+    )
+    fetched = fetch_details(urls)
+    return fetched.select(
+        "url",
+        "status",
+        fx.finder("body", r"Listing (\d+)", 1, "long").alias("listing_key"),
+        fx.find_usd("body").alias("usd"),
+    ).orderBy("url")
+
+
+@query(
+    "html_in_json_extract",
+    """
+    SELECT o_orderkey AS key,
+           CAST((o_orderkey % 9) * 1000000 AS BIGINT) AS idr_price
+    FROM orders ORDER BY key
+    """,
+    survey="S5",
+)
+def html_in_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S5: AJAX HTML-in-JSON payloads — JSON field pull, tag strip,
+    then the Indonesian price miner, all JVM-side
+    (ref baliexception.py:41-102, tealestate.py:22-59)."""
+    orders = load_table(spark, sf_dir, "orders")
+    payload = F.concat(
+        F.lit('{"html": "<div class=\\"p\\">IDR '),
+        (F.col("o_orderkey") % 9).cast("string"),
+        F.lit(' juta</div>"}'),
+    )
+    html = html_in_json(payload)
+    inner = fx.rex(html, r">([^<]+)<", 1)
+    return orders.select(
+        F.col("o_orderkey").alias("key"),
+        fx.re_extract_price(inner).alias("idr_price"),
+    ).orderBy("key")
+
+
+@query(
+    "incremental_seed_scan",
+    """
+    SELECT url FROM (
+      SELECT DISTINCT 'u' || (o_orderkey % 500) AS url FROM orders
+    ) c
+    WHERE NOT EXISTS (
+      SELECT 1 FROM (
+        SELECT DISTINCT 'u' || (o_orderkey % 500) AS url FROM orders WHERE o_orderkey % 100 = 0
+      ) k WHERE k.url = c.url
+    )
+    ORDER BY url
+    """,
+    survey="S8,S9,J6",
+)
+def incremental_seed_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S8/S9: in-run URL dedup + already-crawled anti-join BEFORE the
+    fetch stage (ref balihomeimmo.py:23-43,91 visited set + DB seed).
+    One dropDuplicates + one anti-join; at scale the known set is the
+    curated table's url column — bucketed on url, the join co-locates."""
+    orders = load_table(spark, sf_dir, "orders")
+    candidates = orders.select(
+        F.concat(F.lit("u"), (F.col("o_orderkey") % 500).cast("string")).alias("url")
+    )
+    known = orders.filter(F.col("o_orderkey") % 100 == 0).select(
+        F.concat(F.lit("u"), (F.col("o_orderkey") % 500).cast("string")).alias("url")
+    )
+    return incremental_seed(candidates, known).orderBy("url")
+
+
+_PRICE_GOLDEN = [1250000, 2500000000, 850000000, 3500000000, 750000000, 0]
+_AVAIL_GOLDEN = ["Sold", "Delisted", "Available", "Available"]
+_PTYPE_GOLDEN = [
+    "Villa",
+    "House",
+    "Land",
+    "Apartment",
+    "Boutique hotel near the beach",
+    "Townhouse",
+]
+
+
+@query(
+    "projection_dsl_listing",
+    f"""
+    SELECT o_orderkey AS key,
+           (CASE (o_orderkey % 6) {" ".join(f"WHEN {i} THEN '{t}'" for i, t in enumerate(TITLES))} END) AS title,
+           CAST((CASE (o_orderkey % 6) {" ".join(f"WHEN {i} THEN {v}" for i, v in enumerate(_PRICE_GOLDEN))} END) AS BIGINT) AS price,
+           (CASE (o_orderkey % 4) {" ".join(f"WHEN {i} THEN '{v}'" for i, v in enumerate(_AVAIL_GOLDEN))} END) AS availability,
+           CAST((o_orderkey % 4) IN (2, 3) AS BOOLEAN) AS is_available,
+           (CASE (o_orderkey % 6) {" ".join(f"WHEN {i} THEN '{v}'" for i, v in enumerate(_PTYPE_GOLDEN))} END) AS property_type
+    FROM orders ORDER BY key
+    """,
+    survey="P1,P2,P3,C1,C2",
+)
+def projection_dsl_listing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P1-P3 + C1/C2: the ItemLoader-style record assembly as ONE
+    declarative projection — per-field candidate inputs, MapCompose
+    chains, TakeFirst outputs, then the rename/derive pass
+    (ref ubudproperty.py:96-137 loader wiring, items.py:18-87
+    processors, pipelines/property.py:30-36 rename+derive).  Raw
+    helper columns (dirty_title, price_text, label_text) are dropped
+    by not being selected (P2)."""
+    raw = listing_fixture(spark, sf_dir).select(
+        "key",
+        F.concat(F.lit("  "), F.col("title"), F.lit("   ")).alias("dirty_title"),
+        "title",
+        "price_text",
+        "label_text",
+    )
+    fields = [
+        Field(
+            name="title",
+            inputs=("dirty_title", "title"),
+            processors=(fx.remove_whitespace,),
+        ),
+        Field(
+            name="price",
+            inputs=("price_text",),
+            output=lambda c: F.coalesce(
+                fx.find_usd(c), fx.find_idr(c), fx.re_extract_price(c)
+            ),
+        ),
+        Field(
+            name="availability_label",
+            inputs=(F.split("label_text", r"\|"),),
+            output=lambda c: fx.any_sold_delisted(c),
+        ),
+        Field(
+            name="property_type",
+            inputs=("title",),
+            processors=(fx.standardize_property_type,),
+        ),
+    ]
+    projected = project_fields(
+        raw, fields, keep=("key",), drop_helpers=("dirty_title", "price_text", "label_text")
+    )
+    out = rename_and_derive(
+        projected,
+        renames={"availability_label": "availability"},
+        derived={"is_available": F.col("availability") == "Available"},
+    )
+    return out.select(
+        "key", "title", "price", "availability", "is_available", "property_type"
+    ).orderBy("key")
