@@ -69,6 +69,17 @@ def project_fields(
     return df.select(*cols)
 
 
+def split_skip(df: DataFrame, skip_col: str = "skip") -> tuple[DataFrame, DataFrame]:
+    """P14: conditional skip/short-circuit — rows flagged ``skip``
+    bypass the pipeline untouched (ref reid/pipelines/property.py:24-25,
+    96-98).  Returns (active, skipped); as a filter split both sides
+    stay lazy and share the scan."""
+    if skip_col not in df.columns:
+        return df, df.limit(0)
+    flag = F.coalesce(F.col(skip_col), F.lit(False))
+    return df.filter(~flag), df.filter(flag)
+
+
 def rename_and_derive(
     df: DataFrame, renames: dict[str, str], derived: dict[str, Column]
 ) -> DataFrame:

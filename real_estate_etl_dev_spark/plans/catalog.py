@@ -614,3 +614,4 @@ from . import quality  # noqa: E402,F401  (registers DQ-rule queries)
 from . import llmdata  # noqa: E402,F401  (registers dedup/ANN/text queries)
 from . import serving  # noqa: E402,F401  (registers pagination/sink/ML queries)
 from . import ingest  # noqa: E402,F401  (registers scan/projection queries)
+from . import rules_more  # noqa: E402,F401  (registers R8-R12/P14 queries)

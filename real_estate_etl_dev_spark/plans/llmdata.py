@@ -119,7 +119,12 @@ def dedup_minhash_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     vector → banded bucket join), seed-pinned for determinism.
     The injected exact dups surface at distance 0."""
     corpus = _augmented_docs(spark, sf_dir)
-    pairs = dedup_minhash_pairs(corpus, threshold=0.5, seed=42)
+    # 3-gram shingles: distinctive enough that the synthetic word-soup
+    # corpus doesn't flood the LSH buckets; 3 tables bound the posting
+    # explode while the injected exact dups still collide on all of them.
+    pairs = dedup_minhash_pairs(
+        corpus, threshold=0.5, seed=42, shingle_n=3, num_hash_tables=3
+    )
     return pairs.orderBy("id_a", "id_b")
 
 

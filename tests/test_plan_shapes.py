@@ -1,0 +1,92 @@
+"""Physical-plan regression tests — the 100 TB properties the catalog
+docstrings promise, asserted against ``explain`` output so they can't
+silently rot:
+
+* predicate pushdown reaches the parquet scan (PushedFilters)
+* column pruning reaches the scan (ReadSchema)
+* bounded dims broadcast; fact tables never force-broadcast
+* expression-tier extraction stays a single stage (no Exchange)
+* top-1 uses TakeOrderedAndProject, not a global sort
+"""
+
+from __future__ import annotations
+
+from real_estate_etl_dev_spark.plans.catalog import CATALOG
+
+
+def plan_of(spark, sf_dir, name: str) -> str:
+    df = CATALOG[name].fn(spark, sf_dir)
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def formatted(spark, sf_dir, name: str) -> str:
+    df = CATALOG[name].fn(spark, sf_dir)
+    return df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+
+
+def test_filter_pushdown_reaches_scan(spark, sf_dir):
+    plan = formatted(spark, sf_dir, "filtered_error_count")
+    assert "PushedFilters: [IsNotNull(event_type), EqualTo(event_type,error)" in plan
+
+
+def test_column_pruning(spark, sf_dir):
+    plan = formatted(spark, sf_dir, "monthly_order_counts")
+    # only the date column is read from a 6-column table
+    assert "o_orderdate" in plan.split("ReadSchema")[1][:120]
+    assert "o_totalprice" not in plan.split("ReadSchema")[1][:120]
+
+
+def test_dim_broadcast_fact_not_forced(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "revenue_by_nation")
+    assert "BroadcastHashJoin" in plan  # nation broadcast
+    # the customer join is left to AQE/auto thresholds — no forced
+    # broadcast hint of an SF-scaling table in the logical plan
+    logical = (
+        CATALOG["revenue_by_nation"]
+        .fn(spark, sf_dir)
+        ._jdf.queryExecution()
+        .logical()
+        .toString()
+    )
+    assert logical.count("ResolvedHint") <= 1
+
+
+def test_extraction_is_single_stage(spark, sf_dir):
+    # scan → project → sort; the only Exchange allowed is the
+    # output sort's range partitioning
+    plan = plan_of(spark, sf_dir, "price_extraction_cases")
+    assert plan.count("Exchange") == 1
+    assert "rangepartitioning" in plan
+
+
+def test_keyset_page_pushes_seek_predicate(spark, sf_dir):
+    plan = formatted(spark, sf_dir, "orders_keyset_page")
+    assert "PushedFilters" in plan and "o_totalprice" in plan.split("PushedFilters")[1][:200]
+
+
+def test_top1_avoids_global_sort(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "top1_order_by_price")
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_merge_is_one_join(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "merge_scd1")
+    # exactly one join materializes the merge (full outer)
+    assert plan.count("SortMergeJoin") + plan.count("ShuffledHashJoin") == 1
+
+
+def test_no_python_udf_in_expression_tier(spark, sf_dir):
+    for name in [
+        "price_extraction_cases",
+        "property_type_cases",
+        "size_extraction_cases",
+        "date_url_cases",
+        "availability_text_cases",
+        "geo_extraction_cases",
+        "merge_scd1",
+        "dq_identify_issues",
+    ]:
+        plan = plan_of(spark, sf_dir, name)
+        assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, name
