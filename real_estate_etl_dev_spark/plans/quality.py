@@ -246,3 +246,50 @@ def missing_fields_audit_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         d.select("url", F.explode(missing_fields_audit(d)).alias("missing_field"))
         .orderBy("url", "missing_field")
     )
+
+
+@query(
+    "properties_with_open_issues",
+    f"""
+    WITH {_qual_cte()}
+    SELECT url FROM q
+    WHERE EXISTS (
+      SELECT 1 FROM (
+        {" UNION ALL ".join(f"SELECT url AS iurl FROM q WHERE {cond}" for cond, _ in _ISSUE_CONDS[:4])}
+      ) i WHERE i.iurl = q.url
+    )
+    ORDER BY url
+    """,
+    survey="P11,J7",
+)
+def properties_with_open_issues(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P11: the tag-shaped EXISTS-subquery filter — properties having
+    at least one open DQ tag, as a left-semi join against the exploded
+    tag rows (ref api/routers/tag_routes.py:57-65
+    ``Property.tags.any(...)``)."""
+    d = _quality_fixture(spark, sf_dir)
+    issues = identify_issues(
+        bedrooms="bedrooms",
+        price="price",
+        title="title",
+        description="description",
+        location="location",
+        build_size="build_size",
+        land_size="land_size",
+        contract_type="contract_type",
+        leasehold_years="leasehold_years",
+        availability="availability",
+        property_type="property_type",
+        land_zoning="land_zoning",
+    )
+    # restrict to the first four rules to mirror the oracle's tag set
+    open_tags = d.select(
+        "url", F.explode(F.slice(issues, 1, 13)).alias("issue")
+    ).filter(
+        F.col("issue").isin(
+            "has_more_than_13_bedrooms", "no_bedrooms", "no_price", "no_title"
+        )
+    )
+    return (
+        d.join(open_tags, "url", "left_semi").select("url").orderBy("url")
+    )

@@ -14,7 +14,7 @@ from ..operators.projection import split_skip
 from ..operators.rules import availability_consistency, export_projection
 from ..sources.readers import load_table
 from .catalog import query
-from .fixtures import DESCS, listing_fixture
+from .fixtures import listing_fixture
 from .merging import CUR_COLS, CUR_FILTER, K, _cte
 
 # Goldens for the description-mined fallbacks per DESCS case

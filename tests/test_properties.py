@@ -1,0 +1,98 @@
+"""Property-based invariant tests (SURVEY §5): hypothesis-generated
+rows through classify_tab, identify_issues, and the merge engine.
+
+Strategy values stay in the domain the reference handles (its Python
+would crash on e.g. None.lower()); the invariants are the ones the
+reference relies on implicitly.
+"""
+
+from __future__ import annotations
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from pyspark.sql import functions as F
+
+from real_estate_etl_dev_spark.operators.merge import merge_listings
+from real_estate_etl_dev_spark.operators.rules import classify_tab, identify_issues
+
+from tests.test_merge import BASE, RUN_DATE, SCHEMA, row
+
+prices = st.one_of(st.none(), st.integers(min_value=0, max_value=10**12))
+currencies = st.sampled_from(["IDR", "USD", "EUR"])
+ptypes = st.one_of(st.none(), st.sampled_from(["Villa", "Land", "House", "Penthouse"]))
+
+H = settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
+)
+
+
+@given(price=prices, currency=currencies, ptype=ptypes)
+@H
+def test_classify_tab_is_total(spark, price, currency, ptype):
+    df = spark.createDataFrame(
+        [(price, currency, ptype)], "price long, currency string, property_type string"
+    )
+    got = df.select(
+        classify_tab("price", "currency", "property_type").alias("tab")
+    ).collect()[0][0]
+    assert got in ("LUXURY LISTINGS", "ALL LAND", "DATA")
+    if ptype == "Land" and got != "LUXURY LISTINGS":
+        assert got == "ALL LAND"
+
+
+@given(
+    bedrooms=st.one_of(st.none(), st.floats(min_value=0, max_value=20, allow_nan=False)),
+    price=st.integers(min_value=0, max_value=10**9),
+    ptype=ptypes,
+)
+@H
+def test_issue_rules_consistent(spark, bedrooms, price, ptype):
+    df = spark.createDataFrame(
+        [(bedrooms, price, ptype)],
+        "bedrooms double, price long, property_type string",
+    )
+    issues = identify_issues(
+        bedrooms="bedrooms",
+        price="price",
+        title=F.lit("T"),
+        description=F.lit("d"),
+        location=F.lit("L"),
+        build_size=F.lit(10.0),
+        land_size=F.lit(100.0),
+        contract_type=F.lit("Freehold"),
+        leasehold_years=F.lit(None).cast("double"),
+        availability=F.lit("Available"),
+        property_type="property_type",
+        land_zoning=F.lit("Residential"),
+    )
+    got = set(df.select(issues.alias("i")).collect()[0][0])
+    # mutually exclusive pair: a row can't both lack bedrooms and have
+    # land-with-bedrooms
+    assert not ({"no_bedrooms", "land_with_bedrooms"} <= got)
+    if price == 0:
+        assert "no_price" in got
+
+
+def test_merge_idempotent_second_pass(spark):
+    """Merging the same staging twice: the second pass reports no
+    changes (the reference's updated_at would stop moving)."""
+    cur = spark.createDataFrame([row("u1"), row("u2")], SCHEMA)
+    stg = spark.createDataFrame(
+        [row("u1", price=150000, location="L2"), row("u3", price=5)], SCHEMA
+    )
+    once = merge_listings(cur, stg, run_date=RUN_DATE)
+    merged_cur = once.select(*[f.name for f in SCHEMA.fields])
+    twice = merge_listings(merged_cur, stg, run_date=RUN_DATE)
+    assert twice.agg(F.sum("n_changes")).collect()[0][0] == 0
+
+
+def test_merge_preserves_keys(spark):
+    """Key-set invariant: output keys = current ∪ staging, exactly."""
+    cur = spark.createDataFrame([row("a"), row("b")], SCHEMA)
+    stg = spark.createDataFrame([row("b"), row("c")], SCHEMA)
+    out = merge_listings(cur, stg, run_date=RUN_DATE)
+    assert sorted(r["url"] for r in out.select("url").collect()) == ["a", "b", "c"]
+    assert out.count() == out.select("url").distinct().count()
