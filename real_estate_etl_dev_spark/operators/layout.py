@@ -1,0 +1,73 @@
+"""Physical-layout operators for the 100 TB posture: bucketed tables
+for shuffle-free merges, and salting for skewed keys.
+
+The reference leans on Postgres B-tree indexes
+(models/listing.py:55-64); on Spark the equivalents are:
+
+* **bucketing** — the current-state listing table is written
+  ``bucketBy(url)`` so every merge batch joins co-located: both sides
+  hash-partition identically at WRITE time and the full-outer merge
+  runs with NO exchange of the big side.  At 100 TB this converts the
+  nightly merge from a 2-sided shuffle into a map-side zip.
+* **partitioning** — append-only staging partitions on the batch date
+  (scraped_at month), so merge reads prune to one partition.
+* **salting** — a hot key (one source producing 50% of rows, a
+  near-empty-description duplicate class) makes one reducer the
+  straggler.  ``salted_agg`` splits hot groups across N sub-keys with
+  a partial aggregate and re-combines — two small shuffles instead of
+  one skewed one.  (AQE's skew-join handles the JOIN case; salting
+  covers aggregations, which AQE does not rebalance.)
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    bucket_col: str = "url",
+    n_buckets: int = 64,
+    sort_col: str | None = None,
+    path: str | None = None,
+) -> None:
+    """Persist as a bucketed (optionally sorted) table.  Joins and
+    aggregations on ``bucket_col`` between tables bucketed the same
+    way need no exchange (SortMergeJoin reads both sides in place)."""
+    w = df.write.mode("overwrite").format("parquet")
+    if path is not None:
+        w = w.option("path", path)
+    b = w.bucketBy(n_buckets, bucket_col)
+    if sort_col is not None:
+        b = b.sortBy(sort_col)
+    b.saveAsTable(table)
+
+
+def bucketed_merge_ready(
+    spark: SparkSession, current_table: str, staging_table: str
+) -> tuple[DataFrame, DataFrame]:
+    """Load two identically-bucketed tables for a shuffle-free merge."""
+    return spark.table(current_table), spark.table(staging_table)
+
+
+def salted_count_sum(
+    df: DataFrame, group_col: str, value_col: str, n_salts: int = 16
+) -> DataFrame:
+    """Two-phase skew-safe count + sum per key.
+
+    Phase 1 groups on (key, salt) — a hot key's rows spread over
+    ``n_salts`` reducers; phase 2 combines the partials per key.
+    Two small shuffles instead of one skewed one."""
+    salted = df.withColumn(
+        "__salt",
+        F.pmod(F.xxhash64(F.monotonically_increasing_id()), F.lit(n_salts)),
+    )
+    partial = salted.groupBy(group_col, "__salt").agg(
+        F.count(F.lit(1)).alias("__n"), F.sum(value_col).alias("__s")
+    )
+    return partial.groupBy(group_col).agg(
+        F.sum("__n").cast("long").alias("n"),
+        F.sum("__s").alias("total"),
+    )

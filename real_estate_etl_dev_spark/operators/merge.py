@@ -108,7 +108,10 @@ def merge_listings(
     """
     c = current.alias("c")
     s = staging.alias("s")
-    joined = c.join(s, F.col(f"c.{key}").eqNullSafe(F.col(f"s.{key}")), "full_outer")
+    # Plain equality (not <=>): the key is NOT NULL by contract
+    # (models/listing.py:28 unique url), and null-safe equality would
+    # defeat bucketed-layout exchange elimination (operators/layout.py).
+    joined = c.join(s, F.col(f"c.{key}") == F.col(f"s.{key}"), "full_outer")
 
     ck = F.col(f"c.{key}")
     sk = F.col(f"s.{key}")

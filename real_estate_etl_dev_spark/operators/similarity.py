@@ -112,6 +112,75 @@ def rp_signature(vec: Column, n_planes: int = 8, seed: int = 7) -> Column:
     return sig.cast("int")
 
 
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_centroids: int = 8,
+    n_probe: int = 2,
+    seed: int = 42,
+) -> DataFrame:
+    """IVF-style ANN: KMeans-partition the corpus once, then search
+    each query only in its ``n_probe`` nearest cells, with exact
+    cosine re-rank inside the probed cells.
+
+    Scale: the index pass is one KMeans fit (sampled at very large
+    corpora) + one map-only assignment; per-query work is
+    ``n_probe/n_centroids`` of the corpus.  Cell assignments persist
+    with the corpus, so queries amortize the index.  Recall tunes
+    with n_probe."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    feat = corpus.select(
+        F.col(id_col), F.col(vec_col), array_to_vector(F.col(vec_col)).alias("__v")
+    )
+    km = KMeans(k=n_centroids, seed=seed, featuresCol="__v", predictionCol="__cell")
+    model = km.fit(feat)
+    assigned = model.transform(feat).select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("__cvec"),
+        F.col("__cell"),
+    )
+
+    centers = [
+        (int(i), [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())
+    ]
+    centers_df = queries.sparkSession.createDataFrame(
+        centers, f"__cell int, __center array<double>"
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qvec")
+    )
+    # rank the (tiny, broadcast) centroid set per query; keep n_probe
+    qc = q.join(F.broadcast(centers_df))
+    wq = Window.partitionBy("query_id").orderBy(
+        F.desc(cosine(F.col("__qvec"), F.col("__center"))), F.asc("__cell")
+    )
+    probes = (
+        qc.withColumn("__cr", F.row_number().over(wq))
+        .filter(F.col("__cr") <= n_probe)
+        .select("query_id", "__qvec", "__cell")
+    )
+
+    scored = (
+        assigned.join(F.broadcast(probes), "__cell")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(cosine(F.col("__qvec"), F.col("__cvec")), 6).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+    )
+
+
 def lsh_topk(
     corpus: DataFrame,
     queries: DataFrame,

@@ -220,6 +220,27 @@ def embedding_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "embedding_ann_ivf",
+    None,  # KMeans index not expressible in DuckDB — rows-only
+    survey="llm-ann-ivf",
+    tags=("similarity",),
+)
+def embedding_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN: seeded KMeans cells over the corpus, queries probe
+    their 2 nearest cells with exact cosine re-rank — the
+    index-amortized scale path alongside the LSH variant."""
+    from ..operators.similarity import ivf_topk
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("embedding"),
+    )
+    queries = emb.filter(F.col("vec_id") < 8)
+    out = ivf_topk(emb, queries, k=5, n_centroids=8, n_probe=2, seed=42)
+    return out.orderBy("query_id", "rank")
+
+
+@query(
     "embedding_ann_lsh",
     None,  # xxhash64-derived hyperplanes not expressible in DuckDB
     survey="llm-ann-lsh",

@@ -1,0 +1,78 @@
+"""Tests for the physical-layout operators (bucketing, salting) and
+the IVF ANN tier."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from real_estate_etl_dev_spark.operators.layout import salted_count_sum, write_bucketed
+from real_estate_etl_dev_spark.operators.merge import merge_listings
+from real_estate_etl_dev_spark.operators.similarity import cosine_topk, ivf_topk
+
+from tests.test_llmdata import VECS, vec_df
+from tests.test_merge import RUN_DATE, SCHEMA, row
+
+
+def test_bucketed_join_eliminates_exchange(spark, tmp_path):
+    cur = spark.createDataFrame([row(f"u{i}") for i in range(50)], SCHEMA)
+    stg = spark.createDataFrame(
+        [row(f"u{i}", price=999) for i in range(25, 75)], SCHEMA
+    )
+    write_bucketed(cur, "t_cur", "url", 8, path=str(tmp_path / "cur"))
+    write_bucketed(stg, "t_stg", "url", 8, path=str(tmp_path / "stg"))
+    try:
+        a, b = spark.table("t_cur"), spark.table("t_stg")
+        joined = a.join(b, "url")
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        # both sides read bucketed → the equi-join needs no shuffle
+        assert "Exchange hashpartitioning" not in plan
+        assert joined.count() == 25
+
+        # and the real merge over bucketed tables keeps ONE side-free join
+        merged = merge_listings(a, b, run_date=RUN_DATE)
+        mplan = merged._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange hashpartitioning" not in mplan
+        assert merged.count() == 75
+    finally:
+        spark.sql("DROP TABLE IF EXISTS t_cur")
+        spark.sql("DROP TABLE IF EXISTS t_stg")
+
+
+def test_salted_count_sum_matches_plain(spark):
+    # 90% of rows share one hot key — the shape salting exists for
+    rows = [("hot" if i % 10 else f"k{i}", float(i)) for i in range(1000)]
+    df = spark.createDataFrame(rows, "k string, v double")
+    got = {
+        r["k"]: (r["n"], round(r["total"], 3))
+        for r in salted_count_sum(df, "k", "v").collect()
+    }
+    exact = {
+        r["k"]: (r["n"], round(r["total"], 3))
+        for r in df.groupBy("k")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"), F.sum("v").alias("total"))
+        .collect()
+    }
+    assert got == exact
+
+
+def test_ivf_topk_matches_bruteforce_when_probing_all(spark):
+    emb = vec_df(spark)
+    queries = emb.filter(F.col("vec_id") == 0)
+    exact = {
+        (r["rank"], r["neighbor_id"])
+        for r in cosine_topk(emb, queries, k=2).collect()
+    }
+    # probe every cell → must equal brute force
+    approx = {
+        (r["rank"], r["neighbor_id"])
+        for r in ivf_topk(emb, queries, k=2, n_centroids=2, n_probe=2).collect()
+    }
+    assert approx == exact
+
+
+def test_ivf_topk_partial_probe_keeps_near_identical(spark):
+    emb = vec_df(spark)
+    queries = emb.filter(F.col("vec_id") == 0)
+    got = ivf_topk(emb, queries, k=1, n_centroids=2, n_probe=1).collect()
+    # the near-identical vector (id 4) clusters with the query
+    assert got and got[0]["neighbor_id"] == 4
