@@ -8,6 +8,7 @@ from .dedup import (
     dedup_exact_keep_first,
     dedup_minhash_pairs,
     dedup_simhash_pairs,
+    minhash_signature,
     ngram_jaccard,
     shingles,
     simhash64,

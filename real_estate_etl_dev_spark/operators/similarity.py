@@ -121,6 +121,7 @@ def ivf_topk(
     n_centroids: int = 8,
     n_probe: int = 2,
     seed: int = 42,
+    max_iter: int = 8,
 ) -> DataFrame:
     """IVF-style ANN: KMeans-partition the corpus once, then search
     each query only in its ``n_probe`` nearest cells, with exact
@@ -137,7 +138,18 @@ def ivf_topk(
     feat = corpus.select(
         F.col(id_col), F.col(vec_col), array_to_vector(F.col(vec_col)).alias("__v")
     )
-    km = KMeans(k=n_centroids, seed=seed, featuresCol="__v", predictionCol="__cell")
+    # Loose fit: ANN cells need rough Voronoi regions, not converged
+    # centroids — recall is governed by n_probe, not fit quality — so
+    # skip k-means|| init (several full corpus passes) and the default
+    # 20 iterations.
+    km = KMeans(
+        k=n_centroids,
+        seed=seed,
+        maxIter=max_iter,
+        initMode="random",
+        featuresCol="__v",
+        predictionCol="__cell",
+    )
     model = km.fit(feat)
     assigned = model.transform(feat).select(
         F.col(id_col).alias("neighbor_id"),

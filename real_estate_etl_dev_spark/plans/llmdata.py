@@ -115,15 +115,16 @@ def dedup_exact_kept_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("llm-dedup",),
 )
 def dedup_minhash_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Near-dup candidate pairs via MinHashLSH (shingle → binary
-    vector → banded bucket join), seed-pinned for determinism.
-    The injected exact dups surface at distance 0."""
+    """Near-dup candidate pairs via codegen MinHash banding (shingle →
+    seeded-xxhash64 min-signature → banded bucket join → exact Jaccard
+    verify), seed-pinned for determinism.  The injected exact dups
+    surface at distance 0."""
     corpus = _augmented_docs(spark, sf_dir)
     # 3-gram shingles: distinctive enough that the synthetic word-soup
-    # corpus doesn't flood the LSH buckets; 3 tables bound the posting
+    # corpus doesn't flood the buckets; 3 bands bound the posting
     # explode while the injected exact dups still collide on all of them.
     pairs = dedup_minhash_pairs(
-        corpus, threshold=0.5, seed=42, shingle_n=3, num_hash_tables=3
+        corpus, threshold=0.5, seed=42, shingle_n=3, num_hashes=3
     )
     return pairs.orderBy("id_a", "id_b")
 
