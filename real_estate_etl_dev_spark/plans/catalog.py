@@ -615,3 +615,4 @@ from . import llmdata  # noqa: E402,F401  (registers dedup/ANN/text queries)
 from . import serving  # noqa: E402,F401  (registers pagination/sink/ML queries)
 from . import ingest  # noqa: E402,F401  (registers scan/projection queries)
 from . import rules_more  # noqa: E402,F401  (registers R8-R12/P14 queries)
+from . import temporal  # noqa: E402,F401  (registers asof/session/sketch queries)

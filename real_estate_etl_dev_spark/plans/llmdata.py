@@ -475,3 +475,48 @@ def multimodal_fake_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     validates the Arrow batch path end-to-end, not just row counts."""
     docs = attach_binary(load_table(spark, sf_dir, "documents"))
     return fake_feature_extractor(docs).orderBy("doc_id")
+
+
+@query(
+    "token_budget_sample",
+    """
+    WITH scored AS (
+      SELECT lang, doc_id,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+             CAST(sum(len(string_split(text, ' '))) OVER (
+               PARTITION BY lang ORDER BY n_chars DESC, doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+             ) AS BIGINT) AS cum_tokens
+      FROM documents
+    )
+    SELECT lang, doc_id, n_tokens, cum_tokens
+    FROM scored WHERE cum_tokens <= 2000
+    ORDER BY lang, doc_id
+    """,
+    survey="llm-sampling",
+    tags=("text-analysis",),
+)
+def token_budget_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-corpus curation: per language, keep the highest-value
+    documents (longest first, doc_id tie-break) until a token budget
+    is exhausted — the deterministic greedy-knapsack every dataset
+    mixer runs.  One shuffle on lang; the cumulative ROWS window is
+    per-language, never global, so the plan is skew-bounded by the
+    largest language (salt or sub-bucket by source at 100 TB)."""
+    docs = load_table(spark, sf_dir, "documents")
+    n_tokens = F.size(F.split("text", " ")).cast("long")
+    w = (
+        Window.partitionBy("lang")
+        .orderBy(F.col("n_chars").desc(), "doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        docs.select(
+            "lang",
+            "doc_id",
+            n_tokens.alias("n_tokens"),
+            F.sum(n_tokens).over(w).alias("cum_tokens"),
+        )
+        .filter(F.col("cum_tokens") <= 2000)
+        .orderBy("lang", "doc_id")
+    )

@@ -1,0 +1,273 @@
+"""Catalog queries for the temporal / sketch extensions: as-of join,
+sessionization, rolling time-range aggregation, exact percentiles,
+and HLL approximate-distinct (additive scale-path operators in the
+spirit of SURVEY §2's J/W/A families; the reference has no temporal
+joins — its nearest analog is the per-row latest-state probe in
+reid/pipelines/property.py:96-126).
+
+Oracle notes: event timestamps are emitted as epoch-µs BIGINTs
+(``unix_micros`` ↔ ``epoch_us``) so no strftime fractional-second
+format skew can flake the hash; the as-of oracle uses DuckDB's native
+``ASOF LEFT JOIN``, which makes it a genuinely independent
+implementation of the same semantics.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..operators.asof import asof_join, sessionize
+from .catalog import query, T
+
+_GAP_S = 1800
+_US = 1_000_000
+
+
+@query(
+    "asof_error_click",
+    """
+    WITH errors AS (
+      SELECT event_id, user_id, ts FROM events WHERE event_type = 'error'
+    ),
+    clicks AS (
+      SELECT user_id, ts, max(event_id) AS click_id
+      FROM events WHERE event_type = 'click' GROUP BY user_id, ts
+    )
+    SELECT e.event_id, e.user_id,
+           epoch_us(e.ts) AS ts_us,
+           c.click_id,
+           epoch_us(e.ts) - epoch_us(c.ts) AS lag_us
+    FROM errors e ASOF LEFT JOIN clicks c
+      ON e.user_id = c.user_id AND e.ts >= c.ts
+    ORDER BY e.event_id
+    """,
+    survey="J-asof",
+    tags=("temporal",),
+)
+def asof_error_click(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: every error event gets the most recent prior click
+    by the same user (backward, ties match, left semantics).  The
+    oracle is DuckDB's native ASOF LEFT JOIN — an independent engine's
+    implementation of the same operator.
+
+    Scale: union + ONE shuffle on user_id + in-partition sort; the
+    payload travels as one struct.  No range join, no per-key loop.
+    Clicks are pre-aggregated to one row per (user_id, ts) so the
+    match is deterministic under timestamp ties."""
+    events = T(spark, sf_dir, "events")
+    errors = events.filter(F.col("event_type") == "error").select(
+        "event_id", "user_id", "ts"
+    )
+    clicks = (
+        events.filter(F.col("event_type") == "click")
+        .groupBy("user_id", "ts")
+        .agg(F.max("event_id").alias("click_id"))
+    )
+    joined = asof_join(errors, clicks, on="user_id", payload=["click_id"])
+    return joined.select(
+        "event_id",
+        "user_id",
+        F.unix_micros("ts").alias("ts_us"),
+        "r_click_id",
+        (F.unix_micros("ts") - F.unix_micros("r_ts")).alias("lag_us"),
+    ).withColumnRenamed("r_click_id", "click_id").orderBy("event_id")
+
+
+@query(
+    "event_sessions",
+    f"""
+    WITH flagged AS (
+      SELECT user_id, ts,
+             CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+                       OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > {_GAP_S * _US}
+                  THEN 1 ELSE 0 END AS is_new
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+    ),
+    sess AS (
+      SELECT user_id, ts,
+             CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY ts) AS BIGINT)
+               AS session_seq
+      FROM flagged
+    )
+    SELECT user_id, session_seq,
+           count(*) AS n_events,
+           min(epoch_us(ts)) AS start_us,
+           max(epoch_us(ts)) AS end_us,
+           max(epoch_us(ts)) - min(epoch_us(ts)) AS duration_us
+    FROM sess GROUP BY user_id, session_seq
+    ORDER BY user_id, session_seq
+    """,
+    survey="W-session",
+    tags=("temporal",),
+)
+def event_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (30-min inactivity closes a session)
+    + per-session rollup.  Two keyed shuffles total (window on
+    user_id, then agg on (user_id, session_seq)); integer-µs gap
+    arithmetic, so no double drift.  The RANGE cumulative frame makes
+    timestamp-tied rows share a session deterministically — the
+    DuckDB oracle's default window frame has identical semantics."""
+    events = T(spark, sf_dir, "events")
+    sess = sessionize(events, key="user_id", ts_col="ts", gap_seconds=_GAP_S)
+    us = F.unix_micros("ts")
+    return (
+        sess.groupBy("user_id", "session_seq")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.min(us).alias("start_us"),
+            F.max(us).alias("end_us"),
+            (F.max(us) - F.min(us)).alias("duration_us"),
+        )
+        .orderBy("user_id", "session_seq")
+    )
+
+
+@query(
+    "rolling_7d_revenue",
+    """
+    WITH daily AS (
+      SELECT CAST(o_orderdate AS DATE) AS d,
+             count(*) AS n_orders,
+             sum(o_totalprice) AS rev
+      FROM orders GROUP BY d
+    )
+    SELECT strftime(d, '%Y-%m-%d') AS day,
+           n_orders,
+           round(rev, 2) AS revenue,
+           round(sum(rev) OVER (
+             ORDER BY date_diff('day', DATE '1970-01-01', d)
+             RANGE BETWEEN 6 PRECEDING AND CURRENT ROW), 2) AS revenue_7d
+    FROM daily ORDER BY day
+    """,
+    survey="A-rolling,W-range",
+    tags=("temporal",),
+)
+def rolling_7d_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-7-day revenue via a RANGE window over day numbers —
+    calendar-aware (missing days shrink the frame), not a ROWS-7
+    approximation.
+
+    Scale: the raw fact table is reduced by a keyed hash-agg FIRST;
+    the global-ordered RANGE window then runs over one bounded row
+    per calendar day (~2.4k rows for 7 years regardless of SF), so
+    the single-partition sort is safe at any scale."""
+    orders = T(spark, sf_dir, "orders")
+    daily = (
+        orders.groupBy(F.to_date("o_orderdate").alias("d"))
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum("o_totalprice").alias("rev"),
+        )
+        .withColumn("day_num", F.datediff("d", F.lit("1970-01-01").cast("date")))
+    )
+    w = Window.orderBy("day_num").rangeBetween(-6, 0)
+    return daily.select(
+        F.date_format("d", "yyyy-MM-dd").alias("day"),
+        "n_orders",
+        F.round("rev", 2).alias("revenue"),
+        F.round(F.sum("rev").over(w), 2).alias("revenue_7d"),
+    ).orderBy("day")
+
+
+@query(
+    "price_percentiles_by_priority",
+    """
+    SELECT o_orderpriority,
+           round(quantile_cont(o_totalprice, 0.25), 2) AS p25,
+           round(quantile_cont(o_totalprice, 0.50), 2) AS p50,
+           round(quantile_cont(o_totalprice, 0.90), 2) AS p90
+    FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority
+    """,
+    survey="A-quantile",
+    tags=("temporal",),
+)
+def price_percentiles_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles per group — Spark ``percentile``
+    and DuckDB ``quantile_cont`` both compute the type-7 linear
+    interpolation, so the oracle is exact.
+
+    Scale note: exact percentile shuffles the value multiset per
+    group; at 100 TB swap in ``percentile_approx`` (t-digest,
+    mergeable map-side partials) — same query shape."""
+    orders = T(spark, sf_dir, "orders")
+    return (
+        orders.groupBy("o_orderpriority")
+        .agg(
+            F.round(F.percentile("o_totalprice", F.lit(0.25)), 2).alias("p25"),
+            F.round(F.percentile("o_totalprice", F.lit(0.50)), 2).alias("p50"),
+            F.round(F.percentile("o_totalprice", F.lit(0.90)), 2).alias("p90"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+@query(
+    "approx_distinct_users",
+    """
+    SELECT event_type,
+           count(DISTINCT user_id) AS exact_users,
+           TRUE AS within_5pct
+    FROM events GROUP BY event_type ORDER BY event_type
+    """,
+    survey="A-approx",
+    tags=("temporal",),
+)
+def approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog++ approximate distinct vs the exact count, gated to
+    ±5% (HLL is deterministic for fixed data, so the gate is stable;
+    rsd=0.01 gives the gate ~5σ of margin — rsd=0.05 measurably
+    breaches 5% on the sf0.1 user pool).  At 100 TB the approx path
+    is the serve-path default: mergeable map-side sketches, no
+    distinct-shuffle of the full key set."""
+    events = T(spark, sf_dir, "events")
+    approx = F.approx_count_distinct("user_id", rsd=0.01)
+    exact = F.countDistinct("user_id")
+    return (
+        events.groupBy("event_type")
+        .agg(exact.alias("exact_users"), approx.alias("approx_users"))
+        .select(
+            "event_type",
+            "exact_users",
+            (
+                F.abs(F.col("approx_users") - F.col("exact_users"))
+                <= F.greatest(F.lit(1.0), F.col("exact_users") * 0.05)
+            ).alias("within_5pct"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@query(
+    "hll_sketch_mergeable_users",
+    """
+    SELECT count(DISTINCT user_id) AS exact_total, TRUE AS within_5pct
+    FROM events
+    """,
+    survey="A-sketch",
+    tags=("temporal",),
+)
+def hll_sketch_mergeable_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable-sketch distinct count: per-event_type HLL sketches
+    (``hll_sketch_agg``) re-merged with ``hll_union_agg`` into a
+    global estimate — the re-aggregation pattern a 1000-executor
+    rollup needs (partial sketches per partition/day, union at serve
+    time; never re-scan raw keys).  Gated ±5% against the exact
+    count; deterministic for fixed data."""
+    events = T(spark, sf_dir, "events")
+    per_type = events.groupBy("event_type").agg(
+        F.hll_sketch_agg("user_id").alias("sk"),
+        F.countDistinct("user_id").alias("n"),
+    )
+    merged = per_type.agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("approx_total")
+    )
+    exact = events.agg(F.countDistinct("user_id").alias("exact_total"))
+    return exact.crossJoin(merged).select(
+        "exact_total",
+        (
+            F.abs(F.col("approx_total") - F.col("exact_total"))
+            <= F.greatest(F.lit(1.0), F.col("exact_total") * 0.05)
+        ).alias("within_5pct"),
+    )

@@ -1,0 +1,87 @@
+"""Semantic unit tests for the temporal operators (asof_join,
+sessionize) — tie handling, direction, tolerance, left semantics."""
+
+from datetime import datetime
+
+from pyspark.sql import functions as F
+
+from real_estate_etl_dev_spark.operators.asof import asof_join, sessionize
+
+
+def _ts(s):
+    return datetime.fromisoformat(s)
+
+
+def _frames(spark):
+    left = spark.createDataFrame(
+        [
+            (1, 10, _ts("2024-01-01 00:10:00")),  # after q1/q2 -> q2
+            (2, 10, _ts("2024-01-01 00:05:00")),  # tie with q2 -> q2
+            (3, 10, _ts("2024-01-01 00:00:30")),  # after q1 only -> q1
+            (4, 10, _ts("2023-12-31 23:00:00")),  # before all -> null
+            (5, 20, _ts("2024-01-01 09:00:00")),  # other key -> q3
+            (6, 30, _ts("2024-01-01 00:00:00")),  # key with no right -> null
+        ],
+        "event_id long, user_id long, ts timestamp",
+    )
+    right = spark.createDataFrame(
+        [
+            (10, _ts("2024-01-01 00:00:00"), 101),
+            (10, _ts("2024-01-01 00:05:00"), 102),
+            (20, _ts("2024-01-01 08:00:00"), 103),
+        ],
+        "user_id long, ts timestamp, quote long",
+    )
+    return left, right
+
+
+def test_asof_backward(spark):
+    left, right = _frames(spark)
+    out = asof_join(left, right, on="user_id", payload=["quote"])
+    got = {r.event_id: r.r_quote for r in out.collect()}
+    assert got == {1: 102, 2: 102, 3: 101, 4: None, 5: 103, 6: None}
+
+
+def test_asof_forward(spark):
+    left, right = _frames(spark)
+    out = asof_join(left, right, on="user_id", payload=["quote"], direction="forward")
+    got = {r.event_id: r.r_quote for r in out.collect()}
+    # forward: nearest right at ts >= left ts; ties still match
+    assert got == {1: None, 2: 102, 3: 102, 4: 101, 5: None, 6: None}
+
+
+def test_asof_tolerance(spark):
+    left, right = _frames(spark)
+    out = asof_join(
+        left, right, on="user_id", payload=["quote"], tolerance_us=60_000_000
+    )
+    got = {r.event_id: r.r_quote for r in out.collect()}
+    # only matches within 60s survive: event 2 (0s) and 3 (30s)
+    assert got == {1: None, 2: 102, 3: 101, 4: None, 5: None, 6: None}
+
+
+def test_asof_preserves_left_rows_and_columns(spark):
+    left, right = _frames(spark)
+    out = asof_join(left, right, on="user_id", payload=["quote"])
+    assert out.count() == left.count()
+    assert out.columns == [*left.columns, "r_ts", "r_quote"]
+
+
+def test_sessionize_gaps_and_ties(spark):
+    rows = [
+        (1, _ts("2024-01-01 00:00:00")),
+        (1, _ts("2024-01-01 00:10:00")),  # 10 min -> same session
+        (1, _ts("2024-01-01 01:00:00")),  # 50 min -> new session
+        (1, _ts("2024-01-01 01:00:00")),  # tie -> same session
+        (2, _ts("2024-01-01 00:00:00")),  # other key restarts at 1
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp")
+    out = sessionize(df, key="user_id", ts_col="ts", gap_seconds=1800)
+    got = sorted((r.user_id, r.ts.isoformat(), r.session_seq) for r in out.collect())
+    assert got == [
+        (1, "2024-01-01T00:00:00", 1),
+        (1, "2024-01-01T00:10:00", 1),
+        (1, "2024-01-01T01:00:00", 2),
+        (1, "2024-01-01T01:00:00", 2),
+        (2, "2024-01-01T00:00:00", 1),
+    ]
