@@ -133,3 +133,59 @@ def queue_status_stream(updates: DataFrame) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str = "user_id",
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+    lookback: str = "1 hour",
+    watermark: str = "2 hours",
+    right_prefix: str = "r_",
+) -> DataFrame:
+    """Stream-stream interval join: each left event pairs with right
+    events of the same key from the preceding ``lookback`` window —
+    the streaming analog of :func:`operators.asof.asof_join` (all
+    candidates within the interval rather than only the nearest;
+    nearest needs a post-agg ``max_by``).
+
+    Both sides carry watermarks, so the join state store evicts rows
+    older than ``watermark + lookback`` — bounded state, the thing a
+    100 TB/day stream lives or dies by."""
+    lw = left.withWatermark(left_ts, watermark)
+    rw = right.withWatermark(right_ts, watermark)
+    renamed = [F.col(c).alias(f"{right_prefix}{c}") for c in rw.columns]
+    rw = rw.select(*renamed)
+    rk, rt = f"{right_prefix}{key}", f"{right_prefix}{right_ts}"
+    cond = (
+        (F.col(key) == F.col(rk))
+        & (F.col(rt) <= F.col(left_ts))
+        & (F.col(rt) >= F.col(left_ts) - F.expr(f"INTERVAL {lookback}"))
+    )
+    return lw.join(rw, cond, "leftOuter").drop(rk)
+
+
+def session_counts(
+    events: DataFrame,
+    ts_col: str = "ts",
+    key: str = "user_id",
+    gap: str = "30 minutes",
+    delay: str = "1 hour",
+) -> DataFrame:
+    """Event-time session windows (dynamic-gap analog of
+    :func:`operators.asof.sessionize`): Spark merges windows whose
+    events are within ``gap``, and the watermark finalizes + evicts a
+    session once event time passes its close — per-key bounded state."""
+    return (
+        events.withWatermark(ts_col, delay)
+        .groupBy(F.session_window(F.col(ts_col), gap).alias("w"), F.col(key))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.col(key),
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+        )
+    )

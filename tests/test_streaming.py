@@ -138,3 +138,127 @@ def test_queue_status_state(spark, tmp_path):
     q.awaitTermination(120)
     got = {r["url"]: (r["status"], r["n_events"]) for r in spark.sql("SELECT * FROM queue_state").collect()}
     assert got == {"u1": ("Error", 2), "u2": ("Sold", 2)}  # max-severity wins
+
+
+# --- round-2 depth: stream-stream join, session windows, late data ---------
+
+EV_SCHEMA = "user_id long, ts timestamp, event_id long"
+
+
+def _write_events(tmp_path, sub, name, rows):
+    p = tmp_path / sub
+    p.mkdir(exist_ok=True)
+    with open(p / name, "w") as f:
+        for r in rows:
+            f.write(json.dumps(r) + "\n")
+    return str(p)
+
+
+def _run_once(stream, checkpoint, sink):
+    # foreachBatch sink: the memory sink cannot recover stateful
+    # queries (joins, session windows) from a checkpoint.
+    q = (
+        stream.writeStream.foreachBatch(lambda df, _bid: sink.extend(df.collect()))
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+
+def test_interval_join_match_then_outer(spark, tmp_path):
+    from real_estate_etl_dev_spark.streaming.ingest import interval_join
+
+    lpath = _write_events(
+        tmp_path, "err", "b1.json",
+        [
+            {"user_id": 1, "ts": "2026-01-01T01:00:00Z", "event_id": 10},
+            {"user_id": 1, "ts": "2026-01-01T03:00:00Z", "event_id": 11},
+        ],
+    )
+    rpath = _write_events(
+        tmp_path, "clk", "b1.json",
+        [{"user_id": 1, "ts": "2026-01-01T00:30:00Z", "event_id": 20}],
+    )
+    def run_once(sink):
+        left = stream_source(spark, lpath, EV_SCHEMA)
+        right = stream_source(spark, rpath, EV_SCHEMA)
+        joined = interval_join(left, right, lookback="1 hour", watermark="2 hours")
+        _run_once(joined, str(tmp_path / "cp_ij"), sink)
+
+    rows1 = []
+    run_once(rows1)
+    got1 = {r["event_id"]: r["r_event_id"] for r in rows1}
+    # inner match emits immediately: error@01:00 paired with click@00:30
+    assert got1.get(10) == 20
+
+    # Push the watermark past 03:00 on BOTH streams — the global
+    # watermark is min(left, right), so a quiet side holds it back.
+    # Run 2 advances it AFTER its data batch; run 3's batch then
+    # evicts + emits the unmatched left row.
+    for run_i, hour in ((2, "09"), (3, "10")):
+        for sub in ("err", "clk"):
+            _write_events(tmp_path, sub, f"b{run_i}.json",
+                          [{"user_id": 2, "ts": f"2026-01-01T{hour}:00:00Z",
+                            "event_id": run_i * 100}])
+    rows2 = []
+    run_once(rows2)
+    rows3 = []
+    run_once(rows3)
+    got23 = {r["event_id"]: r["r_event_id"] for r in rows2 + rows3}
+    assert 11 in got23 and got23[11] is None  # left-outer null after watermark
+
+
+def test_session_window_counts(spark, tmp_path):
+    from real_estate_etl_dev_spark.streaming.ingest import session_counts
+
+    path = _write_events(
+        tmp_path, "sess", "b1.json",
+        [
+            {"user_id": 1, "ts": "2026-01-01T00:00:00Z", "event_id": 1},
+            {"user_id": 1, "ts": "2026-01-01T00:10:00Z", "event_id": 2},  # same session
+            {"user_id": 1, "ts": "2026-01-01T02:00:00Z", "event_id": 3},  # new session
+        ],
+    )
+    def make():
+        return session_counts(
+            stream_source(spark, path, EV_SCHEMA), gap="30 minutes", delay="1 hour"
+        )
+
+    cp = str(tmp_path / "cp_sw")
+    rows = []
+    _run_once(make(), cp, rows)
+    # watermark after run1 = 02:00 - 1h = 01:00 > first session close
+    # (00:40); the finalized session emits on the next trigger.
+    _write_events(tmp_path, "sess", "b2.json",
+                  [{"user_id": 9, "ts": "2026-01-01T06:00:00Z", "event_id": 99}])
+    _run_once(make(), cp, rows)
+    sess1 = [r for r in rows if r["user_id"] == 1]
+    assert len(sess1) >= 1
+    first = min(sess1, key=lambda r: r["session_start"])
+    assert first["n_events"] == 2  # 00:00 and 00:10 merged, 02:00 excluded
+    assert str(first["session_end"]).endswith("00:40:00")  # last event + gap
+
+
+def test_windowed_counts_drops_late_data(spark, tmp_path):
+    rows = [
+        {"url": "a", "scraped_at": "2026-01-01T00:30:00Z", "price": 1, "availability": "x"},
+        {"url": "b", "scraped_at": "2026-01-01T04:00:00Z", "price": 1, "availability": "x"},
+    ]
+    path = write_batch(tmp_path, "late1.json", rows)
+    def make():
+        src = stream_source(spark, path, SCHEMA).withColumn("event_type", F.lit("e"))
+        return windowed_counts(src, ts_col="scraped_at", window="1 hour", delay="2 hours")
+
+    cp = str(tmp_path / "cp_late")
+    rows_out = []
+    _run_once(make(), cp, rows_out)
+    # watermark after run1 = 04:00 - 2h = 02:00; hour-0 window is final.
+    # A late row for hour-0 must be DROPPED, not double-counted.
+    write_batch(tmp_path, "late2.json", [
+        {"url": "c", "scraped_at": "2026-01-01T00:40:00Z", "price": 1, "availability": "x"},
+        {"url": "d", "scraped_at": "2026-01-01T04:30:00Z", "price": 1, "availability": "x"},
+    ])
+    _run_once(make(), cp, rows_out)
+    hour0 = [r["n"] for r in rows_out if "00:00:00" in str(r["window_start"])]
+    assert hour0 == [1]  # on-time row counted once, late arrival dropped
