@@ -90,3 +90,30 @@ def test_no_python_udf_in_expression_tier(spark, sf_dir):
     ]:
         plan = plan_of(spark, sf_dir, name)
         assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, name
+
+
+def test_asof_join_single_keyed_shuffle(spark, sf_dir):
+    # union → ONE hash exchange on user_id for the carry-forward
+    # window (plus the output sort's range partitioning); no join
+    # operator at all — the whole as-of is window-based.
+    plan = plan_of(spark, sf_dir, "asof_error_click")
+    assert plan.count("hashpartitioning") >= 1
+    assert "SortMergeJoin" not in plan and "BroadcastHashJoin" not in plan
+    assert "Window" in plan
+
+
+def test_rolling_window_aggregates_before_global_sort(spark, sf_dir):
+    # the RANGE window must consume the DAILY aggregate (bounded
+    # rows), never the raw fact table: HashAggregate appears below
+    # the Window in the plan tree.
+    plan = plan_of(spark, sf_dir, "rolling_7d_revenue")
+    assert "Window" in plan and "HashAggregate" in plan
+    assert plan.index("Window") < plan.index("HashAggregate")  # Window atop agg
+
+
+def test_session_window_is_partitioned_not_global(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "event_sessions")
+    # the session window partitions by user_id — no global
+    # single-partition window (SinglePartition exchange) anywhere
+    assert "user_id" in plan.split("Window")[0] or "user_id" in plan
+    assert "SinglePartition" not in plan.split("Window")[0]
