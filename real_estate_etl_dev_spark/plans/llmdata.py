@@ -520,3 +520,41 @@ def token_budget_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("cum_tokens") <= 2000)
         .orderBy("lang", "doc_id")
     )
+
+
+@query(
+    "hash_split_counts",
+    """
+    WITH assigned AS (
+      SELECT lang,
+             CASE
+               WHEN ('0x' || substr(md5('v1' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+                    % 10000 < 8000 THEN 'train'
+               WHEN ('0x' || substr(md5('v1' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+                    % 10000 < 9000 THEN 'val'
+               ELSE 'test'
+             END AS split
+      FROM documents
+    )
+    SELECT lang, split, count(*) AS n_docs
+    FROM assigned GROUP BY lang, split ORDER BY lang, split
+    """,
+    survey="llm-split",
+    tags=("text-analysis",),
+)
+def hash_split_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 80/10/10 train/val/test split via md5-bucket
+    assignment (operators/sampling.py:hash_split) — reproducible
+    across runs/engines/partitionings, unlike randomSplit.  The
+    oracle recomputes the identical md5 arithmetic in DuckDB, so the
+    per-(lang, split) counts are exact, not statistical.  Map-only +
+    one count shuffle."""
+    from ..operators.sampling import hash_split
+
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        hash_split(docs, id_col="doc_id", salt="v1")
+        .groupBy("lang", "split")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .orderBy("lang", "split")
+    )

@@ -110,3 +110,19 @@ def test_multimodal_plumbing(spark):
     assert feats[1]["first_byte"] == ord("t")
     assert feats[1]["last_byte"] == ord("g")
     assert feats[1]["n_tokens"] == 9
+
+
+def test_hash_split_deterministic_and_exhaustive(spark, sf_dir):
+    from real_estate_etl_dev_spark.operators.sampling import hash_split
+    from real_estate_etl_dev_spark.sources.readers import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    a = hash_split(docs).select("doc_id", "split")
+    b = hash_split(docs.repartition(7)).select("doc_id", "split")
+    # partition-layout independent (the property randomSplit lacks)
+    assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+    counts = {r["split"]: r["count"] for r in a.groupBy("split").count().collect()}
+    n = sum(counts.values())
+    assert n == docs.count()
+    assert set(counts) <= {"train", "val", "test"}
+    assert counts["train"] / n > 0.6  # rough proportion sanity

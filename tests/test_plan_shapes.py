@@ -117,3 +117,30 @@ def test_session_window_is_partitioned_not_global(spark, sf_dir):
     # single-partition window (SinglePartition exchange) anywhere
     assert "user_id" in plan.split("Window")[0] or "user_id" in plan
     assert "SinglePartition" not in plan.split("Window")[0]
+
+
+def test_catalog_wide_plan_invariants(spark, sf_dir):
+    """Global physical-plan regression net over EVERY catalog query:
+
+    * no CartesianProduct anywhere (the hll crossJoin is 1-row×1-row
+      and plans as BroadcastNestedLoopJoin, which is fine there);
+    * no BatchEvalPython — row-at-a-time Python UDFs are banned from
+      all plans (Arrow paths show as ArrowEvalPython/MapInPandas);
+    * no global (SinglePartition) window except the documented
+      bounded-input rolling_7d_revenue.
+    """
+    allowed_single_partition_window = {"rolling_7d_revenue"}
+    offenders = {"cartesian": [], "py_udf": [], "global_window": []}
+    for name, q in CATALOG.items():
+        plan = q.fn(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+        if "CartesianProduct" in plan:
+            offenders["cartesian"].append(name)
+        if "BatchEvalPython" in plan:
+            offenders["py_udf"].append(name)
+        if (
+            "Window" in plan
+            and "SinglePartition" in plan
+            and name not in allowed_single_partition_window
+        ):
+            offenders["global_window"].append(name)
+    assert offenders == {"cartesian": [], "py_udf": [], "global_window": []}, offenders
