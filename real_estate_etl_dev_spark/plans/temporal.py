@@ -271,3 +271,101 @@ def hll_sketch_mergeable_users(spark: SparkSession, sf_dir: str) -> DataFrame:
             <= F.greatest(F.lit(1.0), F.col("exact_total") * 0.05)
         ).alias("within_5pct"),
     )
+
+
+_BANDS = [
+    ("budget", 0, 100_000),
+    ("mid", 100_000, 250_000),
+    ("upper", 250_000, 400_000),
+    ("premium", 400_000, 550_000),
+    ("luxury", 550_000, 10_000_000_000),
+]
+_BANDS_SQL = " UNION ALL ".join(
+    f"SELECT '{n}' AS band, {lo} AS lo, {hi} AS hi" for n, lo, hi in _BANDS
+)
+
+
+@query(
+    "price_band_join",
+    f"""
+    WITH bands AS ({_BANDS_SQL})
+    SELECT b.band, count(*) AS n_orders, round(sum(o.o_totalprice), 2) AS revenue
+    FROM orders o JOIN bands b
+      ON o.o_totalprice >= b.lo AND o.o_totalprice < b.hi
+    GROUP BY b.band ORDER BY b.band
+    """,
+    survey="J-range",
+    tags=("temporal",),
+)
+def price_band_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range (band) join: classify every order into a price band via
+    an inequality join against a tiny bands dim — the tier/SLA/bucket
+    lookup every analytics stack needs and equi-join can't express.
+
+    Scale: the bands side is bounded (5 rows) and broadcast, so the
+    plan is a BroadcastNestedLoopJoin — a map-side O(n·5) scan, no
+    shuffle of the fact table; the only shuffle is the 5-key
+    re-aggregation.  Never run an inequality join with two unbounded
+    sides — bin to an equi-key first."""
+    orders = T(spark, sf_dir, "orders")
+    bands = spark.createDataFrame(_BANDS, "band string, lo long, hi long")
+    p = F.col("o_totalprice")
+    return (
+        orders.join(
+            F.broadcast(bands), (p >= F.col("lo")) & (p < F.col("hi")), "inner"
+        )
+        .groupBy("band")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+        )
+        .orderBy("band")
+    )
+
+
+@query(
+    "price_winsorized_stats",
+    """
+    WITH cuts AS (
+      SELECT o_orderpriority,
+             quantile_cont(o_totalprice, 0.05) AS p05,
+             quantile_cont(o_totalprice, 0.95) AS p95
+      FROM orders GROUP BY o_orderpriority
+    )
+    SELECT o.o_orderpriority,
+           round(avg(o.o_totalprice), 2) AS raw_avg,
+           round(avg(least(greatest(o.o_totalprice, c.p05), c.p95)), 2)
+             AS winsorized_avg,
+           count(*) FILTER (WHERE o.o_totalprice > c.p95) AS n_clipped_high
+    FROM orders o JOIN cuts c USING (o_orderpriority)
+    GROUP BY o.o_orderpriority ORDER BY o.o_orderpriority
+    """,
+    survey="A-winsorize,R-outlier",
+    tags=("temporal",),
+)
+def price_winsorized_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Outlier-robust stats: per-group p05/p95 cuts, values clipped to
+    the cuts (winsorization), plus a clipped-count audit — the
+    standard guard before training on heavy-tailed numerics.
+
+    Scale: pass 1 aggregates the cuts to |groups| rows; the join back
+    broadcasts those rows so the fact table never shuffles for the
+    join; pass 2 re-aggregates on the same key.  At 100 TB swap the
+    exact percentile for percentile_approx (mergeable t-digest)."""
+    orders = T(spark, sf_dir, "orders")
+    cuts = orders.groupBy("o_orderpriority").agg(
+        F.percentile("o_totalprice", F.lit(0.05)).alias("p05"),
+        F.percentile("o_totalprice", F.lit(0.95)).alias("p95"),
+    )
+    p = F.col("o_totalprice")
+    clipped = F.least(F.greatest(p, F.col("p05")), F.col("p95"))
+    return (
+        orders.join(F.broadcast(cuts), "o_orderpriority")
+        .groupBy("o_orderpriority")
+        .agg(
+            F.round(F.avg(p), 2).alias("raw_avg"),
+            F.round(F.avg(clipped), 2).alias("winsorized_avg"),
+            F.count_if(p > F.col("p95")).alias("n_clipped_high"),
+        )
+        .orderBy("o_orderpriority")
+    )
