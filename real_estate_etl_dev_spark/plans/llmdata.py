@@ -637,3 +637,45 @@ def embedding_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("cos_sim") >= 0.9)
         .orderBy("id_a", "id_b")
     )
+
+
+@query(
+    "vocab_top_terms",
+    """
+    WITH toks AS (
+      SELECT lang, unnest(string_split(text, ' ')) AS token FROM documents
+    ),
+    counts AS (
+      SELECT lang, token, count(*) AS n FROM toks
+      WHERE token <> '' GROUP BY lang, token
+    )
+    SELECT lang, token, n, rank FROM (
+      SELECT *, CAST(row_number() OVER (
+               PARTITION BY lang ORDER BY n DESC, token) AS BIGINT) AS rank
+      FROM counts
+    ) WHERE rank <= 10 ORDER BY lang, rank
+    """,
+    survey="llm-vocab",
+    tags=("text-analysis",),
+)
+def vocab_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary building: top-10 terms per language by frequency
+    (count desc, token asc tie-break — fully deterministic).  The
+    tokenizer-training prerequisite every text pipeline runs.
+
+    Scale: explode → (lang, token) hash-agg benefits from map-side
+    partial aggregation (the combiner absorbs Zipf head terms before
+    the shuffle); the top-k window partitions by lang, never global.
+    At 100 TB add a frequency floor (HAVING n >= k) before the window
+    to keep the tail out of the shuffle."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "lang", F.explode(F.split("text", " ")).alias("token")
+    ).filter(F.col("token") != "")
+    counts = toks.groupBy("lang", "token").agg(F.count(F.lit(1)).alias("n"))
+    w = Window.partitionBy("lang").orderBy(F.desc("n"), F.asc("token"))
+    return (
+        counts.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= 10)
+        .orderBy("lang", "rank")
+    )

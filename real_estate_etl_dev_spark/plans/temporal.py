@@ -369,3 +369,31 @@ def price_winsorized_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderpriority")
     )
+
+
+@query(
+    "salted_skew_event_sums",
+    """
+    SELECT event_type,
+           count(*) AS n,
+           round(sum(value), 2) AS total
+    FROM events GROUP BY event_type ORDER BY event_type
+    """,
+    survey="A-skew",
+    tags=("temporal",),
+)
+def salted_skew_event_sums(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-safe two-phase aggregation (operators/layout.py:
+    salted_count_sum): phase 1 groups on (key, salt) so a hot key's
+    rows spread across 16 reducers, phase 2 merges the partials per
+    key.  The oracle is the PLAIN group-by — salting must never change
+    the answer, and the hash-match proves it.  event_type has 5 values
+    over millions of rows at scale: exactly the shape where one
+    reducer otherwise takes the whole table."""
+    from ..operators.layout import salted_count_sum
+
+    events = T(spark, sf_dir, "events")
+    out = salted_count_sum(events, "event_type", "value", n_salts=16)
+    return out.select(
+        "event_type", "n", F.round("total", 2).alias("total")
+    ).orderBy("event_type")
