@@ -126,3 +126,26 @@ def test_hash_split_deterministic_and_exhaustive(spark, sf_dir):
     assert n == docs.count()
     assert set(counts) <= {"train", "val", "test"}
     assert counts["train"] / n > 0.6  # rough proportion sanity
+
+
+def test_dedup_pair_growth_is_linear_across_sf(spark):
+    """The r01 verdict measured 94x pair growth for 10x rows with the
+    (n_chars, lang) bucket key. The content-hash key must grow the
+    duplicate-pair count ~linearly with the corpus (the injected dup
+    rate is constant), or the operator is quadratic at scale."""
+    from real_estate_etl_dev_spark.plans.llmdata import dedup_exact_groups_q
+
+    counts = {}
+    for sf in ("/root/testdata/sf0.001", "/root/testdata/sf0.01"):
+        groups = dedup_exact_groups_q(spark, sf)
+        # total implied pairs: sum over classes of n*(n-1)/2
+        from pyspark.sql import functions as F
+
+        pairs = groups.agg(
+            F.sum(F.col("n_dups") * (F.col("n_dups") - 1) / 2).alias("p")
+        ).collect()[0]["p"]
+        counts[sf] = float(pairs or 0)
+    ratio = counts["/root/testdata/sf0.01"] / max(counts["/root/testdata/sf0.001"], 1.0)
+    # 10x corpus -> ~10x pairs; anything approaching quadratic (100x)
+    # means the key regressed to a low-entropy bucket
+    assert ratio <= 20, f"pair growth {ratio:.1f}x for 10x rows"

@@ -85,3 +85,50 @@ def test_sessionize_gaps_and_ties(spark):
         (1, "2024-01-01T01:00:00", 2),
         (2, "2024-01-01T00:00:00", 1),
     ]
+
+
+def test_asof_matches_pandas_merge_asof(spark):
+    """Cross-check against an independent implementation: pandas
+    merge_asof (backward, allow_exact_matches) on pseudo-random
+    data."""
+    import random
+
+    import pandas as pd
+
+    rng = random.Random(7)
+    left_rows = [
+        (i, rng.randrange(5), _ts("2024-01-01 00:00:00").timestamp() + rng.randrange(100_000))
+        for i in range(300)
+    ]
+    right_rows = []
+    seen = set()
+    for j in range(200):
+        k = rng.randrange(5)
+        t = _ts("2024-01-01 00:00:00").timestamp() + rng.randrange(100_000)
+        if (k, t) in seen:  # unique (key, ts) per the operator contract
+            continue
+        seen.add((k, t))
+        right_rows.append((1000 + j, k, t))
+
+    lpdf = pd.DataFrame(left_rows, columns=["event_id", "user_id", "ts_s"])
+    rpdf = pd.DataFrame(right_rows, columns=["quote_id", "user_id", "ts_s"])
+    lpdf["ts"] = pd.to_datetime(lpdf.ts_s, unit="s")
+    rpdf["ts"] = pd.to_datetime(rpdf.ts_s, unit="s")
+
+    expected = pd.merge_asof(
+        lpdf.sort_values("ts"),
+        rpdf.sort_values("ts")[["user_id", "ts", "quote_id"]],
+        on="ts",
+        by="user_id",
+        direction="backward",
+        allow_exact_matches=True,
+    ).set_index("event_id")["quote_id"]
+
+    left = spark.createDataFrame(lpdf[["event_id", "user_id", "ts"]])
+    right = spark.createDataFrame(rpdf[["quote_id", "user_id", "ts"]])
+    out = asof_join(left, right, on="user_id", payload=["quote_id"])
+    got = {r.event_id: r.r_quote_id for r in out.collect()}
+
+    for eid, want in expected.items():
+        want = None if pd.isna(want) else int(want)
+        assert got[eid] == want, f"event {eid}: got {got[eid]}, want {want}"
