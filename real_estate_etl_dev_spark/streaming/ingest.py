@@ -189,3 +189,17 @@ def session_counts(
             "n_events",
         )
     )
+
+
+def dedup_urls_within_watermark(
+    stream: DataFrame, ts_col: str = "scraped_at", delay: str = "1 hour"
+) -> DataFrame:
+    """In-run URL dedup, drift-tolerant: unlike
+    :func:`dedup_urls` (exact (url, ts) keys), this drops ANY
+    re-observation of a url whose first sighting is within the
+    watermark window — the semantics the reference's in-memory
+    ``visited_urls`` set actually has (a re-crawled page gets a new
+    timestamp but is still the same item).  State per url is evicted
+    once the watermark passes first-seen + delay, so memory is
+    bounded by the crawl window, not the crawl history."""
+    return stream.withWatermark(ts_col, delay).dropDuplicatesWithinWatermark(["url"])

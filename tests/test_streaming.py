@@ -262,3 +262,22 @@ def test_windowed_counts_drops_late_data(spark, tmp_path):
     _run_once(make(), cp, rows_out)
     hour0 = [r["n"] for r in rows_out if "00:00:00" in str(r["window_start"])]
     assert hour0 == [1]  # on-time row counted once, late arrival dropped
+
+
+def test_dedup_within_watermark_drops_drifted_ts(spark, tmp_path):
+    from real_estate_etl_dev_spark.streaming.ingest import (
+        dedup_urls_within_watermark,
+    )
+
+    # same url re-observed with a DIFFERENT timestamp → still a dup
+    path = write_batch(tmp_path, "wd1.json", [
+        {"url": "u1", "scraped_at": "2026-01-01T00:00:00Z", "price": 1, "availability": "x"},
+        {"url": "u1", "scraped_at": "2026-01-01T00:05:00Z", "price": 1, "availability": "x"},
+        {"url": "u2", "scraped_at": "2026-01-01T00:10:00Z", "price": 2, "availability": "x"},
+    ])
+    out = dedup_urls_within_watermark(stream_source(spark, path, SCHEMA))
+    rows = []
+    _run_once(out, str(tmp_path / "cp_wd"), rows)
+    assert sorted(r["url"] for r in rows) == ["u1", "u2"]  # drifted-ts dup dropped
+    # exact-key dedup would have kept both u1 rows — this is the
+    # distinction from dedup_urls
