@@ -293,3 +293,89 @@ def properties_with_open_issues(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         d.join(open_tags, "url", "left_semi").select("url").orderBy("url")
     )
+
+
+# --- R2 tag reconcile: the second, smaller merge engine (SURVEY §7.4) ------
+
+# Four join cases by construction: existing-open kept/auto-solved,
+# existing-closed acknowledged/ignored-on-recur, and brand-new names.
+TAG_NAMES = "CASE {m} WHEN 0 THEN 'no_price' WHEN 1 THEN 'no_title' ELSE 'not_available' END"
+
+_CUR_TAGS = f"""
+  cur_tags AS (
+    SELECT 'P' || {K} AS property_id,
+           {TAG_NAMES.format(m=f"{K} % 3")} AS name,
+           ({K} % 5 = 0) AS is_solved,
+           ({K} % 7 = 0) AS is_ignored
+    FROM orders WHERE {K} % 4 <> 3
+  )
+"""
+_OBS_ISSUES = f"""
+  obs AS (
+    SELECT 'P' || {K} AS property_id,
+           {TAG_NAMES.format(m=f"{K} % 2")} AS name
+    FROM orders WHERE {K} % 5 <> 4
+  )
+"""
+
+
+def _tags_fixtures(spark: SparkSession, sf_dir: str):
+    orders = load_table(spark, sf_dir, "orders")
+    cur = orders.filter(F.expr(f"{K} % 4 <> 3")).selectExpr(
+        f"'P' || {K} AS property_id",
+        f"{TAG_NAMES.format(m=f'{K} % 3')} AS name",
+        f"({K} % 5 = 0) AS is_solved",
+        f"({K} % 7 = 0) AS is_ignored",
+    )
+    obs = orders.filter(F.expr(f"{K} % 5 <> 4")).selectExpr(
+        f"'P' || {K} AS property_id",
+        f"{TAG_NAMES.format(m=f'{K} % 2')} AS name",
+    )
+    return cur, obs
+
+
+@query(
+    "tag_reconcile",
+    f"""
+    WITH {_CUR_TAGS},
+         {_OBS_ISSUES},
+         o AS (SELECT DISTINCT property_id, name, TRUE AS seen FROM obs),
+         j AS (
+           SELECT COALESCE(c.property_id, o.property_id) AS property_id,
+                  COALESCE(c.name, o.name) AS name,
+                  c.is_solved AS c_solved, c.is_ignored AS c_ignored,
+                  (c.is_solved IS NOT NULL) AS existed,
+                  COALESCE(o.seen, FALSE) AS seen,
+                  COALESCE(c.is_solved OR c.is_ignored, FALSE) AS was_closed
+           FROM cur_tags c FULL OUTER JOIN o
+             ON c.property_id = o.property_id AND c.name = o.name
+         )
+    SELECT property_id, name,
+           CASE WHEN NOT existed THEN FALSE
+                WHEN NOT seen AND NOT was_closed THEN TRUE
+                ELSE c_solved END AS is_solved,
+           COALESCE(c_ignored, FALSE) AS is_ignored,
+           CASE WHEN NOT existed THEN 'new'
+                WHEN NOT seen AND NOT was_closed THEN 'auto_solved'
+                WHEN was_closed THEN 'acknowledged'
+                ELSE 'open' END AS state
+    FROM j ORDER BY property_id, name
+    """,
+    survey="R2-reconcile",
+)
+def tag_reconcile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R2 tag reconcile (operators/tags.py): this run's observed
+    issues full-outer merged into the tags table — disappeared issues
+    auto-solve, new names insert open, previously-closed names stay
+    closed on recurrence (solved/ignored are human acknowledgements).
+
+    Ref models/property.py:112-137; the reference's object-vs-string
+    membership quirk (every tag solved every run) is documented in
+    COVERAGE.md divergences — this is the evident intent.
+
+    Scale: one full-outer shuffle on (property_id, name); no per-row
+    ORM round-trips."""
+    from ..operators.tags import reconcile_tags
+
+    cur, obs = _tags_fixtures(spark, sf_dir)
+    return reconcile_tags(cur, obs).orderBy("property_id", "name")

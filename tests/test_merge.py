@@ -203,3 +203,50 @@ def test_tombstones_and_backfill(spark):
     got = {r["url"]: r["sold_at"] for r in filled.collect()}
     assert got["u1"] is None  # available → untouched
     assert got["u2"] == dt.datetime(2026, 2, 1)
+
+
+# --- tag reconcile: the second, smaller merge engine -----------------------
+
+
+def test_tag_reconcile_states(spark):
+    from real_estate_etl_dev_spark.operators.tags import reconcile_tags
+
+    cur = spark.createDataFrame(
+        [
+            ("p1", "no_price", False, False),   # still failing -> open
+            ("p1", "no_title", False, False),   # disappeared -> auto_solved
+            ("p2", "no_price", True, False),    # recurs but solved -> acknowledged
+            ("p2", "no_title", False, True),    # recurs but ignored -> acknowledged
+        ],
+        "property_id string, name string, is_solved boolean, is_ignored boolean",
+    )
+    obs = spark.createDataFrame(
+        [
+            ("p1", "no_price"),
+            ("p1", "no_price"),      # duplicate observation collapses
+            ("p2", "no_price"),
+            ("p2", "no_title"),
+            ("p3", "no_location"),   # brand new property/tag
+        ],
+        "property_id string, name string",
+    )
+    got = {
+        (r["property_id"], r["name"]): (r["is_solved"], r["is_ignored"], r["state"])
+        for r in reconcile_tags(cur, obs).collect()
+    }
+    assert got == {
+        ("p1", "no_price"): (False, False, "open"),
+        ("p1", "no_title"): (True, False, "auto_solved"),
+        ("p2", "no_price"): (True, False, "acknowledged"),
+        ("p2", "no_title"): (False, True, "acknowledged"),
+        ("p3", "no_location"): (False, False, "new"),
+    }
+    # idempotence: feeding the reconciled table back with the same
+    # observations changes nothing but auto_solved -> acknowledged
+    out1 = reconcile_tags(cur, obs).drop("state")
+    out2 = reconcile_tags(out1, obs)
+    states = {
+        (r["property_id"], r["name"]): r["state"] for r in out2.collect()
+    }
+    assert states[("p1", "no_title")] == "acknowledged"  # stays solved
+    assert states[("p1", "no_price")] == "open"
