@@ -154,11 +154,12 @@ def _write_events(tmp_path, sub, name, rows):
     return str(p)
 
 
-def _run_once(stream, checkpoint, sink):
+def _run_once(stream, checkpoint, sink, mode="append"):
     # foreachBatch sink: the memory sink cannot recover stateful
     # queries (joins, session windows) from a checkpoint.
     q = (
         stream.writeStream.foreachBatch(lambda df, _bid: sink.extend(df.collect()))
+        .outputMode(mode)
         .option("checkpointLocation", checkpoint)
         .trigger(availableNow=True)
         .start()
@@ -281,3 +282,44 @@ def test_dedup_within_watermark_drops_drifted_ts(spark, tmp_path):
     assert sorted(r["url"] for r in rows) == ["u1", "u2"]  # drifted-ts dup dropped
     # exact-key dedup would have kept both u1 rows — this is the
     # distinction from dedup_urls
+
+
+def test_queue_status_state_survives_restart(spark, tmp_path):
+    """SURVEY §7.4: applyInPandasWithState under restart — state from
+    run 1's checkpoint must carry into run 2's batch (counts
+    accumulate, max-severity status is order-insensitive)."""
+    from real_estate_etl_dev_spark.streaming.ingest import queue_status_stream
+
+    p = tmp_path / "qr"
+    p.mkdir()
+
+    def add_batch(name, rows):
+        with open(p / name, "w") as f:
+            for r in rows:
+                f.write(json.dumps(r) + "\n")
+
+    def run_once(sink):
+        stream = spark.readStream.schema("url string, status string").json(str(p))
+        _run_once(
+            queue_status_stream(stream), str(tmp_path / "cp_qr"), sink, mode="update"
+        )
+
+    add_batch("b1.json", [
+        {"url": "u1", "status": "Available"},
+        {"url": "u1", "status": "Error"},
+    ])
+    rows1 = []
+    run_once(rows1)
+    assert {(r["url"], r["status"], r["n_events"]) for r in rows1} == {("u1", "Error", 2)}
+
+    # restart: new batch sees the checkpointed (Error, 2) state
+    add_batch("b2.json", [
+        {"url": "u1", "status": "Sold"},       # higher severity wins
+        {"url": "u1", "status": "Available"},  # lower severity ignored
+        {"url": "u2", "status": "Delisted"},   # fresh key starts clean
+    ])
+    rows2 = []
+    run_once(rows2)
+    got2 = {(r["url"], r["status"], r["n_events"]) for r in rows2}
+    assert ("u1", "Sold", 4) in got2   # 2 carried + 2 new, severity upgraded
+    assert ("u2", "Delisted", 1) in got2
