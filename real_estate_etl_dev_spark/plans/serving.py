@@ -239,7 +239,7 @@ def run_report_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S17/A9: per-source run-report rows (scraped/error counts —
     ref models/report.py:13-17, pipelines/property.py:70-87).  The
     observe()-based zero-pass variant is exercised in
-    tests/test_sinks.py."""
+    tests/test_sinks_ml.py."""
     ev = load_table(spark, sf_dir, "events")
     return (
         ev.groupBy(
