@@ -616,3 +616,4 @@ from . import serving  # noqa: E402,F401  (registers pagination/sink/ML queries)
 from . import ingest  # noqa: E402,F401  (registers scan/projection queries)
 from . import rules_more  # noqa: E402,F401  (registers R8-R12/P14 queries)
 from . import temporal  # noqa: E402,F401  (registers asof/session/sketch queries)
+from . import olap  # noqa: E402,F401  (registers pivot/unpivot/rollup queries)
