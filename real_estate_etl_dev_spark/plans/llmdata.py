@@ -679,3 +679,68 @@ def vocab_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= 10)
         .orderBy("lang", "rank")
     )
+
+
+@query(
+    "corpus_prep_pipeline",
+    """
+    WITH scored AS (
+      SELECT doc_id, lang, text,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+      FROM documents
+      WHERE n_chars >= 100 AND len(string_split(text, ' ')) >= 20
+    ),
+    deduped AS (
+      SELECT * FROM (
+        SELECT *, row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+        FROM scored
+      ) WHERE rn = 1
+    ),
+    assigned AS (
+      SELECT lang, n_tokens,
+             CASE
+               WHEN ('0x' || substr(md5('v1' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+                    % 10000 < 8000 THEN 'train'
+               WHEN ('0x' || substr(md5('v1' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+                    % 10000 < 9000 THEN 'val'
+               ELSE 'test'
+             END AS split
+      FROM deduped
+    )
+    SELECT lang, split,
+           count(*) AS n_docs,
+           CAST(sum(n_tokens) AS BIGINT) AS total_tokens
+    FROM assigned GROUP BY lang, split ORDER BY lang, split
+    """,
+    survey="llm-pipeline",
+    tags=("text-analysis",),
+)
+def corpus_prep_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The LLM-corpus preparation stages COMPOSED end-to-end: quality
+    gate (length + token floor) → exact dedup keep-first (content
+    hash) → deterministic split assignment → per-(lang, split) token
+    accounting.  One declarative plan, so Catalyst pipelines the
+    stages: the quality predicate pushes into the scan, dedup is one
+    hash shuffle, split assignment is map-only, and the rollup is the
+    only other exchange — four stages, two shuffles total.
+
+    This is the shape a 100 TB preprocessing run has; every stage is
+    also available as its own operator/query for ablation."""
+    from ..operators.dedup import dedup_exact_keep_first
+    from ..operators.sampling import hash_split
+
+    docs = load_table(spark, sf_dir, "documents")
+    n_tokens = F.size(F.split("text", " ")).cast("long")
+    scored = docs.filter(
+        (F.col("n_chars") >= 100) & (F.size(F.split("text", " ")) >= 20)
+    ).select("doc_id", "lang", "text", n_tokens.alias("n_tokens"))
+    deduped = dedup_exact_keep_first(scored)
+    assigned = hash_split(deduped, id_col="doc_id", salt="v1")
+    return (
+        assigned.groupBy("lang", "split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("total_tokens"),
+        )
+        .orderBy("lang", "split")
+    )
