@@ -36,6 +36,9 @@ HEADLINE = [
     "event_sessions",
     "rolling_7d_revenue",
     "doc_fingerprints",
+    "tag_reconcile",
+    "corpus_prep_pipeline",
+    "revenue_rollup_status_priority",
 ]
 
 

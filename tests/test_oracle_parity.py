@@ -33,3 +33,24 @@ def test_contract_shape():
     assert qs, "queries() must not be empty"
     for name in os_:
         assert name in qs, f"oracle_sql has {name} not in queries()"
+
+
+def test_sql_api_over_registered_views(spark, sf_dir):
+    """The engine is also consumable as plain Spark SQL: register the
+    table views and run the oracle dialect's query shapes directly."""
+    from real_estate_etl_dev_spark.sources.readers import register_views
+
+    register_views(spark, sf_dir)
+    sql_rows = spark.sql(
+        """
+        SELECT n.n_name AS nation,
+               CAST(count(*) AS BIGINT) AS n_orders,
+               round(sum(o.o_totalprice), 2) AS revenue
+        FROM orders o
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        JOIN nation n ON c.c_nationkey = n.n_nationkey
+        GROUP BY n.n_name ORDER BY nation
+        """
+    ).collect()
+    df_rows = CATALOG["revenue_by_nation"].fn(spark, sf_dir).collect()
+    assert [tuple(r) for r in sql_rows] == [tuple(r) for r in df_rows]
