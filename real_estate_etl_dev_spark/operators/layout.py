@@ -71,3 +71,22 @@ def salted_count_sum(
         F.sum("__n").cast("long").alias("n"),
         F.sum("__s").alias("total"),
     )
+
+
+def write_partitioned(
+    df: DataFrame,
+    path: str,
+    partition_cols: list[str] | tuple[str, ...] = ("event_date",),
+    fmt: str = "parquet",
+    mode: str = "overwrite",
+) -> None:
+    """Persist hive-partitioned by the given columns — the other half
+    of the layout story next to :func:`write_bucketed`: bucketing
+    co-locates JOIN keys, date/source partitioning prunes SCANS.  A
+    time-filtered query over a date-partitioned 100 TB table reads
+    only the matching directories (PartitionFilters in the scan node),
+    which is the difference between touching a day and touching a
+    decade.  Keep partition cardinality bounded (date, source — never
+    a high-cardinality id: millions of tiny directories kill the
+    driver's file index)."""
+    df.write.format(fmt).mode(mode).partitionBy(*partition_cols).save(path)

@@ -76,3 +76,23 @@ def test_ivf_topk_partial_probe_keeps_near_identical(spark):
     got = ivf_topk(emb, queries, k=1, n_centroids=2, n_probe=1).collect()
     # the near-identical vector (id 4) clusters with the query
     assert got and got[0]["neighbor_id"] == 4
+
+
+def test_partitioned_write_prunes_scan(spark, tmp_path):
+    from real_estate_etl_dev_spark.operators.layout import write_partitioned
+    from real_estate_etl_dev_spark.sources.readers import load_table
+
+    events = load_table(spark, "/root/testdata/sf0.001", "events").withColumn(
+        "event_date", F.to_date("ts")
+    )
+    n_days = events.select("event_date").distinct().count()
+    path = str(tmp_path / "ev_part")
+    write_partitioned(events, path, ("event_date",))
+
+    one_day = events.selectExpr("min(event_date) AS d").collect()[0]["d"]
+    rd = spark.read.parquet(path).filter(F.col("event_date") == F.lit(one_day))
+    plan = rd._jdf.queryExecution().executedPlan().toString()
+    # the date predicate prunes partition DIRECTORIES, not rows:
+    assert "PartitionFilters" in plan and "event_date" in plan.split("PartitionFilters")[1][:200]
+    expected = events.filter(F.col("event_date") == F.lit(one_day)).count()
+    assert rd.count() == expected and n_days > 1
