@@ -85,9 +85,10 @@ def first_month(run_date: Column | str) -> Column:
 
 def epoch_millis(ts: Column | str) -> Column:
     """Timestamp → epoch milliseconds for the export projection
-    (ref models/listing.py:177-180).  Integer math (never via double —
-    ADVICE r01: micros exceed double's exact-int range)."""
-    return (F.unix_micros(col_of(ts)) / F.lit(1000)).cast("long")
+    (ref models/listing.py:177-180).  True integral division (`DIV`,
+    like readers.py does for nanos): Column `/` is double division,
+    exact for micros only below 2^53 (~year 2255) — ADVICE r02."""
+    return F.call_function("div", F.unix_micros(col_of(ts)), F.lit(1000))
 
 
 def to_mmddyy(c: Column | str, input_fmt: str = "yyyy-MM-dd") -> Column:

@@ -59,10 +59,18 @@ def salted_count_sum(
 
     Phase 1 groups on (key, salt) — a hot key's rows spread over
     ``n_salts`` reducers; phase 2 combines the partials per key.
-    Two small shuffles instead of one skewed one."""
+    Two small shuffles instead of one skewed one.
+
+    The salt is DETERMINISTIC per row (hash of every input column,
+    ADVICE r02): under partial stage recompute after a shuffle-fetch
+    failure, each replayed row re-salts identically, so no partial
+    aggregate is lost or double-counted — a salt from
+    monotonically_increasing_id()/rand() re-routes rows on retry.
+    Fully identical rows share a salt, which only costs spread when a
+    key's rows are near-all duplicates (then dedup first)."""
     salted = df.withColumn(
         "__salt",
-        F.pmod(F.xxhash64(F.monotonically_increasing_id()), F.lit(n_salts)),
+        F.pmod(F.xxhash64(*[F.col(c) for c in df.columns]), F.lit(n_salts)),
     )
     partial = salted.groupBy(group_col, "__salt").agg(
         F.count(F.lit(1)).alias("__n"), F.sum(value_col).alias("__s")

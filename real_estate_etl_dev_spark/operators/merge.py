@@ -99,13 +99,33 @@ def merge_listings(
     staging: DataFrame,
     key: str = "url",
     run_date: str = "2026-01-31",
+    staging_order_col: str | None = None,
 ) -> DataFrame:
     """Full-outer merge of ``staging`` into ``current``.
+
+    PRECONDITION: ``staging`` is unique per ``key`` (the reference
+    guarantees this via its in-run visited_urls set + unique url index,
+    models/listing.py:28; reid/spiders/base.py).  Duplicate staging
+    keys would fan out the full-outer join into conflicting output
+    rows.  When the caller can't guarantee uniqueness, pass
+    ``staging_order_col`` (e.g. a scraped_at timestamp): the merge
+    then keeps the last-write-wins row per key — highest order value,
+    deterministic under replay when the order column is unique per
+    key — at the cost of one extra shuffle on the same key.
 
     Output: key, the 19 reconciled fields, ``tab`` (re-classified when
     inserted or changed — ref property.py:104,123-125), ``is_new``,
     ``n_changes``, and ``changes: array<struct<field,old,new>>``.
     """
+    if staging_order_col is not None:
+        from pyspark.sql import Window
+
+        w = Window.partitionBy(key).orderBy(F.col(staging_order_col).desc())
+        staging = (
+            staging.withColumn("__lww", F.row_number().over(w))
+            .filter(F.col("__lww") == 1)
+            .drop("__lww")
+        )
     c = current.alias("c")
     s = staging.alias("s")
     # Plain equality (not <=>): the key is NOT NULL by contract
@@ -213,20 +233,26 @@ def apply_tombstones(
     tombstone_keys: DataFrame,
     key: str = "url",
     run_date: str = "2026-01-31",
+    broadcast_tombstones: bool = True,
 ) -> DataFrame:
     """R6: redirect/404 delisting — rows whose key appears in
     ``tombstone_keys`` get availability='Delisted', is_available=false,
     sold_at=first-of-run-month (ref reid/spiders/lazudi.py:83-107,
-    reid/spiders/base.py:14-30).  Implemented as one left semi-ish
-    join (broadcast when the tombstone set is small), not per-row
-    UPDATEs."""
+    reid/spiders/base.py:14-30).  Implemented as one left join,
+    not per-row UPDATEs.
+
+    ``broadcast_tombstones`` (ADVICE r02): the default hints a
+    broadcast — right for the usual small delisting batch.  Pass
+    False for a bulk delisting (a whole source going dark) so the
+    join falls back to a shuffled hash join under AQE instead of
+    collecting an unbounded tombstone set onto the driver."""
     marks = tombstone_keys.select(F.col(key).alias("__tomb_key")).distinct()
+    if broadcast_tombstones:
+        marks = F.broadcast(marks)
     hit = F.col("__tomb_key").isNotNull()
     first_of_month = F.date_trunc("month", F.lit(run_date).cast("timestamp"))
     out = (
-        current.join(
-            F.broadcast(marks), current[key] == F.col("__tomb_key"), "left"
-        )
+        current.join(marks, current[key] == F.col("__tomb_key"), "left")
         .withColumn(
             "availability", F.when(hit, "Delisted").otherwise(F.col("availability"))
         )

@@ -50,9 +50,17 @@ def reconcile_tags(
     run), ``open`` (still failing), ``acknowledged`` (was solved or
     ignored; recurrence does not reopen).
     """
-    c = current_tags.select(
-        F.col(key), F.col(name_col), F.col("is_solved"), F.col("is_ignored")
-    ).alias("c")
+    c = (
+        current_tags.select(
+            F.col(key), F.col(name_col), F.col("is_solved"), F.col("is_ignored")
+        )
+        # Explicit row-existence marker (ADVICE r02): probing a data
+        # column (is_solved IS NOT NULL) would misclassify an existing
+        # tag whose is_solved is NULL as 'new' and reset its
+        # is_ignored flag.  __cur mirrors __seen on the observed side.
+        .withColumn("__cur", F.lit(True))
+        .alias("c")
+    )
     o = (
         observed_issues.select(F.col(key), F.col(name_col))
         .dropDuplicates([key, name_col])
@@ -60,7 +68,7 @@ def reconcile_tags(
         .alias("o")
     )
     joined = c.join(o, on=[key, name_col], how="full_outer")
-    existed = F.col("c.is_solved").isNotNull()
+    existed = F.coalesce(F.col("__cur"), F.lit(False))
     seen = F.coalesce(F.col("__seen"), F.lit(False))
     was_closed = F.coalesce(
         F.col("c.is_solved") | F.col("c.is_ignored"), F.lit(False)

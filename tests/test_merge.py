@@ -250,3 +250,57 @@ def test_tag_reconcile_states(spark):
     }
     assert states[("p1", "no_title")] == "acknowledged"  # stays solved
     assert states[("p1", "no_price")] == "open"
+
+
+def test_tag_reconcile_null_is_solved_not_new(spark):
+    """ADVICE r02: an existing tag row with is_solved NULL must be
+    treated as existing (state != 'new') and keep its is_ignored."""
+    from real_estate_etl_dev_spark.operators.tags import reconcile_tags
+
+    cur = spark.createDataFrame(
+        [("p1", "no_price", None, True)],
+        "property_id string, name string, is_solved boolean, is_ignored boolean",
+    )
+    obs = spark.createDataFrame(
+        [("p1", "no_price")], "property_id string, name string"
+    )
+    (r,) = reconcile_tags(cur, obs).collect()
+    # was_closed: is_ignored=True → acknowledged, never 'new'
+    assert r["state"] == "acknowledged"
+    assert r["is_ignored"] is True
+
+
+def test_tombstones_shuffled_join_path(spark):
+    """broadcast_tombstones=False must produce identical results via a
+    non-broadcast join (ADVICE r02: large delisting batches)."""
+    cur = spark.createDataFrame([row("u1"), row("u2")], SCHEMA)
+    tombs = spark.createDataFrame([("u1",)], "url string")
+    a = {
+        r["url"]: r["availability"]
+        for r in apply_tombstones(cur, tombs, run_date=RUN_DATE).collect()
+    }
+    b = {
+        r["url"]: r["availability"]
+        for r in apply_tombstones(
+            cur, tombs, run_date=RUN_DATE, broadcast_tombstones=False
+        ).collect()
+    }
+    assert a == b == {"u1": "Delisted", "u2": "Available"}
+
+
+def test_merge_staging_last_write_wins(spark):
+    """staging_order_col keeps exactly the highest-order staging row
+    per key before the full-outer join (duplicate-staging guard)."""
+    cur = spark.createDataFrame([row("u1", price=100000)], SCHEMA)
+    stg = (
+        spark.createDataFrame(
+            [row("u1", price=111111), row("u1", price=222222)], SCHEMA
+        )
+        .withColumn(
+            "batch_seq", F.when(F.col("price") == 222222, 2).otherwise(1)
+        )
+    )
+    out = merge_listings(cur, stg, run_date=RUN_DATE, staging_order_col="batch_seq")
+    rows = out.collect()
+    assert len(rows) == 1
+    assert rows[0]["price"] == 222222
