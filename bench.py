@@ -49,6 +49,8 @@ HEADLINE = [
     "order_sequence_ids",          # W1 partitioned sequence
     "merge_scd1",                  # R4 SCD-1 merge engine
     "merge_change_log",            # R4 change log
+    "streaming_merge_scd1",        # §2.12 streaming upsert path
+    "misc_extraction_cases",       # F12/F20/F26/F36/F37 + C3/C5 battery
     "tag_reconcile",               # R2 tag reconcile
     "dq_identify_issues",          # R2 13-rule DQ
     "price_extraction_cases",      # F-tier scalar battery

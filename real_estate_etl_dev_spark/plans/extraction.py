@@ -304,3 +304,194 @@ def geo_extraction_cases(spark: SparkSession, sf_dir: str) -> DataFrame:
         fx.extract_longitude("script").alias("lng"),
         fx.finder("url", r"/(\d+)$", 1, "long").alias("url_key"),
     ).orderBy("key")
+
+
+# --- misc: the previously pytest-only scalars, driver-visible --------------
+
+MISC_ICON_TEXTS = [
+    "Land Size: 200 m2|Bedrooms: 3",
+    "Pool: Yes",
+    "Building Size: 150 m2|Bath Rooms: 2",
+    "Status: Sold",
+]
+MISC_LINE_TEXTS = [
+    "  First line |  | second  ",
+    "Only line",
+    " a | b | c ",
+    "x||y",
+]
+MISC_SPLIT_TEXTS = ["A - B - C", "NoSep", "x-y", " left - right "]
+MISC_MAX_TEXTS = ["3|7|5", "a|c|b", "10|9", "z"]
+MISC_RECALC = [
+    ("IDR 50,000,000 /are", 50_000_000, 500.0),
+    ("USD 1000 /m2", 1_000, 200.0),
+    ("2 juta/are nego", 2_000_000, 0.0),
+    ("5jt /are", 5_000_000, 250.0),
+]
+MISC_FA_TEXTS = ["fas fa-bed", "icon fa-swimming-pool", "fa fa-car", "plain"]
+MISC_LEASE_TEXTS = ["For lease", "For sale", "Unknown", ""]
+MISC_BVS_TEXTS = [
+    "IDR 5000000000/25 years",
+    "USD 350000/30 years",
+    "sold",
+    "USD 500000",
+]
+MISC_YEAR_TEXTS = [
+    "lease until 2045",
+    "25 th remaining",
+    "built in 1995",
+    "expires 2020",
+]
+MISC_CODE_TEXTS = [
+    "VIL123 (Canggu)",
+    "no code here",
+    "AB-9 (Ubud) (x)",
+    "(starts paren)",
+]
+MISC_PUBDATE_TEXTS = ["img_20231115_x.jpg", "99999999", "20240229 leap", "nope"]
+MISC_DATE_TEXTS = ["2024-01-15", "2023-12-31", "bad", "2026-07-04"]
+MISC_TS_TEXTS = [
+    "2024-01-02 03:04:05.123",
+    "1970-01-01 00:00:00",
+    "2001-09-09 01:46:40",
+    "1969-12-31 23:59:59",
+]
+MISC_HTML_TEXTS = [
+    "<p>Hello <b>world</b></p>",
+    "<div>Line1<br>Line2</div>",
+    "Tom &amp; Jerry",
+    "",
+]
+
+# Golden outputs per case (validated against the reference semantics
+# in reid/func.py / reid/customs/*; anchored by tests/test_functions.py).
+_MISC_GOLDENS: list[tuple[str, list, str | None]] = [
+    (
+        "icons_json",
+        [
+            '{"land_size":"200 ","bedrooms":"3"}',
+            '{"pool":"yes"}',
+            '{"building_size":"150 ","bath_rooms":"2"}',
+            '{"status":"sold"}',
+        ],
+        None,
+    ),
+    (
+        "description_built",
+        ["First line\nsecond", "Only line", "a\nb\nc", "x\ny"],
+        None,
+    ),
+    (
+        "joined_stripped",
+        ["First line, second", "Only line", "a, b, c", "x, y"],
+        None,
+    ),
+    ("split_head", ["A", "NoSep", "x", "left"], None),
+    ("split_tail", ["C", "NoSep", "y", "right"], None),
+    ("nth1", ["", None, "b", ""], None),
+    ("max_val", ["7", "c", "9", "z"], None),
+    ("recalc_price_out", [250000000.0, None, None, 12500000.0], "DOUBLE"),
+    ("fa_icon", ["bed", "swimming-pool", "car", "plain"], None),
+    ("lease_hold", ["Leasehold", "Freehold", "Unknown", ""], None),
+    ("bvs_idr", ["idr 5000000000", None, None, None], None),
+    ("bvs_usd", [None, "usd 350000", None, "usd 500000"], None),
+    ("bvs_lease", ["25 years", "30 years", None, None], None),
+    ("bvs_avail", ["Available", "Available", "Sold", "Available"], None),
+    ("lease_years_found", [19.0, 25.0, None, None], "DOUBLE"),
+    ("listing_code", ["VIL123", "", "AB-9", ""], None),
+    (
+        "publish_date",
+        ["2023-11-15 00:00:00", None, "2024-02-29 00:00:00", None],
+        None,
+    ),
+    ("mmddyy", ["01/15/24", "12/31/23", None, "07/04/26"], None),
+    ("epoch_ms", [1704164645123, 0, 1000000000000, -1000], "BIGINT"),
+    ("html_md", ["Hello world", "Line1\nLine2", "Tom & Jerry", ""], None),
+]
+
+
+def _misc_fixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .fixtures import pick
+    from ..sources.readers import load_table
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("key")
+    )
+    k = F.col("key")
+    recalc_text = pick(k, [t for t, _, _ in MISC_RECALC])
+    recalc_price = F.element_at(
+        F.array(*[F.lit(p) for _, p, _ in MISC_RECALC]),
+        (k % 4).cast("int") + 1,
+    )
+    recalc_land = F.element_at(
+        F.array(*[F.lit(s) for _, _, s in MISC_RECALC]),
+        (k % 4).cast("int") + 1,
+    )
+    return orders.select(
+        "key",
+        F.split(pick(k, MISC_ICON_TEXTS), r"\|").alias("icon_lines"),
+        F.split(pick(k, MISC_LINE_TEXTS), r"\|").alias("desc_lines"),
+        pick(k, MISC_SPLIT_TEXTS).alias("split_text"),
+        F.split(pick(k, MISC_MAX_TEXTS), r"\|").alias("max_vals"),
+        recalc_text.alias("recalc_text"),
+        recalc_price.alias("recalc_price"),
+        recalc_land.alias("recalc_land"),
+        pick(k, MISC_FA_TEXTS).alias("fa_text"),
+        pick(k, MISC_LEASE_TEXTS).alias("lease_text"),
+        pick(k, MISC_BVS_TEXTS).alias("bvs_text"),
+        pick(k, MISC_YEAR_TEXTS).alias("year_text"),
+        pick(k, MISC_CODE_TEXTS).alias("code_text"),
+        pick(k, MISC_PUBDATE_TEXTS).alias("pub_text"),
+        pick(k, MISC_DATE_TEXTS).alias("date_text"),
+        pick(k, MISC_TS_TEXTS).cast("timestamp").alias("ts"),
+        pick(k, MISC_HTML_TEXTS).alias("html"),
+    )
+
+
+@query(
+    "misc_extraction_cases",
+    _oracle(_MISC_GOLDENS),
+    survey="F12,F20,F26,F35,F36,F37,C3,C5",
+)
+def misc_extraction_cases(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F12/F20/F26/F35/F36/F37 + C3/C5: the scalars that were
+    pytest-only in r02, as one oracle-backed case battery
+    (VERDICT r02 item 4) — icon-map parsing, description assembly,
+    join/split/take/max combinators, /are price recalc, the per-site
+    customs micro-parsers, epoch-millis export math, and the
+    html→text UDF (html2text absent in this container, so the golden
+    targets the documented deterministic fallback in
+    functions/udfs.py).
+
+    Scale: scan → project → sort; the single pandas_udf column is
+    Arrow-batched (ref reid/func.py:215-221,347-351,803-825,729-733,
+    695-726; reid/customs/*.py; models/listing.py:177-180)."""
+    d = _misc_fixture(spark, sf_dir)
+    bvs = fx.get_balivillasales_price("bvs_text")
+    return d.select(
+        "key",
+        F.to_json(fx.get_icons("icon_lines")).alias("icons_json"),
+        fx.construct_description("desc_lines").alias("description_built"),
+        fx.join_and_strip("desc_lines", ", ").alias("joined_stripped"),
+        fx.split_on("split_text", "-", 0).alias("split_head"),
+        fx.split_on("split_text", "-", -1).alias("split_tail"),
+        fx.take_nth("desc_lines", 1).alias("nth1"),
+        fx.max_of("max_vals").alias("max_val"),
+        fx.recalculate_price_by_land_size(
+            "recalc_text", "recalc_price", "recalc_land"
+        ).alias("recalc_price_out"),
+        fx.fa_remover("fa_text").alias("fa_icon"),
+        fx.lease_or_free_hold("lease_text").alias("lease_hold"),
+        bvs.getField("idr").alias("bvs_idr"),
+        bvs.getField("usd").alias("bvs_usd"),
+        bvs.getField("lease_years").alias("bvs_lease"),
+        bvs.getField("availability").alias("bvs_avail"),
+        fx.find_years("year_text", CURRENT_YEAR).alias("lease_years_found"),
+        fx.find_code_before_paren("code_text").alias("listing_code"),
+        F.date_format(
+            fx.extract_publish_date("pub_text"), "yyyy-MM-dd HH:mm:ss"
+        ).alias("publish_date"),
+        fx.to_mmddyy("date_text").alias("mmddyy"),
+        fx.epoch_millis("ts").alias("epoch_ms"),
+        fx.html_to_markdown_udf(F.col("html")).alias("html_md"),
+    ).orderBy("key")

@@ -256,6 +256,19 @@ def _change_log_oracle_sql() -> str:
     """
 
 
+def _merge_projection(merged: DataFrame) -> DataFrame:
+    """The oracle-comparable shape of a merge result: drop the nested
+    change array, stringify sold_at, stable column order + sort."""
+    return merged.select(
+        "url",
+        *[c for c in merged.columns if c not in ("url", "changes", "sold_at", "is_new", "n_changes", "tab")],
+        F.date_format("sold_at", "yyyy-MM-dd HH:mm:ss").alias("sold_at"),
+        "is_new",
+        "n_changes",
+        "tab",
+    ).orderBy("url")
+
+
 @query("merge_scd1", _merge_oracle_sql(), survey="J9,R4,S14")
 def merge_scd1(spark: SparkSession, sf_dir: str) -> DataFrame:
     """J9/R4: the SCD-1 field-policy merge over staging vs current
@@ -268,14 +281,48 @@ def merge_scd1(spark: SparkSession, sf_dir: str) -> DataFrame:
     cur = current_fixture(spark, sf_dir)
     stg = staging_fixture(spark, sf_dir)
     merged = merge_listings(cur, stg, run_date=RUN_DATE)
-    return merged.select(
-        "url",
-        *[c for c in merged.columns if c not in ("url", "changes", "sold_at", "is_new", "n_changes", "tab")],
-        F.date_format("sold_at", "yyyy-MM-dd HH:mm:ss").alias("sold_at"),
-        "is_new",
-        "n_changes",
-        "tab",
-    ).orderBy("url")
+    return _merge_projection(merged)
+
+
+@query("streaming_merge_scd1", _merge_oracle_sql(), survey="§2.12,J9,R4,S14")
+def streaming_merge_scd1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.12 streaming upsert, batch-equivalent (VERDICT r02 item 6):
+    the staging fixture is dropped as files, ingested with a REAL
+    Structured Streaming query (``Trigger.AvailableNow``), and merged
+    into the current table inside ``foreachBatch`` via the SAME batch
+    merge engine (streaming/ingest.py run_merge_sink — one code path
+    for both modes, ref reid/pipelines/property.py:96-126).  The
+    published micro-batch result must equal the batch merge, so the
+    batch oracle certifies the streaming path.
+
+    Scale: the stream shuffles exactly like the batch merge (one
+    full-outer join per micro-batch); checkpointing gives exactly-once
+    publication."""
+    import tempfile
+
+    from ..streaming.ingest import run_merge_sink, stream_source
+
+    cur = current_fixture(spark, sf_dir)
+    stg = staging_fixture(spark, sf_dir)
+
+    workdir = tempfile.mkdtemp(prefix="stream_merge_")
+    drop_dir = f"{workdir}/staging"
+    out_dir = f"{workdir}/merged"
+    checkpoint = f"{workdir}/checkpoint"
+    # One file => one micro-batch => the publish IS the full merge.
+    stg.coalesce(1).write.parquet(drop_dir)
+
+    stream = stream_source(spark, drop_dir, stg.schema, fmt="parquet")
+
+    def publish(df: DataFrame, batch_id: int) -> None:
+        df.write.mode("overwrite").parquet(out_dir)
+
+    q = run_merge_sink(
+        stream, lambda: cur, publish, run_date=RUN_DATE, checkpoint=checkpoint
+    ).start()
+    q.awaitTermination()
+
+    return _merge_projection(spark.read.parquet(out_dir))
 
 
 @query("merge_change_log", _change_log_oracle_sql(), survey="R4-cdc")

@@ -258,18 +258,33 @@ def run_report_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "ml_region_prediction",
-    None,  # pipeline training is not SQL-expressible — rows-only
+    """
+    SELECT ['canggu','ubud','seminyak','uluwatu'][CAST(o_orderkey % 4 AS INT) + 1]
+             AS region,
+           CAST(count(*) AS BIGINT) AS n,
+           TRUE AS acc_ge_90
+    FROM orders WHERE o_orderkey <= 8000
+    GROUP BY region ORDER BY region
+    """,
     survey="ML,S19",
 )
 def ml_region_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """§2.11 ML: TF-IDF(1-2grams, minDF=2) + RandomForest(100) region
+    """§2.11 ML: TF-IDF(1-2grams, minDF=2) + RandomForest region
     classifier as a pyspark.ml Pipeline; trained on a deterministic
     location fixture, inference as ONE distributed transform
     (ref ml_region_prediction.py:44-98,142-152 trains sklearn and
     predicts row-by-row with a commit per row).
 
-    Output: per-region row counts + correct-prediction counts (4 rows,
-    stable under the driver's rows-only check)."""
+    Self-verifying oracle (VERDICT r02 item 5): the fixture is keyed
+    on a DETERMINISTIC predicate (o_orderkey <= 8000 — not limit(),
+    whose row choice DuckDB couldn't reproduce), each location text
+    embeds its region token, and the output carries exact per-region
+    row counts plus an accuracy >= 0.9 boolean per region.  DuckDB
+    recomputes the counts and states the boolean; training quality
+    below the gate hash-mismatches the row.  (Boolean, not exact
+    n_correct: seeded RF is deterministic here, but vocabulary index
+    ties can flip single rows across partitionings — the gate should
+    certify learning, not tie-breaking.)"""
     from ..ml.region import predict_regions, train_region_model
 
     regions = ["canggu", "ubud", "seminyak", "uluwatu"]
@@ -280,7 +295,9 @@ def ml_region_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
         "{r} modern apartment close to cafes",
     ]
     k = F.col("o_orderkey")
-    base = load_table(spark, sf_dir, "orders").select(k.alias("key")).limit(2000)
+    base = load_table(spark, sf_dir, "orders").select(k.alias("key")).filter(
+        F.col("key") <= 8000
+    )
     region = F.element_at(
         F.array(*[F.lit(r) for r in regions]), (F.col("key") % 4).cast("int") + 1
     )
@@ -301,6 +318,11 @@ def ml_region_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.when(F.col("predicted_region") == F.col("region"), 1).otherwise(0))
             .cast("long")
             .alias("n_correct"),
+        )
+        .select(
+            "region",
+            "n",
+            (F.col("n_correct") * 10 >= F.col("n") * 9).alias("acc_ge_90"),
         )
         .orderBy("region")
     )
