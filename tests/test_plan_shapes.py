@@ -119,6 +119,30 @@ def test_session_window_is_partitioned_not_global(spark, sf_dir):
     assert "SinglePartition" not in plan.split("Window")[0]
 
 
+def test_misc_battery_prunes_and_stays_arrow(spark, sf_dir):
+    # the misc scalar battery reads ONLY the key column of orders and
+    # keeps Python confined to Arrow-batched eval (the html UDF)
+    plan = formatted(spark, sf_dir, "misc_extraction_cases")
+    assert "struct<o_orderkey:bigint>" in plan.split("ReadSchema")[1][:60]
+    raw = plan_of(spark, sf_dir, "misc_extraction_cases")
+    assert "BatchEvalPython" not in raw
+    assert raw.count("Exchange") == 1 and "rangepartitioning" in raw
+
+
+def test_recall_gate_broadcasts_injected_side(spark, sf_dir):
+    # the planted-pair frame is tiny by construction (|docs|/7 rows) —
+    # it must broadcast, never shuffle the candidate-pair side on it
+    plan = plan_of(spark, sf_dir, "dedup_minhash_pairs")
+    assert "BroadcastHashJoin" in plan
+
+
+def test_ann_gate_broadcasts_query_side(spark, sf_dir):
+    # 8 query vectors join the corpus via broadcast on both ANN paths
+    for name in ["embedding_ann_lsh", "embedding_ann_ivf"]:
+        plan = plan_of(spark, sf_dir, name)
+        assert "BroadcastHashJoin" in plan, name
+
+
 def test_catalog_wide_plan_invariants(spark, sf_dir):
     """Global physical-plan regression net over EVERY catalog query:
 
