@@ -29,6 +29,7 @@ HEADLINE = [
     "latest_order_per_customer",
     "order_sequence_ids",
     "merge_scd1",
+    "streaming_merge_scd1",  # real stream → foreachBatch merge; oracle = same merge SQL
     "merge_change_log",
     "dq_identify_issues",
     "dedup_exact_groups",
@@ -123,6 +124,11 @@ def main() -> None:
         for name, sb, sm, db, dm in rows:
             f.write(f"| {name} | {sb:.2f} | {sm:.2f} | {db:.2f} | {dm:.2f} |\n")
         f.write(
+            "\nNote: the `streaming_merge_scd1` row compares a REAL Structured "
+            "Streaming run (availableNow file ingest + checkpoint + foreachBatch "
+            "merge + parquet publish) against DuckDB executing the equivalent "
+            "batch merge SQL — the ~2× delta over `merge_scd1` is the streaming "
+            "machinery, which buys exactly-once incremental ingestion.\n"
             "\nReading: DuckDB is the strongest single-node columnar engine — "
             "parity-or-close against it at this scale means per-query JVM/plan "
             "overhead (codegen compile, 32-way task scheduling on ~100 MB "

@@ -17,7 +17,9 @@ from ..operators.dedup import (
     dedup_exact_keep_first,
     dedup_minhash_pairs,
     dedup_simhash_pairs,
+    minhash_bucket_audit,
     ngram_jaccard,
+    simhash_bucket_audit,
 )
 from ..operators.multimodal import attach_binary, fake_feature_extractor
 from ..operators.similarity import cosine_topk, lsh_topk
@@ -196,6 +198,47 @@ def dedup_simhash_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus = _augmented_docs(spark, sf_dir)
     pairs = dedup_simhash_pairs(corpus, max_hamming=8)
     return _injected_recall_gate(pairs, _injected_pair_keys(spark, sf_dir))
+
+
+@query(
+    "dedup_bucket_audit",
+    f"""
+    WITH {_AUG_CTE},
+    n AS (SELECT CAST(count(*) AS BIGINT) AS c FROM corpus)
+    SELECT b.algo, b.band_idx, n.c AS rows_banded,
+           CAST(0 AS BIGINT) AS n_skipped_buckets,
+           CAST(0 AS BIGINT) AS rows_in_skipped,
+           CAST(0 AS BIGINT) AS pairs_skipped
+    FROM (VALUES ('minhash', 0), ('minhash', 1), ('minhash', 2),
+                 ('simhash', 0), ('simhash', 1), ('simhash', 2),
+                 ('simhash', 3)) AS b(algo, band_idx)
+    CROSS JOIN n ORDER BY algo, band_idx
+    """,
+    survey="llm-dedup-near",
+    tags=("llm-dedup",),
+)
+def dedup_bucket_audit_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The bucket-cap observable both near-dup operators promise: per
+    band, rows banded and the buckets/rows/candidate-pair mass the
+    ``max_bucket`` guard skips — run with the SAME parameters as
+    ``dedup_minhash_pairs`` / ``dedup_simhash_pairs``.
+
+    The oracle states the invariant that makes those recall gates
+    trustworthy at this corpus: every doc lands in every band
+    (rows_banded = |corpus| per band) and NOTHING is skipped (all skip
+    columns 0) — so the injected-pair recall certified next door is
+    cap-free, not recall-by-luck.  On a corpus where the cap does
+    bite, this query is the alarm (nonzero pairs_skipped), which is
+    exactly the 'log the dropped mass' posture the operator docstrings
+    require."""
+    corpus = _augmented_docs(spark, sf_dir)
+    mh = minhash_bucket_audit(
+        corpus, num_hashes=3, shingle_n=3, seed=42, max_bucket=500
+    ).select(F.lit("minhash").alias("algo"), "*")
+    sh = simhash_bucket_audit(corpus, n_bands=4, max_bucket=200).select(
+        F.lit("simhash").alias("algo"), "*"
+    )
+    return mh.unionByName(sh).orderBy("algo", "band_idx")
 
 
 @query(

@@ -149,3 +149,29 @@ def test_dedup_pair_growth_is_linear_across_sf(spark):
     # 10x corpus -> ~10x pairs; anything approaching quadratic (100x)
     # means the key regressed to a low-entropy bucket
     assert ratio <= 20, f"pair growth {ratio:.1f}x for 10x rows"
+
+
+def test_bucket_audit_flags_hot_bucket(spark):
+    """A bucket over max_bucket must surface in the audit with the
+    exact B·(B−1)/2 dropped-pair mass; a cap-free corpus audits 0."""
+    from real_estate_etl_dev_spark.operators.dedup import (
+        minhash_bucket_audit,
+        simhash_bucket_audit,
+    )
+
+    # 10 identical docs → every band has one 10-member bucket
+    hot = spark.createDataFrame(
+        [(i, "same text every time") for i in range(10)],
+        "doc_id long, text string",
+    )
+    audit = minhash_bucket_audit(hot, num_hashes=3, max_bucket=4).collect()
+    assert len(audit) == 3
+    for r in audit:
+        assert r["rows_banded"] == 10
+        assert r["n_skipped_buckets"] == 1
+        assert r["rows_in_skipped"] == 10
+        assert r["pairs_skipped"] == 45  # 10·9/2
+
+    cold = docs_df(spark)
+    for r in simhash_bucket_audit(cold, max_bucket=200).collect():
+        assert r["n_skipped_buckets"] == 0 and r["pairs_skipped"] == 0
