@@ -375,7 +375,13 @@ def embedding_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.similarity import ivf_topk
 
     corpus, queries = _planted_embeddings(spark, sf_dir)
-    out = ivf_topk(corpus, queries, k=5, n_centroids=8, n_probe=2, seed=42)
+    # maxIter=4: ANN cells need rough Voronoi regions only — recall is
+    # governed by n_probe — and each KMeans iteration is a full
+    # fixed-overhead Spark stage; 4 halves index-build time vs the
+    # operator default with no measurable recall change here.
+    out = ivf_topk(
+        corpus, queries, k=5, n_centroids=8, n_probe=2, seed=42, max_iter=4
+    )
     return _rank1_gate(out)
 
 
