@@ -230,7 +230,15 @@ def dedup_bucket_audit_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     cap-free, not recall-by-luck.  On a corpus where the cap does
     bite, this query is the alarm (nonzero pairs_skipped), which is
     exactly the 'log the dropped mass' posture the operator docstrings
-    require."""
+    require.
+
+    Scale scoping, measured: the zero-skip oracle holds at the
+    certification scales (sf0.001/sf0.01).  At sf0.1 the simhash
+    band-2 cap bites (2 hot buckets, ~43k candidate pairs of skip
+    mass) and this query INTENTIONALLY diverges from the zero-skip
+    oracle — that divergence is the alarm firing, not a defect; the
+    recall gates next door stay green there because the planted pairs
+    still collide in the uncapped bands."""
     corpus = _augmented_docs(spark, sf_dir)
     mh = minhash_bucket_audit(
         corpus, num_hashes=3, shingle_n=3, seed=42, max_bucket=500
