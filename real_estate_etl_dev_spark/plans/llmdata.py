@@ -14,12 +14,11 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..operators.dedup import (
+    combined_bucket_audit,
     dedup_exact_keep_first,
     dedup_minhash_pairs,
     dedup_simhash_pairs,
-    minhash_bucket_audit,
     ngram_jaccard,
-    simhash_bucket_audit,
 )
 from ..operators.multimodal import attach_binary, fake_feature_extractor
 from ..operators.similarity import cosine_topk, lsh_topk
@@ -240,13 +239,15 @@ def dedup_bucket_audit_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     recall gates next door stay green there because the planted pairs
     still collide in the uncapped bands."""
     corpus = _augmented_docs(spark, sf_dir)
-    mh = minhash_bucket_audit(
-        corpus, num_hashes=3, shingle_n=3, seed=42, max_bucket=500
-    ).select(F.lit("minhash").alias("algo"), "*")
-    sh = simhash_bucket_audit(corpus, n_bands=4, max_bucket=200).select(
-        F.lit("simhash").alias("algo"), "*"
+    return combined_bucket_audit(
+        corpus,
+        num_hashes=3,
+        shingle_n=3,
+        seed=42,
+        minhash_max_bucket=500,
+        n_bands=4,
+        simhash_max_bucket=200,
     )
-    return mh.unionByName(sh).orderBy("algo", "band_idx")
 
 
 @query(

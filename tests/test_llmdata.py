@@ -175,3 +175,71 @@ def test_bucket_audit_flags_hot_bucket(spark):
     cold = docs_df(spark)
     for r in simhash_bucket_audit(cold, max_bucket=200).collect():
         assert r["n_skipped_buckets"] == 0 and r["pairs_skipped"] == 0
+
+
+def test_combined_bucket_audit_matches_per_algo_and_fuses_shuffle(spark):
+    """The fused audit must emit exactly the per-algo audits' rows
+    (algo-tagged) while paying ONE wide occupancy exchange for both
+    bandings instead of one each."""
+    from real_estate_etl_dev_spark.operators.dedup import (
+        combined_bucket_audit,
+        minhash_bucket_audit,
+        simhash_bucket_audit,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, "same hot text" if i % 3 == 0 else f"cold doc {i} tokens vary {i*i}")
+         for i in range(30)],
+        "doc_id long, text string",
+    )
+    fused = combined_bucket_audit(
+        docs, num_hashes=3, shingle_n=2, minhash_max_bucket=4,
+        n_bands=4, simhash_max_bucket=4,
+    )
+    expect = {
+        ("minhash", r["band_idx"]): r
+        for r in minhash_bucket_audit(
+            docs, num_hashes=3, shingle_n=2, max_bucket=4
+        ).collect()
+    }
+    expect.update(
+        {
+            ("simhash", r["band_idx"]): r
+            for r in simhash_bucket_audit(docs, max_bucket=4).collect()
+        }
+    )
+    rows = fused.collect()
+    assert len(rows) == 7  # 3 minhash + 4 simhash bands
+    for r in rows:
+        e = expect[(r["algo"], r["band_idx"])]
+        for c in ("rows_banded", "n_skipped_buckets",
+                  "rows_in_skipped", "pairs_skipped"):
+            assert r[c] == e[c], (r["algo"], r["band_idx"], c)
+
+    # The fusion claim, self-calibrated: the unfused shape (audit per
+    # algo, union after) must pay strictly more hash exchanges than
+    # the fused shape (union before the occupancy agg) under the same
+    # plan-printing method.
+    import pyspark.sql.functions as F
+
+    unfused = (
+        minhash_bucket_audit(docs, num_hashes=3, shingle_n=2, max_bucket=4)
+        .select(F.lit("minhash").alias("algo"), "*")
+        .unionByName(
+            simhash_bucket_audit(docs, max_bucket=4).select(
+                F.lit("simhash").alias("algo"), "*"
+            )
+        )
+        .orderBy("algo", "band_idx")
+    )
+
+    def n_hash_exchanges(df):
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        # An already-executed AQE plan prints final AND initial plans;
+        # keep one section so executed/unexecuted frames compare fairly.
+        plan = plan.split("== Initial Plan ==")[0]
+        return plan.count("Exchange hashpartitioning")
+
+    assert n_hash_exchanges(fused) < n_hash_exchanges(unfused), (
+        "fusion no longer saves a wide exchange"
+    )
