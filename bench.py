@@ -84,35 +84,55 @@ def main() -> None:
     from real_estate_etl_dev_spark.plans.catalog import CATALOG
 
     # Warm the JVM + parquet footers once so per-query numbers measure
-    # plan cost, not session startup.
-    next(iter(CATALOG.values())).fn(spark, sf_dir).count()
+    # plan cost, not session startup.  Guarded: a broken first query must
+    # not kill the run before a single timing exists (BENCH_r03 post-
+    # mortem — one AnalysisException produced rc=1 and zero numbers).
+    try:
+        next(iter(CATALOG.values())).fn(spark, sf_dir).count()
+    except Exception as exc:  # noqa: BLE001
+        print(f"warm-up failed: {exc}", file=sys.stderr)
 
     timings: dict[str, float] = {}
+    errors: dict[str, str] = {}
     t_all = time.perf_counter()
     for name, q in CATALOG.items():
         t0 = time.perf_counter()
-        q.fn(spark, sf_dir).count()
-        timings[name] = round(time.perf_counter() - t0, 4)
+        try:
+            q.fn(spark, sf_dir).count()
+            timings[name] = round(time.perf_counter() - t0, 4)
+        except Exception as exc:  # noqa: BLE001 — isolate per-query faults
+            errors[name] = f"{type(exc).__name__}: {exc}"[:200]
+            print(f"FAILED {name}: {errors[name]}", file=sys.stderr)
     total = round(time.perf_counter() - t_all, 4)
 
     # Full per-query table → stderr (humans, BENCHNOTES).
     for name in sorted(timings, key=timings.get, reverse=True):
         print(f"{timings[name]:9.3f}s  {name}", file=sys.stderr)
-    print(f"{total:9.3f}s  TOTAL ({len(timings)} queries)", file=sys.stderr)
+    print(
+        f"{total:9.3f}s  TOTAL ({len(timings)} ok, {len(errors)} failed)",
+        file=sys.stderr,
+    )
 
     headline = {n: round(timings[n], 3) for n in HEADLINE if n in timings}
-    line = json.dumps(
-        {
-            "metric": "catalog_total_wall",
-            "value": total,
-            "unit": "sec",
-            "queries": headline,
-            "sf": sf,
-            "n_queries": len(timings),
-        },
-        separators=(",", ":"),
-    )
-    assert len(line) < 1900, f"stdout JSON line too long ({len(line)} chars)"
+    payload = {
+        "metric": "catalog_total_wall",
+        "value": total,
+        "unit": "sec",
+        "queries": headline,
+        "sf": sf,
+        "n_queries": len(timings),
+        "n_errors": len(errors),
+    }
+    if errors:
+        # Names only — full messages are on stderr; the stdout line must
+        # stay under the driver's 2000-char tail.
+        payload["errors"] = sorted(errors)[:10]
+    line = json.dumps(payload, separators=(",", ":"))
+    if len(line) >= 1900:  # hard contract: never emit an unparseable line
+        payload["queries"] = {}
+        payload.pop("errors", None)
+        payload["truncated"] = True
+        line = json.dumps(payload, separators=(",", ":"))
     print(line)
     sys.stdout.flush()
 

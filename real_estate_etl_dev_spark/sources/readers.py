@@ -37,32 +37,52 @@ BROADCAST_TABLES = frozenset({"region", "nation"})
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Scan one table. Column pruning/pushdown left to Catalyst.
 
-    ``events.ts`` is a parquet TIMESTAMP(NANOS) column, which Spark 4
-    rejects outright; we read it as nanos-since-epoch (legacy conf) and
-    surface a microsecond TimestampType — the precision every consumer
-    here needs. DuckDB oracles must likewise truncate when comparing.
+    ``events.ts`` has shipped as parquet TIMESTAMP(NANOS) (which Spark 4
+    only reads as nanos-since-epoch int64 under a legacy conf) and as
+    plain ``timestamp[us]``, depending on testdata generation. We adapt
+    to whichever dtype the file actually carries and always surface a
+    session-local microsecond TimestampType so every downstream consumer
+    (and the DuckDB oracles) sees one stable type.
     """
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
     path = os.path.join(sf_dir, f"{name}.parquet")
     if name == "events":
-        # Save/restore the legacy conf so a scan never permanently
-        # mutates a (possibly driver-owned) shared session.
-        key = "spark.sql.legacy.parquet.nanosAsLong"
-        prev = spark.conf.get(key, None)
-        spark.conf.set(key, "true")
+        # Save/restore confs so a scan never permanently mutates a
+        # (possibly driver-owned) shared session.
+        confs = {
+            # TIMESTAMP(NANOS) variant: read as epoch-nanos int64.
+            "spark.sql.legacy.parquet.nanosAsLong": "true",
+            # timestamp[us] isAdjustedToUTC=false variant: read directly
+            # as TimestampType (stored micros = UTC instants) instead of
+            # TIMESTAMP_NTZ, keeping one stable downstream type and full
+            # filter pushdown on the scan.
+            "spark.sql.parquet.inferTimestampNTZ.enabled": "false",
+        }
+        prevs = {k: spark.conf.get(k, None) for k in confs}
+        for k, v in confs.items():
+            spark.conf.set(k, v)
         try:
             df = spark.read.parquet(path)
-            # Integer division: epoch-nanos (~1.7e18) exceed double's 2^53
-            # exact range, so `/ 1000` via double would drift by ±1µs.
-            return df.withColumn(
-                "ts", F.timestamp_micros(F.expr("CAST(ts DIV 1000 AS BIGINT)"))
-            )
+            ts_type = df.schema["ts"].dataType.typeName()
+            if ts_type == "long":
+                # TIMESTAMP(NANOS) surfaced as epoch-nanos int64.
+                # Integer division: epoch-nanos (~1.7e18) exceed double's
+                # 2^53 exact range, so `/ 1000` via double would drift ±1µs.
+                return df.withColumn(
+                    "ts", F.timestamp_micros(F.expr("CAST(ts DIV 1000 AS BIGINT)"))
+                )
+            if ts_type == "timestamp_ntz":
+                # Defensive: normalize NTZ → session-UTC TimestampType so
+                # filters, date_format, and the oracle hash-compare agree.
+                return df.withColumn("ts", F.col("ts").cast("timestamp"))
+            return df  # already TimestampType
         finally:
-            if prev is None:
-                spark.conf.unset(key)
-            else:
-                spark.conf.set(key, prev)
+            for k, prev in prevs.items():
+                if prev is None:
+                    spark.conf.unset(k)
+                else:
+                    spark.conf.set(k, prev)
     return spark.read.parquet(path)
 
 
