@@ -83,14 +83,21 @@ def main() -> None:
 
     from real_estate_etl_dev_spark.plans.catalog import CATALOG
 
-    # Warm the JVM + parquet footers once so per-query numbers measure
-    # plan cost, not session startup.  Guarded: a broken first query must
-    # not kill the run before a single timing exists (BENCH_r03 post-
-    # mortem — one AnalysisException produced rc=1 and zero numbers).
-    try:
-        next(iter(CATALOG.values())).fn(spark, sf_dir).count()
-    except Exception as exc:  # noqa: BLE001
-        print(f"warm-up failed: {exc}", file=sys.stderr)
+    # Warm the JVM + parquet footers so per-query numbers measure plan
+    # cost, not session startup: the first catalog query (the schema
+    # smoke gate — scans every table), one join+agg (whole-stage-codegen
+    # JIT), and one Arrow/pandas-UDF query (Python worker pool spin-up).
+    # Matters since the window rotation: heavy queries now run FIRST in
+    # catalog order and would otherwise absorb cold-JVM cost their r02
+    # late-order timings never paid.  Guarded: a broken warm-up query
+    # must not kill the run before a single timing exists (BENCH_r03
+    # post-mortem — one AnalysisException produced rc=1, zero numbers).
+    warmups = [next(iter(CATALOG)), "revenue_by_nation", "multimodal_fake_features"]
+    for wname in warmups:
+        try:
+            CATALOG[wname].fn(spark, sf_dir).count()
+        except Exception as exc:  # noqa: BLE001
+            print(f"warm-up {wname} failed: {exc}", file=sys.stderr)
 
     timings: dict[str, float] = {}
     errors: dict[str, str] = {}

@@ -40,7 +40,40 @@ HEADLINE = [
     "tag_reconcile",
     "corpus_prep_pipeline",
     "revenue_rollup_status_priority",
+    # Heavy hitters that changed since r02 (minhash rewrite, IVF KMeans
+    # trim, events-reader dtype adaptivity) + the new smoke gate.
+    "dedup_minhash_pairs",
+    "dedup_simhash_pairs",
+    "embedding_ann_ivf",
+    "embedding_cosine_topk",
+    "ml_region_prediction",
+    "event_type_counts",
+    "salted_skew_event_sums",
+    "token_budget_sample",
+    "multimodal_fake_features",
+    "schema_inventory",
 ]
+
+
+def parse_round_artifact(path: str) -> dict[str, float]:
+    """Recover per-query seconds from a BENCH_r{N}.json driver artifact.
+
+    The driver records only the stdout tail, often truncated mid-JSON, so
+    parse `"name": float` pairs by regex instead of json.loads.
+    """
+    import json
+    import re
+
+    try:
+        with open(path) as f:
+            tail = json.load(f).get("tail", "") or ""
+    except (OSError, ValueError):
+        return {}
+    return {
+        m.group(1): float(m.group(2))
+        for m in re.finditer(r'"([a-z0-9_]+)":\s*([0-9.]+)', tail)
+        if not m.group(1) in {"value", "sf", "n_queries", "n_errors"}
+    }
 
 
 def time_n(fn, n=3):
@@ -123,7 +156,36 @@ def main() -> None:
         )
         for name, sb, sm, db, dm in rows:
             f.write(f"| {name} | {sb:.2f} | {sm:.2f} | {db:.2f} | {dm:.2f} |\n")
+
+        r02 = parse_round_artifact("BENCH_r02.json")
+        deltas = [
+            (name, r02[name], sb)
+            for name, sb, _, _, _ in rows
+            if name in r02
+        ]
+        if deltas:
+            f.write(
+                "\n## Round-over-round (vs BENCH_r02 driver artifact)\n\n"
+                "r02 numbers are the driver's single-pass catalog sweep "
+                "(cold-ish JVM, registration order); this round's are "
+                "best-of-3 warm — so treat <1.3× either way as noise. "
+                "Material moves only:\n\n"
+                "| query | r02 sweep | r04 best-of-3 | ratio |\n"
+                "|---|---|---|---|\n"
+            )
+            for name, old, new in sorted(deltas, key=lambda r: r[2] / r[1]):
+                ratio = new / old
+                if ratio < 0.75 or ratio > 1.3:
+                    f.write(
+                        f"| {name} | {old:.2f} | {new:.2f} | {ratio:.2f}× |\n"
+                    )
         f.write(
+            "\nCaveat: for `dedup_minhash_pairs`, `dedup_simhash_pairs`, "
+            "`embedding_ann_ivf`, and `ml_region_prediction` the DuckDB "
+            "column is the recall/accuracy GATE oracle (planted-duplicate "
+            "counts, not an equivalent LSH/KMeans/RF computation), so its "
+            "near-zero time is not an engine comparison for those rows — "
+            "only the Spark column is a real workload there.\n"
             "\nNote: the `streaming_merge_scd1` row compares a REAL Structured "
             "Streaming run (availableNow file ingest + checkpoint + foreachBatch "
             "merge + parquet publish) against DuckDB executing the equivalent "

@@ -309,7 +309,16 @@ def ml_region_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
         region.alias("region"),
         F.replace(template, F.lit("{r}"), region).alias("location"),
     )
-    model = train_region_model(fixture, num_trees=20)
+    # Pipeline.fit makes ~6 passes over the training frame (two
+    # CountVectorizer fits, StringIndexer, IDF, RF); cache so each pass
+    # reuses the materialized 8k-row fixture instead of re-running the
+    # parquet scan + text synthesis.  Unpersisted after fit — the one
+    # inference pass recomputing it is a single cheap scan.
+    fixture = fixture.cache()
+    try:
+        model = train_region_model(fixture, num_trees=20)
+    finally:
+        fixture.unpersist(blocking=False)
     pred = predict_regions(model, fixture)
     return (
         pred.groupBy("region")
