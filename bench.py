@@ -71,6 +71,50 @@ HEADLINE = [
 ]
 
 
+def run_catalog(spark, sf_dir: str, catalog) -> tuple[dict, dict, float]:
+    """Time every catalog query; faults are isolated per query so one
+    broken plan can never zero out the run (BENCH_r03 post-mortem).
+    Returns (timings, errors, total_wall)."""
+    timings: dict[str, float] = {}
+    errors: dict[str, str] = {}
+    t_all = time.perf_counter()
+    for name, q in catalog.items():
+        t0 = time.perf_counter()
+        try:
+            q.fn(spark, sf_dir).count()
+            timings[name] = round(time.perf_counter() - t0, 4)
+        except Exception as exc:  # noqa: BLE001 — isolate per-query faults
+            errors[name] = f"{type(exc).__name__}: {exc}"[:200]
+            print(f"FAILED {name}: {errors[name]}", file=sys.stderr)
+    return timings, errors, round(time.perf_counter() - t_all, 4)
+
+
+def build_payload(timings: dict, errors: dict, total: float, sf: float) -> str:
+    """The driver contract: ONE stdout JSON line, always parseable,
+    always under the driver's 2000-char stdout tail."""
+    headline = {n: round(timings[n], 3) for n in HEADLINE if n in timings}
+    payload = {
+        "metric": "catalog_total_wall",
+        "value": total,
+        "unit": "sec",
+        "queries": headline,
+        "sf": sf,
+        "n_queries": len(timings),
+        "n_errors": len(errors),
+    }
+    if errors:
+        # Names only — full messages are on stderr; the stdout line must
+        # stay under the driver's 2000-char tail.
+        payload["errors"] = sorted(errors)[:10]
+    line = json.dumps(payload, separators=(",", ":"))
+    if len(line) >= 1900:  # hard contract: never emit an unparseable line
+        payload["queries"] = {}
+        payload.pop("errors", None)
+        payload["truncated"] = True
+        line = json.dumps(payload, separators=(",", ":"))
+    return line
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     try:
@@ -99,18 +143,7 @@ def main() -> None:
         except Exception as exc:  # noqa: BLE001
             print(f"warm-up {wname} failed: {exc}", file=sys.stderr)
 
-    timings: dict[str, float] = {}
-    errors: dict[str, str] = {}
-    t_all = time.perf_counter()
-    for name, q in CATALOG.items():
-        t0 = time.perf_counter()
-        try:
-            q.fn(spark, sf_dir).count()
-            timings[name] = round(time.perf_counter() - t0, 4)
-        except Exception as exc:  # noqa: BLE001 — isolate per-query faults
-            errors[name] = f"{type(exc).__name__}: {exc}"[:200]
-            print(f"FAILED {name}: {errors[name]}", file=sys.stderr)
-    total = round(time.perf_counter() - t_all, 4)
+    timings, errors, total = run_catalog(spark, sf_dir, CATALOG)
 
     # Full per-query table → stderr (humans, BENCHNOTES).
     for name in sorted(timings, key=timings.get, reverse=True):
@@ -120,27 +153,7 @@ def main() -> None:
         file=sys.stderr,
     )
 
-    headline = {n: round(timings[n], 3) for n in HEADLINE if n in timings}
-    payload = {
-        "metric": "catalog_total_wall",
-        "value": total,
-        "unit": "sec",
-        "queries": headline,
-        "sf": sf,
-        "n_queries": len(timings),
-        "n_errors": len(errors),
-    }
-    if errors:
-        # Names only — full messages are on stderr; the stdout line must
-        # stay under the driver's 2000-char tail.
-        payload["errors"] = sorted(errors)[:10]
-    line = json.dumps(payload, separators=(",", ":"))
-    if len(line) >= 1900:  # hard contract: never emit an unparseable line
-        payload["queries"] = {}
-        payload.pop("errors", None)
-        payload["truncated"] = True
-        line = json.dumps(payload, separators=(",", ":"))
-    print(line)
+    print(build_payload(timings, errors, total, sf))
     sys.stdout.flush()
 
 

@@ -896,3 +896,130 @@ def corpus_prep_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang", "split")
     )
+
+
+@query(
+    "doc_repetition_scores",
+    """
+    WITH scored AS (
+      SELECT lang,
+        CASE WHEN len(string_split(text,' ')) < 2 THEN 0.0
+             ELSE round(1.0 - CAST(len(list_distinct(
+                  list_transform(range(1, len(string_split(text,' '))),
+                    i -> string_split(text,' ')[i] || ' ' || string_split(text,' ')[i+1])
+               )) AS DOUBLE) / (len(string_split(text,' ')) - 1), 4)
+        END AS dup_frac
+      FROM documents
+    )
+    SELECT lang,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           round(avg(dup_frac), 4) AS avg_dup_frac,
+           round(max(dup_frac), 4) AS max_dup_frac,
+           CAST(sum(CASE WHEN dup_frac > 0.06 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_flagged
+    FROM scored GROUP BY lang ORDER BY lang
+    """,
+    survey="llm-text-quality",
+    tags=("text-analysis",),
+)
+def doc_repetition_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-document repetition quality signal (the Gopher-rule
+    family: high duplicate-n-gram mass marks boilerplate/spam that
+    survives exact AND near dedup because each doc is unique).
+
+    dup_frac = 1 - |distinct word bigrams| / |word bigrams|, flagged
+    at > 0.06 (p90 of the corpus — a discriminating threshold, not a
+    vacuous one).  Entirely JVM-side column expressions (split /
+    transform over an index sequence / array_distinct): map-only per
+    doc, then one 5-key lang rollup — no UDF, no second shuffle, so
+    the plan is embarrassingly parallel at any corpus size."""
+    docs = load_table(spark, sf_dir, "documents")
+    d = docs.select("lang", F.split("text", " ").alias("w"))
+    bigrams = F.expr(
+        "transform(sequence(0, size(w)-2), i -> concat(w[i], ' ', w[i+1]))"
+    )
+    dup_frac = F.when(F.size("w") < 2, F.lit(0.0)).otherwise(
+        F.round(
+            1.0 - F.size(F.array_distinct(bigrams)).cast("double") / (F.size("w") - 1),
+            4,
+        )
+    )
+    return (
+        d.select("lang", dup_frac.alias("dup_frac"))
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.round(F.avg("dup_frac"), 4).alias("avg_dup_frac"),
+            F.round(F.max("dup_frac"), 4).alias("max_dup_frac"),
+            F.sum(F.when(F.col("dup_frac") > 0.06, 1).otherwise(0))
+            .cast("long")
+            .alias("n_flagged"),
+        )
+        .orderBy("lang")
+    )
+
+
+@query(
+    "dedup_incremental_against_corpus",
+    """
+    WITH corpus AS (
+      SELECT * FROM documents WHERE doc_id % 5 <> 0
+    ),
+    incoming AS (
+      SELECT * FROM documents WHERE doc_id % 5 = 0
+      UNION ALL
+      SELECT doc_id + 2000000 AS doc_id, text, lang, 'recrawl' AS source, n_chars
+      FROM documents WHERE doc_id % 20 = 1
+    ),
+    marked AS (
+      SELECT i.lang,
+             CASE WHEN h.h IS NOT NULL THEN 1 ELSE 0 END AS dropped
+      FROM incoming i
+      LEFT JOIN (SELECT DISTINCT md5(text) AS h FROM corpus) h
+        ON md5(i.text) = h.h
+    )
+    SELECT lang,
+           CAST(count(*) AS BIGINT) AS n_incoming,
+           CAST(sum(dropped) AS BIGINT) AS n_dropped,
+           CAST(count(*) - sum(dropped) AS BIGINT) AS n_kept
+    FROM marked GROUP BY lang ORDER BY lang
+    """,
+    survey="llm-dedup-incremental",
+    tags=("llm-dedup",),
+)
+def dedup_incremental_against_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-batch incremental dedup — the shape every continuously-fed
+    training pipeline needs: dedup the NEW crawl batch against the
+    accumulated cleaned corpus without reprocessing the corpus.
+
+    Fixture: corpus = 80% of documents (doc_id % 5 != 0); incoming =
+    the other 20% plus planted re-crawls of every 20th corpus doc
+    (same text, new id) — so the planted rows must all drop and the
+    natural rows must all survive (the documents table has no exact-dup
+    texts).  The oracle recomputes the same split and join in DuckDB.
+
+    Scale: operators/dedup.py:flag_corpus_dups — the corpus collapses
+    to DISTINCT content hashes (one narrow column) before the join;
+    state is |unique texts|, AQE picks broadcast vs hash-partitioned,
+    and a persisted corpus would be bucketed on the hash to skip the
+    exchange (layout.py posture)."""
+    from ..operators.dedup import flag_corpus_dups
+
+    docs = load_table(spark, sf_dir, "documents")
+    corpus = docs.filter(F.col("doc_id") % 5 != 0)
+    recrawl = (
+        docs.filter(F.col("doc_id") % 20 == 1)
+        .withColumn("doc_id", F.col("doc_id") + F.lit(2_000_000))
+        .withColumn("source", F.lit("recrawl"))
+    )
+    incoming = docs.filter(F.col("doc_id") % 5 == 0).unionByName(recrawl)
+    flagged = flag_corpus_dups(incoming, corpus)
+    return (
+        flagged.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_incoming"),
+            F.sum(F.col("in_corpus").cast("int")).cast("long").alias("n_dropped"),
+            F.sum((~F.col("in_corpus")).cast("int")).cast("long").alias("n_kept"),
+        )
+        .orderBy("lang")
+    )

@@ -243,3 +243,24 @@ def test_combined_bucket_audit_matches_per_algo_and_fuses_shuffle(spark):
     assert n_hash_exchanges(fused) < n_hash_exchanges(unfused), (
         "fusion no longer saves a wide exchange"
     )
+
+
+def test_flag_corpus_dups(spark):
+    """Incremental dedup: incoming docs whose text exists in the corpus
+    are flagged; fresh docs pass."""
+    from real_estate_etl_dev_spark.operators.dedup import flag_corpus_dups
+
+    corpus = docs_df(spark)
+    incoming = spark.createDataFrame(
+        [
+            (100, "the quick brown fox jumps over the lazy dog"),  # in corpus
+            (101, "another unrelated document text body sample"),  # in corpus
+            (102, "a genuinely new document not seen before"),
+        ],
+        "doc_id long, text string",
+    )
+    flagged = {r["doc_id"]: r["in_corpus"] for r in flag_corpus_dups(incoming, corpus).collect()}
+    assert flagged == {100: True, 101: True, 102: False}
+    # schema: input columns preserved, exactly one new boolean column
+    out_cols = flag_corpus_dups(incoming, corpus).columns
+    assert out_cols == ["doc_id", "text", "in_corpus"]
