@@ -1023,3 +1023,149 @@ def dedup_incremental_against_corpus(spark: SparkSession, sf_dir: str) -> DataFr
         )
         .orderBy("lang")
     )
+
+
+@query(
+    "doc_pack_assignments",
+    """
+    WITH toks AS (
+      SELECT lang, doc_id % 4 AS shard, doc_id,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+      FROM documents
+    ),
+    packed AS (
+      SELECT lang, shard, n_tokens,
+             CAST(floor(CAST(sum(n_tokens) OVER (
+                 PARTITION BY lang, shard ORDER BY doc_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) - n_tokens AS DOUBLE) / 1024) AS BIGINT) AS pack_id
+      FROM toks
+    )
+    SELECT lang, shard, pack_id,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_tokens) AS BIGINT) AS pack_tokens
+    FROM packed GROUP BY lang, shard, pack_id
+    ORDER BY lang, shard, pack_id
+    """,
+    survey="llm-seq-packing",
+    tags=("llm-sampling",),
+)
+def doc_pack_assignments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing — assign documents greedily to fixed token-budget
+    packs (1024 here), the step that turns a cleaned corpus into
+    training sequences.  A doc belongs to the pack where its running
+    token count starts; overflow is the trainer's truncation concern.
+
+    Scale: packing is inherently sequential, so the window runs per
+    (lang, shard) with shard = doc_id % 4 — state is bounded by the
+    shard, never the corpus, and shard count grows with data (at 100 TB
+    use hash_split-style sharding; pack identity stays (lang, shard,
+    pack_id) with no global coordination).  One shuffle on the window
+    key, then the rollup reuses the same partitioning."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "lang",
+        (F.col("doc_id") % 4).alias("shard"),
+        "doc_id",
+        F.size(F.split("text", " ")).cast("long").alias("n_tokens"),
+    )
+    w = (
+        Window.partitionBy("lang", "shard")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    packed = toks.withColumn(
+        "pack_id",
+        F.floor((F.sum("n_tokens").over(w) - F.col("n_tokens")).cast("double") / 1024),
+    )
+    return (
+        packed.groupBy("lang", "shard", "pack_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("pack_tokens"),
+        )
+        .orderBy("lang", "shard", "pack_id")
+    )
+
+
+_PII_CTE = """
+  pii_docs AS (
+    SELECT doc_id, lang,
+           CASE WHEN doc_id % 13 = 0
+                THEN text || ' contact me at user' || doc_id
+                     || '@example.com or +1-555-0199'
+                ELSE text END AS text
+    FROM documents
+  )
+"""
+
+
+@query(
+    "doc_pii_redaction",
+    f"""
+    WITH {_PII_CTE},
+    red AS (
+      SELECT lang,
+             CASE WHEN regexp_matches(text, '[a-z0-9]+@[a-z0-9]+\\.[a-z]+')
+                  THEN 1 ELSE 0 END AS has_email,
+             CASE WHEN regexp_matches(text, '\\+1-555-[0-9]{{4}}')
+                  THEN 1 ELSE 0 END AS has_phone,
+             CAST(len(text) AS BIGINT)
+               - len(regexp_replace(regexp_replace(text,
+                     '[a-z0-9]+@[a-z0-9]+\\.[a-z]+', '[EMAIL]', 'g'),
+                     '\\+1-555-[0-9]{{4}}', '[PHONE]', 'g')) AS chars_removed
+      FROM pii_docs
+    )
+    SELECT lang,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(has_email) AS BIGINT) AS n_with_email,
+           CAST(sum(has_phone) AS BIGINT) AS n_with_phone,
+           CAST(sum(chars_removed) AS BIGINT) AS total_chars_removed
+    FROM red GROUP BY lang ORDER BY lang
+    """,
+    survey="llm-pii-scrub",
+    tags=("text-analysis",),
+)
+def doc_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrub accounting — detect and redact contact info (emails,
+    phone numbers) before a corpus ships to training, reporting the
+    per-language blast radius.  Fixture: every 13th doc gets a planted
+    contact line (identically on both sides), so detection counts are
+    exact, non-zero, and recall-checkable.
+
+    Redaction is regexp_replace chains — map-only codegen, no UDF, no
+    shuffle beyond the 5-key rollup; the same plan shape at any corpus
+    size.  (Regexes are deliberately simple/portable; a production
+    scrub would swap in vetted patterns at the same plan position.)"""
+    docs = load_table(spark, sf_dir, "documents")
+    email_re = "[a-z0-9]+@[a-z0-9]+\\.[a-z]+"
+    phone_re = "\\+1-555-[0-9]{4}"
+    text = F.when(
+        F.col("doc_id") % 13 == 0,
+        F.concat(
+            F.col("text"),
+            F.lit(" contact me at user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.com or +1-555-0199"),
+        ),
+    ).otherwise(F.col("text"))
+    d = docs.select("lang", text.alias("text"))
+    redacted = F.regexp_replace(
+        F.regexp_replace("text", email_re, "[EMAIL]"), phone_re, "[PHONE]"
+    )
+    return (
+        d.select(
+            "lang",
+            F.col("text").rlike(email_re).cast("int").alias("has_email"),
+            F.col("text").rlike(phone_re).cast("int").alias("has_phone"),
+            (F.length("text") - F.length(redacted)).cast("long").alias("chars_removed"),
+        )
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("has_email").cast("long").alias("n_with_email"),
+            F.sum("has_phone").cast("long").alias("n_with_phone"),
+            F.sum("chars_removed").cast("long").alias("total_chars_removed"),
+        )
+        .orderBy("lang")
+    )
