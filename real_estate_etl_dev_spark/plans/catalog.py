@@ -745,14 +745,17 @@ _FRONT_WINDOW = [
     "event_type_counts",
     "filtered_error_count",
     "events_json_value_sum",
-    # -- 7 canaries with green driver history --
+    # -- 4 queries added this round (no driver history yet) --
+    "doc_repetition_scores",
+    "dedup_incremental_against_corpus",
+    "doc_pack_assignments",
+    "doc_pii_redaction",
+    # -- 3 canaries with green driver history (merge engine, dedup
+    #    gate, join+agg); the other r03-green rows keep their history
+    #    from CORRECTNESS_r03 and rotate back in a later round --
     "merge_scd1",
-    "streaming_merge_scd1",
-    "merge_change_log",
     "dedup_minhash_pairs",
-    "dedup_bucket_audit",
     "revenue_by_nation",
-    "misc_extraction_cases",
 ]
 
 
