@@ -168,3 +168,29 @@ def test_catalog_wide_plan_invariants(spark, sf_dir):
         ):
             offenders["global_window"].append(name)
     assert offenders == {"cartesian": [], "py_udf": [], "global_window": []}, offenders
+
+
+def test_pack_rollup_reuses_window_partitioning(spark, sf_dir):
+    """doc_pack_assignments: the (lang, shard, pack_id) rollup must NOT
+    re-shuffle — HashPartitioning(lang, shard) from the packing window
+    already co-locates every rollup key (subset partitioning satisfies
+    the clustered distribution).  One data exchange + the final
+    order-by's range exchange, nothing else."""
+    plan = formatted(spark, sf_dir, "doc_pack_assignments")
+    detail = plan.split("== Physical Plan ==")[-1]
+    hash_ex = [
+        ln for ln in detail.splitlines()
+        if "Arguments: hashpartitioning" in ln
+    ]
+    assert len(hash_ex) == 1, hash_ex
+    assert "lang" in hash_ex[0] and "shard" in hash_ex[0]
+    assert "pack_id" not in hash_ex[0]
+
+
+def test_incremental_dedup_collapses_corpus_before_join(spark, sf_dir):
+    """dedup_incremental_against_corpus: the corpus side must reach the
+    join as DISTINCT hashes (aggregate below the join), so join state
+    is |unique texts|; at this SF AQE turns it into a broadcast join."""
+    plan = plan_of(spark, sf_dir, "dedup_incremental_against_corpus")
+    assert "HashAggregate" in plan  # the distinct, present below the join
+    assert "BroadcastHashJoin" in plan or "SortMergeJoin" in plan
