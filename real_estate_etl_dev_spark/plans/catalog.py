@@ -745,17 +745,17 @@ _FRONT_WINDOW = [
     "event_type_counts",
     "filtered_error_count",
     "events_json_value_sum",
-    # -- 4 queries added this round (no driver history yet) --
+    # -- 5 queries added this round (no driver history yet) --
     "doc_repetition_scores",
     "dedup_incremental_against_corpus",
     "doc_pack_assignments",
     "doc_pii_redaction",
-    # -- 3 canaries with green driver history (merge engine, dedup
-    #    gate, join+agg); the other r03-green rows keep their history
-    #    from CORRECTNESS_r03 and rotate back in a later round --
+    "streaming_windowed_counts",
+    # -- 2 canaries with green driver history (merge engine, dedup
+    #    gate); the other r03-green rows keep their history from
+    #    CORRECTNESS_r03 and rotate back in a later round --
     "merge_scd1",
     "dedup_minhash_pairs",
-    "revenue_by_nation",
 ]
 
 

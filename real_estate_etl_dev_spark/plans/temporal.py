@@ -397,3 +397,74 @@ def salted_skew_event_sums(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "event_type", "n", F.round("total", 2).alias("total")
     ).orderBy("event_type")
+
+
+@query(
+    "streaming_windowed_counts",
+    """
+    SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS window_day,
+           event_type,
+           CAST(count(*) AS BIGINT) AS n
+    FROM events
+    GROUP BY window_day, event_type
+    ORDER BY window_day, event_type
+    """,
+    survey="§2.12,A1",
+    tags=("streaming",),
+)
+def streaming_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.12 streaming windowed aggregation, batch-certified: the events
+    table is dropped as FOUR parquet files and ingested by a REAL
+    Structured Streaming query (``Trigger.AvailableNow`` with
+    ``maxFilesPerTrigger=2`` → at least two micro-batches, so the
+    aggregation state genuinely carries across batches), watermarked
+    1-day tumbling windows counted per event_type.  Tumbling windows
+    align to UTC midnight, so the DuckDB batch oracle is
+    ``date_trunc('day', ts)`` — the streaming result must equal the
+    batch group-by exactly.
+
+    The memory/complete sink is the CERTIFICATION read-back only (all
+    windows visible regardless of watermark progress on bounded data);
+    the production path — append mode to files, late rows dropped past
+    the watermark — is covered by tests/test_streaming.py.
+
+    Scale: state is keyed by (window, event_type) — bounded keys; the
+    watermark evicts closed windows, so state size tracks the window
+    span, not the stream history."""
+    import tempfile
+    import uuid
+
+    from ..sources.readers import load_table
+    from ..streaming.ingest import stream_source, windowed_counts
+
+    events = load_table(spark, sf_dir, "events").select("ts", "event_type")
+
+    workdir = tempfile.mkdtemp(prefix="stream_wc_")
+    drop_dir = f"{workdir}/events"
+    checkpoint = f"{workdir}/checkpoint"
+    events.repartition(4).write.parquet(drop_dir)
+
+    stream = stream_source(
+        spark, drop_dir, events.schema, fmt="parquet", maxFilesPerTrigger=2
+    )
+    counts = windowed_counts(stream, ts_col="ts", window="1 day", delay="2 hours")
+    name = f"swc_{uuid.uuid4().hex[:8]}"
+    q = (
+        counts.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    return (
+        spark.table(name)
+        .select(
+            F.date_format("window_start", "yyyy-MM-dd").alias("window_day"),
+            "event_type",
+            F.col("n").cast("long").alias("n"),
+        )
+        .orderBy("window_day", "event_type")
+    )

@@ -36,11 +36,16 @@ except Exception:  # noqa: BLE001
 
 
 def stream_source(
-    spark: SparkSession, path: str, schema: str, fmt: str = "json"
+    spark: SparkSession, path: str, schema: str, fmt: str = "json", **options
 ) -> DataFrame:
     """Micro-batch file ingestion — each dropped file is a batch, the
-    streaming analog of one spider run."""
-    return spark.readStream.format(fmt).schema(schema).load(path)
+    streaming analog of one spider run.  ``options`` pass through to the
+    reader (e.g. ``maxFilesPerTrigger`` to slice availableNow runs into
+    multiple micro-batches)."""
+    reader = spark.readStream.format(fmt).schema(schema)
+    for k, v in options.items():
+        reader = reader.option(k, v)
+    return reader.load(path)
 
 
 def dedup_urls(stream: DataFrame, ts_col: str = "scraped_at", delay: str = "1 hour") -> DataFrame:

@@ -323,3 +323,36 @@ def test_queue_status_state_survives_restart(spark, tmp_path):
     got2 = {(r["url"], r["status"], r["n_events"]) for r in rows2}
     assert ("u1", "Sold", 4) in got2   # 2 carried + 2 new, severity upgraded
     assert ("u2", "Delisted", 1) in got2
+
+
+def test_available_now_slices_micro_batches(spark, tmp_path):
+    """stream_source(maxFilesPerTrigger=2) over 4 files must run the
+    availableNow trigger as >=2 micro-batches — the property that makes
+    streaming_windowed_counts exercise cross-batch aggregation state
+    rather than a single batch in disguise."""
+    from real_estate_etl_dev_spark.sources.readers import load_table
+    from real_estate_etl_dev_spark.streaming.ingest import stream_source
+
+    events = load_table(spark, "/root/testdata/sf0.001", "events").select(
+        "ts", "event_type"
+    )
+    drop_dir = str(tmp_path / "events")
+    events.repartition(4).write.parquet(drop_dir)
+
+    batch_ids = []
+
+    def record(df, batch_id):
+        batch_ids.append(batch_id)
+        df.count()
+
+    q = (
+        stream_source(
+            spark, drop_dir, events.schema, fmt="parquet", maxFilesPerTrigger=2
+        )
+        .writeStream.foreachBatch(record)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    assert len(batch_ids) >= 2, batch_ids
