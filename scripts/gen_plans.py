@@ -101,6 +101,28 @@ SHOWCASE = [
         "orders to o_orderkey), Python confined to the Arrow-batched "
         "html UDF, single range-partition exchange for the output sort.",
     ),
+    (
+        "doc_pack_assignments",
+        "Sequence packing: the running-sum window exchanges ONCE on "
+        "(lang, shard) and the pack rollup reuses that partitioning — "
+        "no second data shuffle (subset hash partitioning satisfies "
+        "the rollup's clustered distribution).",
+    ),
+    (
+        "dedup_incremental_against_corpus",
+        "Cross-batch dedup: the corpus collapses to DISTINCT content "
+        "hashes BELOW the join (HashAggregate under the join build "
+        "side), so join state is |unique texts|; AQE broadcasts it at "
+        "this SF and falls back to a hash join when it outgrows the "
+        "threshold.",
+    ),
+    (
+        "doc_repetition_scores",
+        "Within-doc repetition: duplicate-bigram fraction as pure "
+        "codegen array expressions (transform over an index sequence + "
+        "array_distinct) — map-only per doc, one bounded 5-key rollup, "
+        "no UDF anywhere.",
+    ),
 ]
 
 _TRIM = re.compile(r", \[plan_id=\d+\]| \[id=#\d+\]")
