@@ -321,6 +321,12 @@ def streaming_merge_scd1(spark: SparkSession, sf_dir: str) -> DataFrame:
         stream, lambda: cur, publish, run_date=RUN_DATE, checkpoint=checkpoint
     ).start()
     q.awaitTermination()
+    # The published merge output must persist (read back lazily below);
+    # the staging drop files and checkpoint are done — don't leak them.
+    import shutil
+
+    shutil.rmtree(drop_dir, ignore_errors=True)
+    shutil.rmtree(checkpoint, ignore_errors=True)
 
     return _merge_projection(spark.read.parquet(out_dir))
 

@@ -458,6 +458,11 @@ def streaming_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .start()
     )
     q.awaitTermination()
+    # The memory sink holds the result — the dropped files and
+    # checkpoint are no longer needed, so don't leak them per run.
+    import shutil
+
+    shutil.rmtree(workdir, ignore_errors=True)
 
     return (
         spark.table(name)

@@ -96,3 +96,30 @@ def test_merge_preserves_keys(spark):
     out = merge_listings(cur, stg, run_date=RUN_DATE)
     assert sorted(r["url"] for r in out.select("url").collect()) == ["a", "b", "c"]
     assert out.count() == out.select("url").distinct().count()
+
+
+texts = st.lists(
+    st.text(alphabet="abcdef ", min_size=1, max_size=20),
+    min_size=1,
+    max_size=8,
+    unique=True,
+)
+
+
+@given(corpus_texts=texts, incoming_texts=texts)
+@H
+def test_flag_corpus_dups_is_exact_membership(spark, corpus_texts, incoming_texts):
+    """in_corpus must be TRUE exactly when the incoming text appears in
+    the corpus — regardless of overlap shape hypothesis generates."""
+    from real_estate_etl_dev_spark.operators.dedup import flag_corpus_dups
+
+    corpus = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(corpus_texts)], "doc_id long, text string"
+    )
+    incoming = spark.createDataFrame(
+        [(1000 + i, t) for i, t in enumerate(incoming_texts)],
+        "doc_id long, text string",
+    )
+    got = {r["text"]: r["in_corpus"] for r in flag_corpus_dups(incoming, corpus).collect()}
+    want = {t: t in set(corpus_texts) for t in incoming_texts}
+    assert got == want
