@@ -96,3 +96,39 @@ def test_partitioned_write_prunes_scan(spark, tmp_path):
     assert "PartitionFilters" in plan and "event_date" in plan.split("PartitionFilters")[1][:200]
     expected = events.filter(F.col("event_date") == F.lit(one_day)).count()
     assert rd.count() == expected and n_days > 1
+
+
+def test_range_sorted_files_have_disjoint_minmax(spark, sf_dir, tmp_path):
+    """write_range_sorted must produce files whose parquet footer
+    min/max ranges on the sort key are pairwise disjoint — the property
+    row-group/file skipping depends on at 100 TB."""
+    import pyarrow.parquet as pq
+
+    from real_estate_etl_dev_spark.operators.layout import write_range_sorted
+    from real_estate_etl_dev_spark.sources.readers import load_table
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice"
+    )
+    out = str(tmp_path / "range_sorted")
+    write_range_sorted(orders, out, ["o_totalprice"], n_files=4)
+
+    import glob
+
+    ranges = []
+    for f in glob.glob(f"{out}/part-*.parquet"):
+        md = pq.ParquetFile(f).metadata
+        col_idx = next(
+            i for i in range(md.num_columns)
+            if md.row_group(0).column(i).path_in_schema == "o_totalprice"
+        )
+        mins, maxs = [], []
+        for rg in range(md.num_row_groups):
+            st = md.row_group(rg).column(col_idx).statistics
+            mins.append(st.min)
+            maxs.append(st.max)
+        ranges.append((min(mins), max(maxs)))
+    assert len(ranges) >= 2  # the range partitioner actually split
+    ranges.sort()
+    for (lo_a, hi_a), (lo_b, hi_b) in zip(ranges, ranges[1:]):
+        assert hi_a <= lo_b, (ranges,)  # disjoint slices of the key space
