@@ -136,7 +136,15 @@ def main() -> None:
     # late-order timings never paid.  Guarded: a broken warm-up query
     # must not kill the run before a single timing exists (BENCH_r03
     # post-mortem — one AnalysisException produced rc=1, zero numbers).
-    warmups = [next(iter(CATALOG)), "revenue_by_nation", "multimodal_fake_features"]
+    # ml_region_prediction is warmed too: its ML-stage codegen JIT is a
+    # one-time session cost (~4s) that the rotated order would otherwise
+    # charge to the timed run; steady-state plan cost is ~2s (BENCHNOTES).
+    warmups = [
+        next(iter(CATALOG)),
+        "revenue_by_nation",
+        "multimodal_fake_features",
+        "ml_region_prediction",
+    ]
     for wname in warmups:
         try:
             CATALOG[wname].fn(spark, sf_dir).count()
