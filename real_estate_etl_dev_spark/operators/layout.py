@@ -131,3 +131,35 @@ def write_range_sorted(
         .mode(mode)
         .save(path)
     )
+
+
+def compact_files(
+    spark: SparkSession,
+    src_path: str,
+    dst_path: str,
+    target_file_mb: int = 128,
+) -> int:
+    """Small-files maintenance: rewrite a parquet directory into files
+    near ``target_file_mb``.  Returns the output file count.
+
+    Every long-lived ingestion zone accretes small files (per-batch
+    appends, streaming micro-batch sinks) until scan planning is
+    dominated by footer reads and task startup — the classic 100 TB
+    operational failure.  Sizing from the ACTUAL on-disk bytes (not row
+    counts) keeps the math compression-aware; ``coalesce`` avoids a
+    shuffle (it only narrows partitioning), so compaction is a read +
+    write, nothing more.  Run it per hive-partition in practice so the
+    directory listing and rewrite stay bounded."""
+    import math
+    import os
+
+    total_bytes = sum(
+        os.path.getsize(os.path.join(root, f))
+        for root, _, files in os.walk(src_path)
+        for f in files
+        if f.endswith(".parquet")
+    )
+    n_files = max(1, math.ceil(total_bytes / (target_file_mb * 1024 * 1024)))
+    df = spark.read.parquet(src_path)
+    df.coalesce(n_files).write.mode("overwrite").parquet(dst_path)
+    return n_files

@@ -132,3 +132,24 @@ def test_range_sorted_files_have_disjoint_minmax(spark, sf_dir, tmp_path):
     ranges.sort()
     for (lo_a, hi_a), (lo_b, hi_b) in zip(ranges, ranges[1:]):
         assert hi_a <= lo_b, (ranges,)  # disjoint slices of the key space
+
+
+def test_compact_files_reduces_file_count(spark, sf_dir, tmp_path):
+    """compact_files must collapse a many-small-files zone into the
+    byte-budgeted count without losing or duplicating rows."""
+    import glob
+
+    from real_estate_etl_dev_spark.operators.layout import compact_files
+    from real_estate_etl_dev_spark.sources.readers import load_table
+
+    orders = load_table(spark, sf_dir, "orders")
+    src = str(tmp_path / "fragmented")
+    orders.repartition(32).write.parquet(src)
+    assert len(glob.glob(f"{src}/part-*.parquet")) == 32
+
+    dst = str(tmp_path / "compacted")
+    n = compact_files(spark, src, dst, target_file_mb=128)
+    out_files = glob.glob(f"{dst}/part-*.parquet")
+    # sf0.001 orders is well under 128 MB -> one output file
+    assert n == 1 and len(out_files) == 1
+    assert spark.read.parquet(dst).count() == orders.count()
