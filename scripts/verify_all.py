@@ -51,6 +51,11 @@ def main() -> int:
         "--vanilla", action="store_true",
         help="use a bare SparkSession instead of the engine's tuned one",
     )
+    ap.add_argument(
+        "--first", type=int, default=None, metavar="N",
+        help="verify only the first N registered queries — simulates the "
+        "driver's certification window (it certifies queries() order [:50])",
+    )
     args = ap.parse_args()
     sf_dir = os.path.join(args.root, args.sf)
 
@@ -82,6 +87,8 @@ def main() -> int:
         )
 
     qs, oracles = e.queries(), e.oracle_sql()
+    if args.first is not None:
+        qs = dict(list(qs.items())[: args.first])
     fails: list[str] = []
     for name, fn in qs.items():
         t0 = time.time()

@@ -123,3 +123,32 @@ def test_flag_corpus_dups_is_exact_membership(spark, corpus_texts, incoming_text
     got = {r["text"]: r["in_corpus"] for r in flag_corpus_dups(incoming, corpus).collect()}
     want = {t: t in set(corpus_texts) for t in incoming_texts}
     assert got == want
+
+
+doc_texts = st.lists(
+    st.text(alphabet="ab cd", min_size=0, max_size=30), min_size=1, max_size=6
+)
+
+
+@given(texts=doc_texts)
+@H
+def test_repetition_dup_frac_bounded(spark, texts):
+    """doc_repetition_scores' per-doc dup_frac expression must stay in
+    [0, 1] for arbitrary whitespace-soup inputs (empty docs, single
+    words, all-identical bigrams)."""
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame([(t,) for t in texts], "text string")
+    d = df.select(F.split("text", " ").alias("w"))
+    bigrams = F.expr(
+        "transform(sequence(0, size(w)-2), i -> concat(w[i], ' ', w[i+1]))"
+    )
+    dup_frac = F.when(F.size("w") < 2, F.lit(0.0)).otherwise(
+        F.round(
+            1.0
+            - F.size(F.array_distinct(bigrams)).cast("double") / (F.size("w") - 1),
+            4,
+        )
+    )
+    vals = [r["f"] for r in d.select(dup_frac.alias("f")).collect()]
+    assert all(v is not None and 0.0 <= v <= 1.0 for v in vals), vals
