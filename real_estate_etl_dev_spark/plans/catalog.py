@@ -695,8 +695,16 @@ def schema_inventory(spark: SparkSession, sf_dir: str) -> DataFrame:
 # r03 certified 47 of the original first 50; the back-39 have only local
 # evidence.  Rotate: smoke gate first, then the 39 never-certified
 # queries, then the 3 events-reader casualties (red r03, fixed r04),
-# then 7 long-stable canaries (merge engine, streaming, dedup gates,
-# join+agg) to catch cross-round regressions inside the window.
+# then this round's new queries, then canaries with green driver history
+# to catch cross-round regressions inside the window.
+#
+# NEXT ROTATION (r05): keep the smoke gate at position 1, move
+# `layout_maintenance_audit` plus any further additions into the
+# window, and rotate back a spread of the r03-certified rows that sat
+# out r04 (streaming_merge_scd1, merge_change_log, dedup_bucket_audit,
+# misc_extraction_cases, the extraction batteries) so no query's most
+# recent certification ages more than two rounds.  Rehearse with
+# `python scripts/verify_all.py --first 50` before committing.
 # ---------------------------------------------------------------------------
 
 _FRONT_WINDOW = [
