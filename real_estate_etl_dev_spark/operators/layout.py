@@ -140,7 +140,11 @@ def compact_files(
     target_file_mb: int = 128,
 ) -> int:
     """Small-files maintenance: rewrite a parquet directory into files
-    near ``target_file_mb``.  Returns the output file count.
+    near ``target_file_mb``.  Returns the ACTUAL number of part files
+    written (ADVICE r04: ``coalesce`` can only narrow partitioning, so
+    when the byte-budget count exceeds the scan's partition count the
+    output has fewer files than the budget — the caller gets the truth,
+    not the target).
 
     Every long-lived ingestion zone accretes small files (per-batch
     appends, streaming micro-batch sinks) until scan planning is
@@ -150,6 +154,7 @@ def compact_files(
     shuffle (it only narrows partitioning), so compaction is a read +
     write, nothing more.  Run it per hive-partition in practice so the
     directory listing and rewrite stay bounded."""
+    import glob
     import math
     import os
 
@@ -162,4 +167,4 @@ def compact_files(
     n_files = max(1, math.ceil(total_bytes / (target_file_mb * 1024 * 1024)))
     df = spark.read.parquet(src_path)
     df.coalesce(n_files).write.mode("overwrite").parquet(dst_path)
-    return n_files
+    return len(glob.glob(os.path.join(dst_path, "part-*.parquet")))

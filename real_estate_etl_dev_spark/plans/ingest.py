@@ -214,17 +214,29 @@ def projection_dsl_listing(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("key")
 
 
+# Oracle SF bound (ADVICE r04): files_in=32/files_out=1 are pinned
+# constants that hold while the 2-column orders projection stays under
+# the 128 MB compaction budget (one output file) AND repartition(32)
+# yields 32 non-empty fragments.  Measured: ~3 MB at sf0.1, ~60 MB
+# extrapolated at sf1 — the bound breaks somewhere past sf2.  The query
+# body asserts both preconditions loudly (_AUDIT_* messages below), so
+# certifying at a larger SF fails with "raise the oracle constants",
+# never with a silent hash mismatch of the invariant itself.
+_AUDIT_FRAGMENTS = 32
+_AUDIT_BUDGET_MB = 128
+
+
 @query(
     "layout_maintenance_audit",
-    """
+    f"""
     SELECT 'compact' AS op,
-           CAST(32 AS BIGINT) AS files_in,
+           CAST({_AUDIT_FRAGMENTS} AS BIGINT) AS files_in,
            CAST(1 AS BIGINT) AS files_out,
            TRUE AS rows_preserved,
            TRUE AS invariant_ok
     UNION ALL
     SELECT 'range_sort',
-           CAST(32 AS BIGINT),
+           CAST({_AUDIT_FRAGMENTS} AS BIGINT),
            CAST(4 AS BIGINT),
            TRUE, TRUE
     ORDER BY op
@@ -241,9 +253,17 @@ def layout_maintenance_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     the expected file counts and invariant booleans; any row loss,
     fragment-count drift, or overlapping range breaks the hash.
 
-    (Footer inspection runs driver-side over the 4-file test fixture —
-    the audit tool's natural home; the data path itself is distributed
-    writes.)"""
+    Footer inspection runs driver-side over the ≤36-file test fixture
+    (bounded by the assertion below) — the audit tool's natural home
+    for a fixture.  The DISTRIBUTED variant for a real 100k-file zone
+    is the same min/max check fanned out as a job: build a DataFrame
+    of file paths (``spark.read.parquet(zone).inputFiles()`` or the
+    file-index listing), ``mapInPandas`` over it opening each footer
+    with ``pyarrow.parquet.ParquetFile(path).metadata`` executor-side
+    (pure metadata reads — no row data moves), then a single
+    sort-by-min + lag-window pass over the (file, min, max) rows to
+    assert pairwise disjointness.  Driver cost is O(result rows), not
+    O(files)."""
     import glob as _glob
     import shutil
     import tempfile
@@ -252,25 +272,46 @@ def layout_maintenance_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from ..operators.layout import compact_files, write_range_sorted
 
+    import os as _os
+
     orders = load_table(spark, sf_dir, "orders").select(
         "o_orderkey", "o_totalprice"
     )
     n_rows = orders.count()
     workdir = tempfile.mkdtemp(prefix="layout_audit_")
     src = f"{workdir}/fragmented"
-    orders.repartition(32).write.parquet(src)
-    files_in = len(_glob.glob(f"{src}/part-*.parquet"))
+    orders.repartition(_AUDIT_FRAGMENTS).write.parquet(src)
+    frag_files = _glob.glob(f"{src}/part-*.parquet")
+    files_in = len(frag_files)
+    # Loud preconditions for the pinned oracle constants (ADVICE r04):
+    # certifying past the SF bound must say WHICH constant to raise.
+    src_bytes = sum(_os.path.getsize(f) for f in frag_files)
+    if src_bytes >= _AUDIT_BUDGET_MB * 1024 * 1024:
+        raise AssertionError(
+            f"_AUDIT_SF_BOUND: fixture is {src_bytes} bytes >= the "
+            f"{_AUDIT_BUDGET_MB} MB budget — compaction would emit >1 "
+            "file; raise the oracle's files_out constant for this SF"
+        )
+    if files_in != _AUDIT_FRAGMENTS:
+        raise AssertionError(
+            f"_AUDIT_FRAGMENT_DRIFT: repartition({_AUDIT_FRAGMENTS}) "
+            f"wrote {files_in} non-empty files — oracle files_in is stale"
+        )
 
     # (a) compaction
     dst_c = f"{workdir}/compacted"
-    compact_files(spark, src, dst_c, target_file_mb=128)
-    files_compact = len(_glob.glob(f"{dst_c}/part-*.parquet"))
+    files_compact = compact_files(spark, src, dst_c, target_file_mb=_AUDIT_BUDGET_MB)
     rows_compact = spark.read.parquet(dst_c).count()
 
     # (b) range-sorted rewrite + disjointness audit from real footers
     dst_r = f"{workdir}/range_sorted"
     write_range_sorted(orders, dst_r, ["o_totalprice"], n_files=4)
     rs_files = _glob.glob(f"{dst_r}/part-*.parquet")
+    # Driver-side footer loop is fixture-scoped BY CONSTRUCTION — keep
+    # it that way (the distributed variant is in the docstring).
+    assert len(rs_files) <= _AUDIT_FRAGMENTS + 4, (
+        f"footer audit is driver-side and bounded; got {len(rs_files)} files"
+    )
     ranges = []
     for f in rs_files:
         md = _pq.ParquetFile(f).metadata

@@ -464,7 +464,7 @@ def streaming_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     shutil.rmtree(workdir, ignore_errors=True)
 
-    return (
+    out = (
         spark.table(name)
         .select(
             F.date_format("window_start", "yyyy-MM-dd").alias("window_day"),
@@ -473,3 +473,14 @@ def streaming_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("window_day", "event_type")
     )
+    # Materialize, then DROP the memory-sink view (ADVICE r04): without
+    # this every invocation (bench warm-up + timed run, verify passes)
+    # leaves a full result copy registered in driver memory for the
+    # session lifetime.  The collect here is the memory-sink read-back,
+    # not a distributed-data collapse — the sink already holds these
+    # rows on the driver, and the result is bounded by
+    # |windows| × |event_types| (150 at sf0.01), not by stream size.
+    rows = out.collect()
+    schema = out.schema
+    spark.catalog.dropTempView(name)
+    return spark.createDataFrame(rows, schema)

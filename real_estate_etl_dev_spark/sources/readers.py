@@ -43,6 +43,17 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     to whichever dtype the file actually carries and always surface a
     session-local microsecond TimestampType so every downstream consumer
     (and the DuckDB oracles) sees one stable type.
+
+    EXECUTION-AFTER-RESTORE ASSUMPTION (ADVICE r04): the conf overrides
+    below are restored in ``finally`` BEFORE the returned DataFrame ever
+    executes.  Correctness therefore relies on Spark baking the
+    footer-inferred schema into the relation at ``read()`` time — true
+    today, and pinned by ``tests/test_readers.py`` (a required gate: it
+    exercises all three shipped ts dtypes through this path).  Any
+    future change that re-resolves the file schema at ACTION time
+    (schema merge, ``REFRESH TABLE``, a lazy file-index rebuild) would
+    regress silently — if you touch this function or see a ts-typed
+    oracle mismatch, run test_readers.py first.
     """
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
