@@ -194,3 +194,49 @@ def test_incremental_dedup_collapses_corpus_before_join(spark, sf_dir):
     plan = plan_of(spark, sf_dir, "dedup_incremental_against_corpus")
     assert "HashAggregate" in plan  # the distinct, present below the join
     assert "BroadcastHashJoin" in plan or "SortMergeJoin" in plan
+
+
+def test_bucketed_merge_eliminates_exchanges(spark, sf_dir):
+    """operators/layout.py's core promise, proven not just asserted:
+    the SCD-1 merge over two bucketBy(url) tables plans with ZERO
+    Exchange nodes (both scans expose the bucket hash partitioning),
+    while the identical merge over unbucketed frames shuffles both
+    sides.  merge_bucketed_scd1 re-asserts this inside the certified
+    query; this test pins the control comparison."""
+    from real_estate_etl_dev_spark.operators.layout import (
+        bucketed_merge_ready,
+        write_bucketed,
+    )
+    from real_estate_etl_dev_spark.operators.merge import merge_listings
+    from real_estate_etl_dev_spark.plans.merging import (
+        current_fixture,
+        staging_fixture,
+    )
+
+    import shutil
+    from urllib.parse import urlparse
+
+    wh = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
+    for t in ("t_planshape_cur_bkt", "t_planshape_stg_bkt"):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+        shutil.rmtree(f"{wh}/{t}", ignore_errors=True)
+    write_bucketed(
+        current_fixture(spark, sf_dir).repartition(1),
+        "t_planshape_cur_bkt", n_buckets=8, sort_col="url",
+    )
+    write_bucketed(
+        staging_fixture(spark, sf_dir).repartition(1),
+        "t_planshape_stg_bkt", n_buckets=8, sort_col="url",
+    )
+    cur, stg = bucketed_merge_ready(
+        spark, "t_planshape_cur_bkt", "t_planshape_stg_bkt"
+    )
+    bucketed = merge_listings(cur, stg)
+    plan_b = bucketed._jdf.queryExecution().executedPlan().toString()
+    assert plan_b.count("Exchange") == 0, plan_b
+
+    control = merge_listings(
+        current_fixture(spark, sf_dir), staging_fixture(spark, sf_dir)
+    )
+    plan_c = control._jdf.queryExecution().executedPlan().toString()
+    assert plan_c.count("Exchange") >= 2  # both sides shuffle unbucketed
