@@ -1026,6 +1026,82 @@ def dedup_incremental_against_corpus(spark: SparkSession, sf_dir: str) -> DataFr
 
 
 @query(
+    "dedup_incremental_minhash",
+    """
+    SELECT lang,
+           CAST(count(*) AS BIGINT) AS planted_pairs,
+           CAST(count(*) AS BIGINT) AS found_pairs,
+           TRUE AS all_found
+    FROM documents WHERE doc_id % 20 = 1
+    GROUP BY lang ORDER BY lang
+    """,
+    survey="llm-dedup-incremental",
+    tags=("llm-dedup",),
+)
+def dedup_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental NEAR-dup screening — the MinHash analog of
+    ``dedup_incremental_against_corpus`` (VERDICT r04 item 5): the
+    incoming crawl batch is checked against the persisted corpus LSH
+    index (operators/dedup.py:minhash_corpus_index) with NO corpus
+    re-shingle; band-match count doubles as the signature-agreement
+    verify, so no corpus text is touched at all.
+
+    Fixture: corpus = 80% of documents (doc_id % 5 != 0); incoming =
+    the other 20% plus planted re-crawls of every 20th corpus doc
+    (same text, id + 2,000,000).  A planted re-crawl has an identical
+    shingle set, hence an identical signature, hence matches ALL
+    bands (est_jaccard 1.0) — so the per-lang recall gate
+    found == planted is the oracle-checkable invariant (the banding
+    itself is not DuckDB-expressible; same certification pattern as
+    ``dedup_minhash_pairs``).  The inner join against the ground-truth
+    (incoming_id, corpus_id) pairs makes the gate exact: the planted
+    pair itself must surface, not just any match for the planted doc.
+
+    3-gram shingles / 3 hashes match ``dedup_minhash_pairs`` — the
+    synthetic word-soup corpus floods 2-gram buckets."""
+    from ..operators.dedup import flag_incremental_minhash, minhash_corpus_index
+
+    docs = load_table(spark, sf_dir, "documents")
+    corpus = docs.filter(F.col("doc_id") % 5 != 0)
+    recrawl = (
+        docs.filter(F.col("doc_id") % 20 == 1)
+        .withColumn("doc_id", F.col("doc_id") + F.lit(2_000_000))
+        .withColumn("source", F.lit("recrawl"))
+    )
+    incoming = docs.filter(F.col("doc_id") % 5 == 0).unionByName(recrawl)
+
+    index = minhash_corpus_index(corpus, num_hashes=3, shingle_n=3, seed=42)
+    flags = flag_incremental_minhash(
+        incoming, index, num_hashes=3, shingle_n=3, seed=42, min_sig_agree=0.5
+    )
+
+    planted = docs.filter(F.col("doc_id") % 20 == 1).select(
+        (F.col("doc_id") + F.lit(2_000_000)).alias("doc_id"),
+        F.col("doc_id").alias("matched_id"),
+        "lang",
+    )
+    found = flags.join(F.broadcast(planted), ["doc_id", "matched_id"], "inner")
+    expected = planted.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("long").alias("planted_pairs")
+    )
+    got = found.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("long").alias("found_pairs")
+    )
+    return (
+        expected.join(got, "lang", "left")
+        .select(
+            "lang",
+            "planted_pairs",
+            F.coalesce("found_pairs", F.lit(0)).cast("long").alias("found_pairs"),
+            (
+                F.coalesce("found_pairs", F.lit(0)) == F.col("planted_pairs")
+            ).alias("all_found"),
+        )
+        .orderBy("lang")
+    )
+
+
+@query(
     "doc_pack_assignments",
     """
     WITH toks AS (

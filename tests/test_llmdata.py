@@ -264,3 +264,56 @@ def test_flag_corpus_dups(spark):
     # schema: input columns preserved, exactly one new boolean column
     out_cols = flag_corpus_dups(incoming, corpus).columns
     assert out_cols == ["doc_id", "text", "in_corpus"]
+
+
+def test_flag_incremental_minhash(spark):
+    """Incremental NEAR-dup: a new batch screened against the persisted
+    corpus LSH index — exact re-crawls match all bands (est 1.0), an
+    unrelated doc is never flagged, and the corpus text is never read
+    (the index alone drives the probe)."""
+    from real_estate_etl_dev_spark.operators.dedup import (
+        flag_incremental_minhash,
+        minhash_corpus_index,
+    )
+
+    corpus = docs_df(spark)
+    index = minhash_corpus_index(corpus, num_hashes=4, shingle_n=2, seed=7)
+    incoming = spark.createDataFrame(
+        [
+            (100, "the quick brown fox jumps over the lazy dog"),  # re-crawl of 1,2
+            (101, "a genuinely new document not seen before"),     # fresh
+        ],
+        "doc_id long, text string",
+    )
+    flags = flag_incremental_minhash(
+        incoming, index, num_hashes=4, shingle_n=2, seed=7, min_sig_agree=0.5
+    ).collect()
+    by_pair = {(r["doc_id"], r["matched_id"]): r for r in flags}
+    # the re-crawl matches BOTH copies of its text on every band
+    assert by_pair[(100, 1)]["est_jaccard"] == 1.0
+    assert by_pair[(100, 2)]["n_band_matches"] == 4
+    assert not any(ic == 101 for ic, _ in by_pair)
+
+
+def test_flag_incremental_minhash_bucket_cap(spark):
+    """Hot corpus buckets above max_bucket are excluded from the probe
+    (quadratic-blowup guard): with a cap of 1 and two identical corpus
+    docs sharing every bucket, the re-crawl finds nothing via those
+    buckets."""
+    from real_estate_etl_dev_spark.operators.dedup import (
+        flag_incremental_minhash,
+        minhash_corpus_index,
+    )
+
+    corpus = spark.createDataFrame(
+        [(1, "alpha beta gamma delta"), (2, "alpha beta gamma delta")],
+        "doc_id long, text string",
+    )
+    index = minhash_corpus_index(corpus, num_hashes=3, shingle_n=2, seed=7)
+    incoming = spark.createDataFrame(
+        [(100, "alpha beta gamma delta")], "doc_id long, text string"
+    )
+    capped = flag_incremental_minhash(
+        incoming, index, num_hashes=3, shingle_n=2, seed=7, max_bucket=1
+    ).collect()
+    assert capped == []
