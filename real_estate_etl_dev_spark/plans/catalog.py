@@ -692,78 +692,81 @@ def schema_inventory(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 # Driver-window rotation.  The driver certifies the FIRST 50 registered
 # queries each round (verified r03: its key list == CATALOG order [:50]).
-# r03 certified 47 of the original first 50; the back-39 have only local
-# evidence.  Rotate: smoke gate first, then the 39 never-certified
-# queries, then the 3 events-reader casualties (red r03, fixed r04),
-# then this round's new queries, then canaries with green driver history
-# to catch cross-round regressions inside the window.
+# History: r03 certified 47 (original front-50); r04 certified the 39
+# never-certified + 3 events casualties + 5 new + 2 canaries (50/50
+# green) — leaving exactly one query with no driver row ever
+# (layout_maintenance_audit) and 45 rows whose latest green is r03.
 #
-# NEXT ROTATION (r05): keep the smoke gate at position 1, move
-# `layout_maintenance_audit` plus any further additions into the
-# window, and rotate back a spread of the r03-certified rows that sat
-# out r04 (streaming_merge_scd1, merge_change_log, dedup_bucket_audit,
-# misc_extraction_cases, the extraction batteries) so no query's most
-# recent certification ages more than two rounds.  Rehearse with
+# r05 WINDOW (this round): smoke gate at position 1, then
+# layout_maintenance_audit (the only never-certified query), the two
+# queries added this round (bucketed merge proof, incremental MinHash),
+# one canary whose implementation changed this round
+# (streaming_windowed_counts — memory-sink view cleanup), then ALL 45
+# aging r03-certified rows, in their CORRECTNESS_r03 order.  Result:
+# after r05 certifies, no query's latest green row is older than one
+# round (r04 ∪ r05 covers everything).
+#
+# NEXT ROTATION (r06): swap the 45 back out and bring in the 50-strong
+# r04-certified cohort (they'll be two rounds old by then) plus any
+# r06 additions; keep the smoke gate first.  Rehearse any edit with
 # `python scripts/verify_all.py --first 50` before committing.
 # ---------------------------------------------------------------------------
 
 _FRONT_WINDOW = [
     "schema_inventory",
-    # -- 39 never-driver-certified (r03 order preserved) --
-    "multimodal_binary_metadata",
-    "multimodal_fake_features",
-    "token_budget_sample",
-    "hash_split_counts",
-    "embedding_near_dup_pairs",
-    "vocab_top_terms",
-    "corpus_prep_pipeline",
-    "orders_keyset_page",
-    "top1_order_by_price",
-    "union_sources_counts",
-    "distinct_label_tokens",
-    "supplier_line_sums",
-    "lineitem_totals",
-    "event_predicate_filters",
-    "dead_letter_dedup",
-    "run_report_rows",
-    "ml_region_prediction",
-    "page_fanout_scan",
-    "detail_fetch_extract",
-    "html_in_json_extract",
-    "incremental_seed_scan",
-    "projection_dsl_listing",
-    "imputation_cascade_cases",
-    "availability_consistency_cases",
-    "listing_export_projection",
-    "error_clear_on_success",
-    "skip_routing_counts",
-    "asof_error_click",
-    "event_sessions",
-    "rolling_7d_revenue",
-    "price_percentiles_by_priority",
-    "approx_distinct_users",
-    "hll_sketch_mergeable_users",
-    "price_band_join",
-    "price_winsorized_stats",
-    "salted_skew_event_sums",
-    "order_status_pivot",
-    "order_status_unpivot",
-    "revenue_rollup_status_priority",
-    # -- 3 events-reader casualties: red in r03, fixed this round --
-    "event_type_counts",
-    "filtered_error_count",
-    "events_json_value_sum",
-    # -- 5 queries added this round (no driver history yet) --
-    "doc_repetition_scores",
-    "dedup_incremental_against_corpus",
-    "doc_pack_assignments",
-    "doc_pii_redaction",
+    # -- the one never-driver-certified query (r04 verdict item 2) --
+    "layout_maintenance_audit",
+    # -- queries added this round (no driver history yet) --
+    "merge_bucketed_scd1",
+    "dedup_incremental_minhash",
+    # -- canary: r04-green, implementation touched this round --
     "streaming_windowed_counts",
-    # -- 2 canaries with green driver history (merge engine, dedup
-    #    gate); the other r03-green rows keep their history from
-    #    CORRECTNESS_r03 and rotate back in a later round --
-    "merge_scd1",
-    "dedup_minhash_pairs",
+    # -- 45 aging rows, latest green r03 (r03 order preserved) --
+    "monthly_order_counts",
+    "groupwise_max_order_date",
+    "distinct_mktsegments",
+    "latest_order_per_customer",
+    "revenue_by_nation",
+    "customers_without_orders",
+    "customers_with_march_1995_orders",
+    "duplicate_docs_cross_source",
+    "duplicate_docs_same_source",
+    "doc_embedding_enrichment",
+    "orders_page3_by_price",
+    "order_sequence_ids",
+    "part_type_like_filter",
+    "order_tab_classification",
+    "doc_token_stats",
+    "price_extraction_cases",
+    "property_type_cases",
+    "size_extraction_cases",
+    "lease_bedroom_cases",
+    "date_url_cases",
+    "availability_text_cases",
+    "number_parse_cases",
+    "geo_extraction_cases",
+    "misc_extraction_cases",
+    "streaming_merge_scd1",
+    "merge_change_log",
+    "sold_at_backfill",
+    "delist_tombstones",
+    "dq_identify_issues",
+    "land_zoning_cases",
+    "missing_fields_audit",
+    "properties_with_open_issues",
+    "tag_reconcile",
+    "dedup_exact_groups",
+    "dedup_exact_kept_per_lang",
+    "dedup_simhash_pairs",
+    "dedup_bucket_audit",
+    "dedup_ngram_jaccard",
+    "embedding_cosine_topk",
+    "embedding_ann_ivf",
+    "embedding_ann_lsh",
+    "doc_language_id",
+    "doc_quality_scores",
+    "doc_fingerprints",
+    "doc_token_regex_count",
 ]
 
 
