@@ -779,4 +779,11 @@ def _rotate_window() -> None:
     CATALOG.update(ordered)
 
 
-_rotate_window()
+# SPARK_GRAFT_NO_ROTATE=1 keeps raw registration order (≈ the r02 sweep
+# order) — the control arm of the bench order-sensitivity A/B
+# (scripts/bench_ab.py, VERDICT r04 item 1).  Certification and bench
+# default to the rotated order.
+import os as _os  # noqa: E402
+
+if not _os.environ.get("SPARK_GRAFT_NO_ROTATE"):
+    _rotate_window()
