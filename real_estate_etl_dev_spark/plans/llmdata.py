@@ -15,6 +15,7 @@ from pyspark.sql import functions as F
 
 from ..operators.dedup import (
     combined_bucket_audit,
+    connected_components,
     dedup_exact_keep_first,
     dedup_minhash_pairs,
     dedup_simhash_pairs,
@@ -1244,4 +1245,104 @@ def doc_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("chars_removed").cast("long").alias("total_chars_removed"),
         )
         .orderBy("lang")
+    )
+
+
+@query(
+    "dedup_connected_components",
+    f"""
+    WITH RECURSIVE {_AUG_CTE},
+    star AS (
+      SELECT doc_id AS a,
+             min(doc_id) OVER (PARTITION BY md5(text)) AS b
+      FROM corpus
+    ),
+    chain AS (
+      SELECT d.doc_id AS a, d.doc_id + 1 AS b
+      FROM documents d JOIN documents e ON e.doc_id = d.doc_id + 1
+      WHERE d.doc_id % 21 = 0
+      UNION ALL
+      SELECT d.doc_id + 1 AS a, d.doc_id + 2 AS b
+      FROM documents d JOIN documents e ON e.doc_id = d.doc_id + 2
+      WHERE d.doc_id % 21 = 0
+    ),
+    edges AS (
+      SELECT a, b FROM star WHERE a <> b
+      UNION
+      SELECT a, b FROM chain
+    ),
+    nodes AS (SELECT a AS node FROM edges UNION SELECT b FROM edges),
+    reach(node, lbl) AS (
+      SELECT node, node FROM nodes
+      UNION
+      SELECT CASE WHEN r.node = e.a THEN e.b ELSE e.a END, r.lbl
+      FROM reach r JOIN edges e ON r.node = e.a OR r.node = e.b
+    ),
+    assign AS (SELECT node, min(lbl) AS comp FROM reach GROUP BY node)
+    SELECT comp,
+           CAST(count(*) AS BIGINT) AS n_members,
+           string_agg(node, ',' ORDER BY node) AS members
+    FROM assign GROUP BY comp ORDER BY comp
+    """,
+    survey="llm-dedup-components",
+    tags=("llm-dedup",),
+)
+def dedup_connected_components_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-CLUSTER resolution: collapse the near-dup PAIR graph
+    into connected components so each cluster keeps exactly one
+    canonical doc (pairwise keep-one over-keeps on chains: A~B, B~C,
+    A!~C retains two of three).  The missing last stage after the
+    minhash/simhash/embedding pair generators.
+
+    Fixture edges, built identically on both sides so transitivity is
+    genuinely exercised: (a) star edges doc->min(doc) per exact-hash
+    group of the augmented corpus; (b) planted 3-chains (d, d+1),
+    (d+1, d+2) for d % 21 = 0 — d is also % 7 = 0, so its +1M copy
+    joins the cluster through d, giving 4-node components of diameter
+    3 with NO direct edge between the far members.
+
+    Spark side runs the real iterative min-label propagation
+    (operators/dedup.py:connected_components — one hash join + one
+    min-agg per round, diameter-bounded rounds, scalar-only
+    convergence probe); the oracle computes the same fixpoint via
+    DuckDB's recursive CTE.  Output: one row per cluster with its
+    canonical id, size, and numerically-ordered member list."""
+    docs = load_table(spark, sf_dir, "documents")
+    aug = _augmented_docs(spark, sf_dir)
+    grp = Window.partitionBy(F.xxhash64("text"))
+    star = (
+        aug.select(
+            F.col("doc_id").alias("a"),
+            F.min("doc_id").over(grp).alias("b"),
+        )
+        .filter(F.col("a") != F.col("b"))
+    )
+    ids = docs.select("doc_id")
+    anchors = ids.filter(F.col("doc_id") % 21 == 0)
+
+    def _chain(offset: int) -> DataFrame:
+        nxt = ids.select((F.col("doc_id")).alias("__nxt"))
+        return (
+            anchors.select(
+                (F.col("doc_id") + offset - 1).alias("a"),
+                (F.col("doc_id") + offset).alias("b"),
+            )
+            .join(nxt, F.col("b") == F.col("__nxt"), "left_semi")
+        )
+
+    edges = star.unionByName(_chain(1)).unionByName(_chain(2)).distinct()
+    comp = connected_components(edges, src="a", dst="b")
+    members = F.concat_ws(
+        ",",
+        F.transform(
+            F.sort_array(F.collect_list("node")), lambda x: x.cast("string")
+        ),
+    )
+    return (
+        comp.groupBy("comp")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_members"),
+            members.alias("members"),
+        )
+        .orderBy("comp")
     )

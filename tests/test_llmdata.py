@@ -317,3 +317,47 @@ def test_flag_incremental_minhash_bucket_cap(spark):
         incoming, index, num_hashes=3, shingle_n=2, seed=7, max_bucket=1
     ).collect()
     assert capped == []
+
+
+def test_connected_components_resolves_transitive_clusters(spark):
+    """A~B, B~C with no A~C edge must land in ONE component keyed by
+    the min id; disjoint pairs stay separate."""
+    from real_estate_etl_dev_spark.operators.dedup import connected_components
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (7, 8), (10, 11), (11, 12), (12, 13)],
+        ["src", "dst"],
+    )
+    got = {
+        (r.node, r.comp) for r in connected_components(edges).collect()
+    }
+    assert got == {
+        (1, 1), (2, 1), (3, 1),
+        (7, 7), (8, 7),
+        (10, 10), (11, 10), (12, 10), (13, 10),
+    }
+
+
+def test_connected_components_long_chain_converges(spark):
+    """A 12-node path (diameter 11) converges within default rounds —
+    min-label propagation needs diameter rounds, not log(n)."""
+    from real_estate_etl_dev_spark.operators.dedup import connected_components
+
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(100, 111)], ["src", "dst"]
+    )
+    comps = {r.comp for r in connected_components(edges).collect()}
+    assert comps == {100}
+
+
+def test_connected_components_iteration_guard(spark):
+    """Convergence guard: a chain longer than max_iters raises instead
+    of silently returning a half-propagated labeling."""
+    import pytest
+    from real_estate_etl_dev_spark.operators.dedup import connected_components
+
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(20, 30)], ["src", "dst"]
+    )
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(edges, max_iters=2)
