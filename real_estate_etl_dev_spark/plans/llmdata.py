@@ -1346,3 +1346,274 @@ def dedup_connected_components_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("comp")
     )
+
+
+_DECON_GRAMS_SQL = """
+      list_transform(range(1, len(string_split(text, ' ')) - 6),
+                     i -> array_to_string(string_split(text, ' ')[i:i+7], ' '))
+"""
+
+
+@query(
+    "doc_decontaminate",
+    f"""
+    WITH eval AS (
+      SELECT * FROM documents WHERE doc_id % 41 = 0
+    ),
+    train AS (
+      SELECT * FROM documents WHERE doc_id % 41 <> 0
+      UNION ALL
+      SELECT doc_id + 3000000 AS doc_id,
+             'benchmark leak retained ' || text AS text,
+             lang, 'planted' AS source, n_chars
+      FROM eval
+    ),
+    eg AS (
+      SELECT DISTINCT unnest({_DECON_GRAMS_SQL}) AS g
+      FROM eval WHERE len(string_split(text, ' ')) >= 8
+    ),
+    tg AS (
+      SELECT doc_id, unnest({_DECON_GRAMS_SQL}) AS g
+      FROM train WHERE len(string_split(text, ' ')) >= 8
+    ),
+    hits AS (
+      SELECT DISTINCT tg.doc_id FROM tg JOIN eg ON tg.g = eg.g
+    )
+    SELECT t.lang,
+           CAST(count(*) AS BIGINT) AS n_train,
+           CAST(sum(CASE WHEN h.doc_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_contaminated,
+           CAST(sum(CASE WHEN h.doc_id IS NOT NULL
+                          AND t.source = 'planted' THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_planted_flagged
+    FROM train t LEFT JOIN hits h ON t.doc_id = h.doc_id
+    GROUP BY t.lang ORDER BY t.lang
+    """,
+    survey="llm-decontamination",
+    tags=("llm-dedup", "text-analysis"),
+)
+def doc_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination — flag training docs that share any
+    word 8-gram with a held-out eval set (the GPT-3/PaLM n-gram
+    overlap rule; eval leakage inflates downstream scores, so this
+    runs before every corpus ships).  Fixture: eval = every 41st doc;
+    train = the rest ∪ planted leaks (eval text behind a changed
+    prefix, id + 3,000,000, built identically on both sides), so
+    contamination exists, is known, and full-text exact dedup provably
+    misses it — only the n-gram screen catches the planted rows.
+
+    Scale posture: the eval side collapses to DISTINCT 8-grams — eval
+    suites are tiny versus the corpus (thousands of rows vs billions),
+    so the gram set broadcasts and the train-side probe is map-side
+    with NO shuffle of the exploded corpus grams; dropDuplicates on
+    (doc_id) then one lang rollup are the only exchanges.  At 100 TB
+    swap the broadcast for a bucketed bloom-filter pre-screen at the
+    same plan position if the eval suite ever outgrows the broadcast
+    threshold."""
+    docs = load_table(spark, sf_dir, "documents")
+    eval_df = docs.filter(F.col("doc_id") % 41 == 0)
+    planted = eval_df.select(
+        (F.col("doc_id") + 3_000_000).alias("doc_id"),
+        F.concat(F.lit("benchmark leak retained "), F.col("text")).alias("text"),
+        "lang",
+        F.lit("planted").alias("source"),
+        "n_chars",
+    )
+    train = docs.filter(F.col("doc_id") % 41 != 0).unionByName(planted)
+
+    grams = F.expr(
+        "transform(sequence(0, size(split(text, ' ')) - 8), "
+        "i -> array_join(slice(split(text, ' '), i + 1, 8), ' '))"
+    )
+
+    def _explode(df: DataFrame, *cols: str) -> DataFrame:
+        return (
+            df.filter(F.size(F.split("text", " ")) >= 8)
+            .select(*cols, F.explode(grams).alias("g"))
+        )
+
+    eval_grams = _explode(eval_df).select("g").distinct()
+    hits = (
+        _explode(train, "doc_id")
+        .join(F.broadcast(eval_grams), "g", "left_semi")
+        .select("doc_id")
+        .distinct()
+        .withColumn("__hit", F.lit(1))
+    )
+    return (
+        train.join(hits, "doc_id", "left")
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_train"),
+            F.sum(F.coalesce("__hit", F.lit(0))).cast("long").alias("n_contaminated"),
+            F.sum(
+                F.when(
+                    F.col("__hit").isNotNull() & (F.col("source") == "planted"), 1
+                ).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_planted_flagged"),
+        )
+        .orderBy("lang")
+    )
+
+
+@query(
+    "domain_mixture_sample",
+    """
+    WITH w(lang, w_bp) AS (
+      VALUES ('de', 1500), ('en', 4000), ('es', 1500),
+             ('fr', 1500), ('zh', 1500)
+    ),
+    tok AS (
+      SELECT lang,
+             CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS avail
+      FROM documents GROUP BY lang
+    ),
+    r AS (
+      SELECT t.lang, w.w_bp, t.avail,
+             least(10000, (20000 * w.w_bp) // t.avail) AS rate_bp
+      FROM tok t JOIN w USING (lang)
+    ),
+    s AS (
+      SELECT lang,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok,
+             ('0x' || substr(md5('mix1' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+               % 10000 AS bucket
+      FROM documents
+    )
+    SELECT r.lang,
+           CAST(r.w_bp AS BIGINT) AS target_w_bp,
+           r.avail AS available_tokens,
+           CAST(r.rate_bp AS BIGINT) AS rate_bp,
+           (r.rate_bp = 10000) AS deficit,
+           CAST(count(*) FILTER (WHERE s.bucket < r.rate_bp) AS BIGINT) AS n_sampled,
+           CAST(coalesce(sum(s.n_tok) FILTER (WHERE s.bucket < r.rate_bp), 0) AS BIGINT)
+             AS sampled_tokens
+    FROM s JOIN r USING (lang)
+    GROUP BY r.lang, r.w_bp, r.avail, r.rate_bp
+    ORDER BY r.lang
+    """,
+    survey="llm-mixture",
+    tags=("text-analysis",),
+)
+def domain_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dataset mixing — downsample each language toward a 20k-token
+    budget at target mixture en 40% / others 15% each
+    (operators/sampling.py:mixture_sample).  The report row per
+    domain: target weight, available tokens, the ALL-INTEGER sampling
+    rate (bit-identical across engines), the DEFICIT flag for domains
+    too small to fill their share (rate clamps at 10000 = keep all —
+    surfaced, never silently rebalanced), and what the deterministic
+    md5-bucket sample actually kept.
+
+    Scale: one |domains|-row token rollup broadcast back, then a
+    map-only hash filter — no RNG, no repartition; identical sample
+    membership at any partitioning or cluster size."""
+    from ..operators.sampling import mixture_plan, mixture_sample
+
+    docs = load_table(spark, sf_dir, "documents")
+    n_tok = F.size(F.split("text", " ")).cast("long")
+    weights = {"de": 1500, "en": 4000, "es": 1500, "fr": 1500, "zh": 1500}
+    with_tok = docs.withColumn("__n_tok", n_tok)
+    plan = mixture_plan(with_tok, "lang", weights, "__n_tok", 20_000)
+    sampled = mixture_sample(
+        with_tok,
+        domain_col="lang",
+        weights_bp=weights,
+        token_col="__n_tok",
+        budget_tokens=20_000,
+    )
+    stats = sampled.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n_sampled"),
+        F.sum("__n_tok").cast("long").alias("sampled_tokens"),
+    )
+    # report off the PLAN frame (every domain present), not the sampled
+    # rows — a domain that samples zero docs must still report its row
+    return (
+        plan.join(stats, "lang", "left")
+        .select(
+            "lang",
+            F.col("__w_bp").alias("target_w_bp"),
+            F.col("__avail_tokens").alias("available_tokens"),
+            F.col("__rate_bp").alias("rate_bp"),
+            (F.col("__rate_bp") == 10_000).alias("deficit"),
+            F.coalesce("n_sampled", F.lit(0)).cast("long").alias("n_sampled"),
+            F.coalesce("sampled_tokens", F.lit(0)).cast("long").alias("sampled_tokens"),
+        )
+        .orderBy("lang")
+    )
+
+
+@query(
+    "quality_threshold_by_quantile",
+    """
+    WITH q AS (
+      SELECT lang, doc_id,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok,
+             row_number() OVER (
+               PARTITION BY lang ORDER BY len(string_split(text, ' ')), doc_id
+             ) AS rn,
+             count(*) OVER (PARTITION BY lang) AS n
+      FROM documents
+    ),
+    cut AS (
+      SELECT lang, n_tok AS p75_cutoff, n AS n_docs
+      FROM q WHERE rn = (3 * n + 3) // 4
+    )
+    SELECT c.lang,
+           CAST(c.n_docs AS BIGINT) AS n_docs,
+           c.p75_cutoff,
+           CAST(count(*) FILTER (WHERE q.n_tok > c.p75_cutoff) AS BIGINT) AS n_above
+    FROM q JOIN cut c USING (lang)
+    GROUP BY c.lang, c.n_docs, c.p75_cutoff
+    ORDER BY c.lang
+    """,
+    survey="llm-quality-quantile",
+    tags=("text-analysis",),
+)
+def quality_threshold_by_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-driven quality gating: pick each language's keep threshold
+    from the score DISTRIBUTION (here: exact per-language p75 of token
+    count) instead of a global constant — the quantile-calibration
+    step quality classifiers need so small languages aren't filtered
+    by the dominant language's scale.
+
+    EXACT quantile by rank arithmetic (cutoff = value at row
+    ceil(3n/4), all-integer (3n+3) div 4 on both engines) — NOT
+    percentile_approx, whose sketch answer is engine-dependent and
+    would flake the cross-engine hash.  One window shuffle on lang +
+    one broadcast join of the 5-row cutoff frame; at 100 TB swap the
+    full sort-window for a per-domain TeraSort-style sampled
+    range-partition if a single language outgrows one executor's
+    sort spill."""
+    docs = load_table(spark, sf_dir, "documents")
+    n_tok = F.size(F.split("text", " ")).cast("long")
+    q = docs.select("lang", "doc_id", n_tok.alias("n_tok"))
+    w = Window.partitionBy("lang").orderBy("n_tok", "doc_id")
+    ranked = q.select(
+        "lang",
+        "n_tok",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(Window.partitionBy("lang")).alias("n"),
+    )
+    cut = (
+        ranked.filter(F.col("rn") == F.expr("(3 * n + 3) div 4"))
+        .select(
+            "lang",
+            F.col("n_tok").alias("p75_cutoff"),
+            F.col("n").cast("long").alias("n_docs"),
+        )
+    )
+    return (
+        q.join(F.broadcast(cut), "lang")
+        .groupBy("lang")
+        .agg(
+            F.first("n_docs").alias("n_docs"),
+            F.first("p75_cutoff").alias("p75_cutoff"),
+            F.sum((F.col("n_tok") > F.col("p75_cutoff")).cast("long"))
+            .cast("long")
+            .alias("n_above"),
+        )
+        .orderBy("lang")
+    )

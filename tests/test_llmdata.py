@@ -361,3 +361,64 @@ def test_connected_components_iteration_guard(spark):
     )
     with pytest.raises(RuntimeError, match="did not converge"):
         connected_components(edges, max_iters=2)
+
+
+def _mix_docs(spark, n=200):
+    rows = [(i, "dom_a" if i % 4 else "dom_b", 10 + (i % 7)) for i in range(n)]
+    return spark.createDataFrame(rows, ["doc_id", "domain", "n_tok"])
+
+
+def test_mixture_sample_deterministic_and_partition_independent(spark):
+    from real_estate_etl_dev_spark.operators.sampling import mixture_sample
+
+    docs = _mix_docs(spark)
+    kw = dict(
+        domain_col="domain",
+        weights_bp={"dom_a": 7000, "dom_b": 3000},
+        token_col="n_tok",
+        budget_tokens=500,
+    )
+    a = {r.doc_id for r in mixture_sample(docs, **kw).collect()}
+    b = {r.doc_id for r in mixture_sample(docs.repartition(13), **kw).collect()}
+    assert a == b and a, "sample membership must not depend on partitioning"
+
+
+def test_mixture_plan_deficit_clamps_not_rebalances(spark):
+    """A domain smaller than its target keeps everything (rate 10000)
+    and the surplus is NOT silently shifted to other domains."""
+    from real_estate_etl_dev_spark.operators.sampling import mixture_plan
+
+    docs = _mix_docs(spark)  # dom_b has ~50 docs * ~13 tok ≈ 650 tokens
+    plan = {
+        r.domain: r
+        for r in mixture_plan(
+            docs, "domain", {"dom_a": 2000, "dom_b": 8000}, "n_tok", 10_000
+        ).collect()
+    }
+    assert plan["dom_b"]["__rate_bp"] == 10_000  # wants 8000 tokens, has ~650
+    # dom_a's rate reflects ITS OWN 2000-bp target only
+    a = plan["dom_a"]
+    assert a["__rate_bp"] == min(10_000, 10_000 * 2000 // a["__avail_tokens"])
+
+
+def test_mixture_sample_tracks_target_shares(spark):
+    """With ample corpora the sampled token mass lands near the target
+    mixture (hash-uniformity, not exactness, is the contract)."""
+    from real_estate_etl_dev_spark.operators.sampling import mixture_sample
+
+    docs = _mix_docs(spark, n=2000)
+    out = (
+        mixture_sample(
+            docs,
+            domain_col="domain",
+            weights_bp={"dom_a": 5000, "dom_b": 5000},
+            token_col="n_tok",
+            budget_tokens=4000,
+        )
+        .groupBy("domain")
+        .agg(F.sum("n_tok").alias("tok"))
+        .collect()
+    )
+    got = {r.domain: r.tok for r in out}
+    for dom in ("dom_a", "dom_b"):
+        assert 0.7 * 2000 < got[dom] < 1.3 * 2000, got
