@@ -68,6 +68,11 @@ HEADLINE = [
     "multimodal_fake_features",    # multimodal plumbing
     "ml_region_prediction",        # ML pipeline
     "salted_skew_event_sums",      # skew-safe agg
+    "dedup_connected_components",  # dup-cluster graph resolution
+    "doc_decontaminate",           # eval n-gram overlap screen
+    "domain_mixture_sample",       # mixture re-weighting
+    "quality_threshold_by_quantile",  # exact quantile gates
+    "streaming_queue_status",      # stateful streaming queue
 ]
 
 

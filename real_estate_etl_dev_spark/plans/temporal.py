@@ -484,3 +484,131 @@ def streaming_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     schema = out.schema
     spark.catalog.dropTempView(name)
     return spark.createDataFrame(rows, schema)
+
+
+_QSTATUS_CASE_SQL = """
+      CASE event_type
+        WHEN 'purchase' THEN 'Sold'
+        WHEN 'error'    THEN 'Error'
+        ELSE 'Available'
+      END
+"""
+
+
+@query(
+    "streaming_queue_status",
+    f"""
+    WITH upd AS (
+      SELECT 'https://example.com/item/' || CAST(user_id AS VARCHAR) AS url,
+             {_QSTATUS_CASE_SQL} AS status
+      FROM events
+    ),
+    ranked AS (
+      SELECT url,
+             CASE status WHEN 'Available' THEN 0 WHEN 'Error' THEN 1
+                         WHEN 'Delisted' THEN 2 ELSE 3 END AS r
+      FROM upd
+    )
+    SELECT url,
+           CASE max(r) WHEN 0 THEN 'Available' WHEN 1 THEN 'Error'
+                       WHEN 2 THEN 'Delisted' ELSE 'Sold' END AS status,
+           CAST(count(*) AS BIGINT) AS n_events
+    FROM ranked GROUP BY url ORDER BY url
+    """,
+    survey="stream-stateful-queue",
+    tags=("streaming",),
+)
+def streaming_queue_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.12 CUSTOM stateful streaming operator, batch-certified: the
+    reference's per-url queue lifecycle (models/queue.py:5-13 — a url's
+    status escalates Available → Error → Delisted → Sold and never
+    de-escalates) runs as ``applyInPandasWithState`` keyed by url
+    (streaming/ingest.py:queue_status_stream), fed by a REAL
+    multi-micro-batch file stream (4 files, maxFilesPerTrigger=2, so
+    per-key state provably carries across batches).
+
+    The state transition is order-insensitive (max severity rank +
+    running event count), so the final state per url is expressible as
+    a batch aggregate — that equivalence IS the oracle: the streaming
+    fixpoint must equal DuckDB's batch max-rank/count per url exactly.
+    The update-mode memory sink retains one emitted row per (url,
+    micro-batch); the final state is recovered by the same monotone
+    max/count aggregates, which is how an idempotent upsert sink would
+    consume this stream in production.
+
+    Scale: state is one (status, count) pair per live url — bytes per
+    key; update-mode emission ships only touched keys per batch, and a
+    state-store TTL (GroupStateTimeout) would bound the key set on an
+    unbounded url space."""
+    import shutil
+    import tempfile
+    import uuid
+
+    from ..sources.readers import load_table
+    from ..streaming.ingest import queue_status_stream, stream_source
+
+    events = load_table(spark, sf_dir, "events")
+    updates = events.select(
+        F.concat(
+            F.lit("https://example.com/item/"), F.col("user_id").cast("string")
+        ).alias("url"),
+        F.expr(_QSTATUS_CASE_SQL).alias("status"),
+    )
+
+    workdir = tempfile.mkdtemp(prefix="stream_qs_")
+    drop_dir = f"{workdir}/updates"
+    checkpoint = f"{workdir}/checkpoint"
+    updates.repartition(4).write.parquet(drop_dir)
+
+    stream = stream_source(
+        spark, drop_dir, updates.schema, fmt="parquet", maxFilesPerTrigger=2
+    )
+    states = queue_status_stream(stream)
+    name = f"sqs_{uuid.uuid4().hex[:8]}"
+    # The stateful operator's partition count is fixed per checkpoint
+    # at first run; each partition costs a Python-worker round-trip
+    # PER MICRO-BATCH.  The fixture has ~150 keys, so 8 state
+    # partitions (vs the session's 32) cut worker round-trips 4× with
+    # zero skew risk; a real deployment sizes this to its key
+    # cardinality before the first checkpoint write.  Save/restore the
+    # session conf — only this stream should see it.
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        q = (
+            states.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("update")
+            .option("checkpointLocation", checkpoint)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+        shutil.rmtree(workdir, ignore_errors=True)
+
+    rank = F.expr(
+        "CASE status WHEN 'Available' THEN 0 WHEN 'Error' THEN 1"
+        " WHEN 'Delisted' THEN 2 ELSE 3 END"
+    )
+    out = (
+        spark.table(name)
+        .select("url", rank.alias("r"), "n_events")
+        .groupBy("url")
+        .agg(
+            F.expr(
+                "CASE max(r) WHEN 0 THEN 'Available' WHEN 1 THEN 'Error'"
+                " WHEN 2 THEN 'Delisted' ELSE 'Sold' END"
+            ).alias("status"),
+            F.max("n_events").cast("long").alias("n_events"),
+        )
+        .orderBy("url")
+    )
+    # Materialize then DROP the memory-sink view (same posture as
+    # streaming_windowed_counts): the sink rows are already
+    # driver-resident and bounded by |urls| × |micro-batches|.
+    rows = out.collect()
+    schema = out.schema
+    spark.catalog.dropTempView(name)
+    return spark.createDataFrame(rows, schema)

@@ -1,0 +1,59 @@
+#!/usr/bin/env python
+"""Regenerate COVERAGE.md's driver-certification-age table from the
+committed CORRECTNESS_r*.json artifacts and the data-driven window
+(plans/catalog.py:front_window) — the same inputs the rotation uses,
+so the table can't drift from the behavior.
+
+Usage: python scripts/cert_age.py   (prints the markdown section)
+"""
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from real_estate_etl_dev_spark.plans.catalog import (  # noqa: E402
+    CATALOG,
+    _cert_history,
+    front_window,
+)
+
+
+def main() -> None:
+    hist = _cert_history()
+    window = set(front_window())
+    never = [n for n in CATALOG if n not in hist]
+    by_round: dict[int, int] = {}
+    for n in CATALOG:
+        if n in hist:
+            by_round[hist[n]] = by_round.get(hist[n], 0) + 1
+    summary = ", ".join(
+        f"{c} latest-green r{r:02d}" for r, c in sorted(by_round.items())
+    )
+    print("## Driver-certification age (generated: scripts/cert_age.py)")
+    print()
+    print(
+        "The driver certifies the first 50 registered queries each round;\n"
+        "the window is computed (plans/catalog.py:front_window) as: smoke\n"
+        "gate, then never-certified, then forced canaries, then oldest\n"
+        "latest-green first.  Regenerate this section after adding queries\n"
+        "or when a new CORRECTNESS artifact lands."
+    )
+    print()
+    print(
+        f"Summary: {len(CATALOG)} catalog queries — {summary}, "
+        f"{len(never)} never certified "
+        f"({', '.join(never) if never else '—'}). "
+        f"{sum(1 for n in CATALOG if n in window)} in this round's window."
+    )
+    print()
+    print("| query | latest green | in current window |")
+    print("|---|---|---|")
+    for n in CATALOG:
+        age = f"r{hist[n]:02d}" if n in hist else "never"
+        print(f"| `{n}` | {age} | {'yes' if n in window else 'no'} |")
+
+
+if __name__ == "__main__":
+    main()

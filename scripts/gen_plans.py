@@ -21,6 +21,12 @@ SF_DIR = os.environ.get("SPARK_GRAFT_PLANS_SF_DIR", "/root/testdata/sf0.001")
 # (query, what to look for in the plan)
 SHOWCASE = [
     (
+        "doc_decontaminate",
+        "Eval suite collapses to distinct 8-grams and BROADCASTS into a "
+        "left-semi probe of the exploded corpus grams — the corpus side "
+        "is never shuffled on the gram key.",
+    ),
+    (
         "monthly_order_counts",
         "Scan reads ONE column (ReadSchema) and the partial_count runs "
         "map-side before the 24-key exchange.",

@@ -240,3 +240,23 @@ def test_bucketed_merge_eliminates_exchanges(spark, sf_dir):
     )
     plan_c = control._jdf.queryExecution().executedPlan().toString()
     assert plan_c.count("Exchange") >= 2  # both sides shuffle unbucketed
+
+
+def test_decontaminate_broadcasts_eval_grams(spark, sf_dir):
+    """doc_decontaminate: the eval side must collapse to distinct
+    grams and BROADCAST into a left-semi probe — the corpus-side
+    exploded grams must never be sort-merge-shuffled on the gram key
+    (that exchange is the 100 TB killer: |corpus| × ~|words| rows)."""
+    plan = plan_of(spark, sf_dir, "doc_decontaminate")
+    assert "BroadcastHashJoin" in plan and "LeftSemi" in plan
+    for ln in plan.splitlines():
+        if "SortMergeJoin" in ln:
+            assert "[g" not in ln, f"gram probe shuffled: {ln}"
+
+
+def test_mixture_sample_broadcasts_rate_frame(spark, sf_dir):
+    """domain_mixture_sample: the per-domain rate frame (|domains|
+    rows) broadcasts back onto the corpus; the corpus itself is never
+    repartitioned for the sampling filter."""
+    plan = plan_of(spark, sf_dir, "domain_mixture_sample")
+    assert "BroadcastHashJoin" in plan
