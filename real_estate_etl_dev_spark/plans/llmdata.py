@@ -1617,3 +1617,112 @@ def quality_threshold_by_quantile(spark: SparkSession, sf_dir: str) -> DataFrame
         )
         .orderBy("lang")
     )
+
+
+@query(
+    "dedup_semantic_keepers",
+    """
+    WITH RECURSIVE base AS (
+      SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ),
+    corpus AS (
+      SELECT * FROM base
+      UNION ALL
+      SELECT vec_id + 1000000 AS vec_id, label,
+             list_transform(v, x -> x * 1.0 + 0.02) AS v
+      FROM base WHERE vec_id % 20 = 0
+    ),
+    pairs AS (
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b
+      FROM corpus a JOIN corpus b
+        ON a.label = b.label AND a.vec_id < b.vec_id
+      WHERE round(list_cosine_similarity(a.v, b.v), 6) >= 0.9
+    ),
+    nodes AS (SELECT id_a AS node FROM pairs UNION SELECT id_b FROM pairs),
+    reach(node, lbl) AS (
+      SELECT node, node FROM nodes
+      UNION
+      SELECT CASE WHEN r.node = p.id_a THEN p.id_b ELSE p.id_a END, r.lbl
+      FROM reach r JOIN pairs p ON r.node = p.id_a OR r.node = p.id_b
+    ),
+    assign AS (SELECT node, min(lbl) AS comp FROM reach GROUP BY node),
+    cstat AS (
+      SELECT c.label,
+             CAST(count(*) AS BIGINT) AS n_in_dup_clusters,
+             CAST(count(DISTINCT a.comp) AS BIGINT) AS n_clusters
+      FROM assign a JOIN corpus c ON a.node = c.vec_id
+      GROUP BY c.label
+    ),
+    tot AS (
+      SELECT label, CAST(count(*) AS BIGINT) AS n_vectors
+      FROM corpus GROUP BY label
+    )
+    SELECT t.label,
+           t.n_vectors,
+           CAST(coalesce(s.n_in_dup_clusters, 0) AS BIGINT) AS n_in_dup_clusters,
+           CAST(coalesce(s.n_clusters, 0) AS BIGINT) AS n_clusters,
+           CAST(t.n_vectors - (coalesce(s.n_in_dup_clusters, 0)
+                               - coalesce(s.n_clusters, 0)) AS BIGINT) AS n_kept
+    FROM tot t LEFT JOIN cstat s USING (label)
+    ORDER BY t.label
+    """,
+    survey="llm-dedup-semantic",
+    tags=("llm-dedup",),
+)
+def dedup_semantic_keepers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic dedup, end-to-end (the SemDeDup family: embedding-
+    space near-duplicates pruned down to one representative per
+    semantic CLUSTER, not per pair): cosine near-dup pairs inside
+    label blocks → connected components over the REAL similarity
+    edges (not planted chains) → keep the min-id representative per
+    cluster.  Per label: corpus size, vectors caught in dup clusters,
+    cluster count, and survivors after keep-one-per-cluster.
+
+    Composition of two certified stages: the pair generator is
+    ``embedding_near_dup_pairs`` (blocked exact baseline; at 100 TB
+    the block key comes from LSH/IVF bucketing with this cosine as
+    verify), and the cluster resolution is
+    ``operators/dedup.py:connected_components`` (diameter-bounded
+    min-label propagation).  Edges never cross label blocks, so
+    components inherit their members' label safely."""
+    pairs = embedding_near_dup_pairs(spark, sf_dir).select("id_a", "id_b")
+    comp = connected_components(pairs, src="id_a", dst="id_b")
+
+    base = load_table(spark, sf_dir, "embeddings").select("vec_id", "label")
+    corpus = base.unionByName(
+        base.filter(F.col("vec_id") % 20 == 0).select(
+            (F.col("vec_id") + 1_000_000).alias("vec_id"), "label"
+        )
+    )
+    cstat = (
+        comp.join(corpus, comp["node"] == corpus["vec_id"])
+        .groupBy("label")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_in_dup_clusters"),
+            F.countDistinct("comp").cast("long").alias("n_clusters"),
+        )
+    )
+    tot = corpus.groupBy("label").agg(
+        F.count(F.lit(1)).cast("long").alias("n_vectors")
+    )
+    return (
+        tot.join(cstat, "label", "left")
+        .select(
+            "label",
+            "n_vectors",
+            F.coalesce("n_in_dup_clusters", F.lit(0))
+            .cast("long")
+            .alias("n_in_dup_clusters"),
+            F.coalesce("n_clusters", F.lit(0)).cast("long").alias("n_clusters"),
+            (
+                F.col("n_vectors")
+                - (
+                    F.coalesce("n_in_dup_clusters", F.lit(0))
+                    - F.coalesce("n_clusters", F.lit(0))
+                )
+            )
+            .cast("long")
+            .alias("n_kept"),
+        )
+        .orderBy("label")
+    )
