@@ -69,6 +69,7 @@ HEADLINE = [
     "ml_region_prediction",        # ML pipeline
     "salted_skew_event_sums",      # skew-safe agg
     "dedup_connected_components",  # dup-cluster graph resolution
+    "dedup_semantic_keepers",      # semantic dedup end-to-end
     "doc_decontaminate",           # eval n-gram overlap screen
     "domain_mixture_sample",       # mixture re-weighting
     "quality_threshold_by_quantile",  # exact quantile gates
