@@ -1726,3 +1726,99 @@ def dedup_semantic_keepers(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("label")
     )
+
+
+@query(
+    "source_cap_filter",
+    """
+    WITH ranked AS (
+      SELECT source, n_chars, doc_id,
+             row_number() OVER (
+               PARTITION BY source ORDER BY n_chars DESC, doc_id
+             ) AS rn
+      FROM documents
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(CASE WHEN rn <= 12 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+           CAST(sum(CASE WHEN rn > 12 THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped
+    FROM ranked GROUP BY source HAVING count(*) > 12 ORDER BY source
+    """,
+    survey="llm-source-cap",
+    tags=("text-analysis",),
+)
+def source_cap_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Over-represented-source suppression: cap each source at 12 docs,
+    keeping the highest-value ones (longest first, id tie-break) — the
+    frequency-cap filter that stops one crawl domain from dominating a
+    mixture (boilerplate-heavy sites produce millions of near-identical
+    pages that survive dedup).  Reports only the sources the cap
+    actually bites (HAVING > cap) so the audit output is the action
+    list, not the whole source universe.
+
+    One window shuffle on source; the rank is per-source, so skew is
+    bounded by the hottest source — exactly the thing this filter
+    exists to remove, and the same salting posture as
+    token_budget_sample applies if a single source floods a reducer
+    before the cap lands."""
+    docs = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("source").orderBy(F.col("n_chars").desc(), "doc_id")
+    cap = 12
+    ranked = docs.select(
+        "source", F.row_number().over(w).alias("rn")
+    )
+    return (
+        ranked.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum((F.col("rn") <= cap).cast("long")).cast("long").alias("n_kept"),
+            F.sum((F.col("rn") > cap).cast("long")).cast("long").alias("n_dropped"),
+        )
+        .filter(F.col("n_docs") > cap)
+        .orderBy("source")
+    )
+
+
+@query(
+    "corpus_shuffle_order",
+    """
+    WITH ordered AS (
+      SELECT doc_id, lang,
+             md5('shuf1' || CAST(doc_id AS VARCHAR)) AS k
+      FROM documents
+    )
+    SELECT CAST(row_number() OVER (ORDER BY k, doc_id) AS BIGINT) AS pos,
+           doc_id, lang
+    FROM ordered
+    ORDER BY pos LIMIT 100
+    """,
+    survey="llm-shuffle-order",
+    tags=("text-analysis",),
+)
+def corpus_shuffle_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic global training order: rank the corpus by
+    md5(salt ‖ id) — a reproducible pseudo-random permutation that
+    interleaves domains/sources, replayable on any engine or cluster
+    size (randomSplit/shuffle cannot promise that) and re-cuttable
+    from any position for resumed training.  First 100 positions
+    certified cross-engine.
+
+    Scale: the md5 key is map-side; the global rank at 100 TB is a
+    TeraSort-style range partition on the key (sample split points,
+    range-exchange, per-partition offsets from partition counts) —
+    the LIMIT form here keeps the certified slice a single
+    TakeOrdered, no full materialized sort."""
+    docs = load_table(spark, sf_dir, "documents")
+    k = F.md5(F.concat(F.lit("shuf1"), F.col("doc_id").cast("string")).cast("binary"))
+    # Take the 100-row slice FIRST (TakeOrderedAndProject — distributed
+    # top-k, no full sort), then rank inside the bounded slice.  The
+    # global window therefore runs over exactly 100 rows; it is on the
+    # plan-invariant allowlist for that reason.
+    top = docs.select("doc_id", "lang", k.alias("k")).orderBy("k", "doc_id").limit(100)
+    w = Window.orderBy("k", "doc_id")
+    return (
+        top.select(
+            F.row_number().over(w).cast("long").alias("pos"), "doc_id", "lang"
+        )
+        .orderBy("pos")
+    )

@@ -152,3 +152,38 @@ def test_repetition_dup_frac_bounded(spark, texts):
     )
     vals = [r["f"] for r in d.select(dup_frac.alias("f")).collect()]
     assert all(v is not None and 0.0 <= v <= 1.0 for v in vals), vals
+
+
+edge_lists = st.lists(
+    st.tuples(st.integers(0, 15), st.integers(0, 15)).filter(lambda e: e[0] != e[1]),
+    min_size=1,
+    max_size=20,
+)
+
+
+@given(edges=edge_lists)
+@H
+def test_connected_components_matches_union_find(spark, edges):
+    """For ANY edge list hypothesis builds, the distributed min-label
+    propagation must produce exactly the union-find components keyed
+    by min member (16-node graphs: diameter < default max_iters)."""
+    from real_estate_etl_dev_spark.operators.dedup import connected_components
+
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    want = {n: find(n) for n in parent}
+
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {r.node: r.comp for r in connected_components(df).collect()}
+    assert got == want
