@@ -1,0 +1,88 @@
+#!/usr/bin/env python
+"""Dedup-family scale probe BEYOND the largest test zone: replicate the
+sf0.1 documents corpus k× (per-replica id offset + a per-replica
+suffix word, so replicas are NEAR-dups, not byte-dups) and measure the
+exact-dedup, MinHash-banding, and connected-components stages at
+5k → 160k docs on the same box.
+
+The point is the GROWTH SHAPE, not the absolute numbers: each stage's
+wall-clock should grow ~linearly with corpus size (hash-partitioned
+shuffles, bounded buckets, diameter-bounded iteration) — a
+super-linear bend would flag a pair explosion or a hot bucket the
+audits missed.
+
+Run:  python scripts/scale_probe.py   (prints a markdown table;
+      paste/update SCALE.md §5's measured block)
+"""
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from real_estate_etl_dev_spark.session import get_spark  # noqa: E402
+from real_estate_etl_dev_spark.operators.dedup import (  # noqa: E402
+    connected_components,
+    dedup_exact_groups,
+    dedup_minhash_pairs,
+)
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def replicated(spark, k: int):
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    reps = spark.range(k).select(F.col("id").alias("rep"))
+    return (
+        docs.crossJoin(reps)  # k-row side: replica fan-out, not a pair join
+        .select(
+            (F.col("doc_id") + F.col("rep") * 10_000_000).alias("doc_id"),
+            F.when(F.col("rep") == 0, F.col("text"))
+            .otherwise(F.concat(F.col("text"), F.lit(" rep"), F.col("rep")))
+            .alias("text"),
+        )
+    )
+
+
+def main() -> None:
+    spark = get_spark("scale-probe")
+    spark.sparkContext.setLogLevel("ERROR")
+    print("| docs | exact-dedup s | minhash-pairs s (pairs) | cc s (comps) |")
+    print("|---|---|---|---|")
+    for k in (1, 4, 16, 32):
+        corpus = replicated(spark, k).localCheckpoint()  # time stages, not the fan-out
+        n = corpus.count()
+
+        t0 = time.perf_counter()
+        dedup_exact_groups(corpus).count()
+        t_exact = time.perf_counter() - t0
+
+        t0 = time.perf_counter()
+        pairs = dedup_minhash_pairs(
+            corpus, threshold=0.5, seed=42, shingle_n=3, num_hashes=3,
+            max_bucket=64,
+        ).select("id_a", "id_b").localCheckpoint()
+        n_pairs = pairs.count()
+        t_mh = time.perf_counter() - t0
+
+        t0 = time.perf_counter()
+        n_comp = connected_components(pairs, "id_a", "id_b").select(
+            "comp"
+        ).distinct().count()
+        t_cc = time.perf_counter() - t0
+
+        print(
+            f"| {n:,} | {t_exact:.1f} | {t_mh:.1f} ({n_pairs:,}) "
+            f"| {t_cc:.1f} ({n_comp:,}) |",
+            flush=True,
+        )
+
+
+if __name__ == "__main__":
+    main()
