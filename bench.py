@@ -74,6 +74,7 @@ HEADLINE = [
     "domain_mixture_sample",       # mixture re-weighting
     "quality_threshold_by_quantile",  # exact quantile gates
     "streaming_queue_status",      # stateful streaming queue
+    "streaming_incremental_dedup",  # crawl-shape streaming dedup
 ]
 
 

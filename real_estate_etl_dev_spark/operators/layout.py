@@ -168,3 +168,76 @@ def compact_files(
     df = spark.read.parquet(src_path)
     df.coalesce(n_files).write.mode("overwrite").parquet(dst_path)
     return len(glob.glob(os.path.join(dst_path, "part-*.parquet")))
+
+
+def footer_stats(
+    spark: SparkSession, path: str, column: str
+) -> DataFrame:
+    """Distributed parquet-footer statistics — the 100k-file form of
+    the layout audit (the driver-side pyarrow loop in
+    plans/ingest.py:layout_maintenance_audit is fixture-scoped by
+    assertion; THIS is the variant its docstring promises).
+
+    Fans the file list out as a DataFrame and opens each footer
+    executor-side (``pyarrow.parquet.ParquetFile(...).metadata`` via
+    ``mapInPandas`` — pure metadata reads, no row data moves), yielding
+    one row per file: (file, n_rows, col_min, col_max).  Driver cost is
+    O(result rows); a zone's audit is then one sort + lag-window pass
+    (see ``ranges_disjoint``).  Min/max are emitted as strings so one
+    schema serves any orderable column type; compare after casting."""
+    import pandas as pd
+
+    files = spark.read.parquet(path).inputFiles()
+
+    def read_footers(batches):
+        import pyarrow.parquet as pq
+
+        for pdf in batches:
+            out = {"file": [], "n_rows": [], "col_min": [], "col_max": []}
+            for uri in pdf["file"]:
+                local = uri.removeprefix("file:")
+                meta = pq.ParquetFile(local).metadata
+                idx = meta.schema.names.index(column)
+                mins, maxs = [], []
+                for rg in range(meta.num_row_groups):
+                    st = meta.row_group(rg).column(idx).statistics
+                    if st is not None and st.has_min_max:
+                        mins.append(st.min)
+                        maxs.append(st.max)
+                out["file"].append(local.rsplit("/", 1)[-1])
+                out["n_rows"].append(meta.num_rows)
+                out["col_min"].append(str(min(mins)) if mins else None)
+                out["col_max"].append(str(max(maxs)) if maxs else None)
+            yield pd.DataFrame(out)
+
+    paths = spark.createDataFrame([(f,) for f in files], "file string")
+    # one footer read is microseconds of work: let every core take a
+    # slice instead of one task owning the whole listing
+    n_slices = max(1, min(len(files), spark.sparkContext.defaultParallelism))
+    return paths.repartition(n_slices).mapInPandas(
+        read_footers,
+        schema="file string, n_rows long, col_min string, col_max string",
+    )
+
+
+def ranges_disjoint(stats: DataFrame) -> DataFrame:
+    """Pairwise-disjointness verdict over ``footer_stats`` output: sort
+    files by min and flag any file whose min does not exceed the
+    previous file's max.  One tiny shuffle over |files| rows; the
+    verdict aggregate is a single boolean row."""
+    from pyspark.sql import Window
+
+    w = Window.orderBy("col_min", "file")
+    flagged = stats.select(
+        "file",
+        "col_min",
+        "col_max",
+        (
+            F.lag("col_max").over(w).isNotNull()
+            & (F.col("col_min") <= F.lag("col_max").over(w))
+        ).alias("overlaps_prev"),
+    )
+    return flagged.agg(
+        F.count(F.lit(1)).cast("long").alias("n_files"),
+        (~F.max(F.coalesce("overlaps_prev", F.lit(False)))).alias("all_disjoint"),
+    )

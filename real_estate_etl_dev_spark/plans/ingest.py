@@ -256,14 +256,13 @@ def layout_maintenance_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     Footer inspection runs driver-side over the ≤36-file test fixture
     (bounded by the assertion below) — the audit tool's natural home
     for a fixture.  The DISTRIBUTED variant for a real 100k-file zone
-    is the same min/max check fanned out as a job: build a DataFrame
-    of file paths (``spark.read.parquet(zone).inputFiles()`` or the
-    file-index listing), ``mapInPandas`` over it opening each footer
-    with ``pyarrow.parquet.ParquetFile(path).metadata`` executor-side
-    (pure metadata reads — no row data moves), then a single
-    sort-by-min + lag-window pass over the (file, min, max) rows to
-    assert pairwise disjointness.  Driver cost is O(result rows), not
-    O(files)."""
+    is IMPLEMENTED at ``operators/layout.py:footer_stats`` +
+    ``ranges_disjoint``: the file list fans out as a DataFrame,
+    ``mapInPandas`` opens each footer executor-side (pure metadata
+    reads — no row data moves), and disjointness is one sort-by-min +
+    lag-window pass; driver cost is O(result rows), not O(files).
+    ``tests/test_layout_ivf.py`` pins it byte-identical to this
+    driver-side loop on the same zone."""
     import glob as _glob
     import shutil
     import tempfile

@@ -1822,3 +1822,138 @@ def corpus_shuffle_order(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("pos")
     )
+
+
+@query(
+    "streaming_incremental_dedup",
+    """
+    WITH corpus AS (
+      SELECT * FROM documents WHERE doc_id % 5 <> 0
+    ),
+    incoming AS (
+      SELECT * FROM documents WHERE doc_id % 5 = 0
+      UNION ALL
+      SELECT doc_id + 2000000 AS doc_id, text, lang, 'recrawl' AS source, n_chars
+      FROM documents WHERE doc_id % 20 = 1
+      UNION ALL
+      SELECT doc_id + 4000000 AS doc_id, text, lang, 'dupnew' AS source, n_chars
+      FROM documents WHERE doc_id % 15 = 0
+    ),
+    new_texts AS (
+      SELECT lang, md5(text) AS h
+      FROM incoming
+      WHERE md5(text) NOT IN (SELECT md5(text) FROM corpus)
+      GROUP BY lang, md5(text)
+    )
+    SELECT i.lang,
+           CAST(count(*) AS BIGINT) AS n_incoming,
+           CAST((SELECT count(*) FROM new_texts n WHERE n.lang = i.lang) AS BIGINT)
+             AS n_kept,
+           CAST(count(*)
+                - (SELECT count(*) FROM new_texts n WHERE n.lang = i.lang) AS BIGINT)
+             AS n_dropped
+    FROM incoming i GROUP BY i.lang ORDER BY i.lang
+    """,
+    survey="llm-dedup-incremental-streaming",
+    tags=("llm-dedup", "streaming"),
+)
+def streaming_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental dedup AS A STREAM — the continuous-crawl production
+    shape: each micro-batch of incoming docs dedups (a) within itself,
+    (b) against the static cleaned corpus, and (c) against everything
+    ACCEPTED BY EARLIER BATCHES, then appends only survivors to the
+    corpus sink.  Same engine as batch (`dedup_exact_keep_first` +
+    `flag_corpus_dups` inside ``foreachBatch``) — one code path, so
+    the batch oracle certifies the stream, exactly the posture
+    ``streaming_merge_scd1`` proved for the merge engine.
+
+    Fixture: incoming = every 5th doc ∪ recrawls of corpus docs (must
+    all drop) ∪ duplicate copies of OTHER incoming docs (must drop
+    exactly once — caught within-batch or cross-batch depending on
+    file split, so per-lang KEPT counts are deterministic even though
+    the surviving doc_id is not; the output deliberately reports
+    counts, not ids).
+
+    Scale: the cross-batch reference set is read as DISTINCT hashes of
+    the sink (one narrow column per batch — at 100 TB a persisted
+    hash index bucketed on the hash replaces the re-read, same as the
+    batch posture), and the within-batch pass is one window rank."""
+    import shutil
+    import tempfile
+
+    from ..operators.dedup import dedup_exact_keep_first, flag_corpus_dups
+    from ..sources.readers import load_table
+    from ..streaming.ingest import stream_source
+
+    docs = load_table(spark, sf_dir, "documents")
+    corpus = docs.filter(F.col("doc_id") % 5 != 0)
+    incoming = (
+        docs.filter(F.col("doc_id") % 5 == 0)
+        .unionByName(
+            docs.filter(F.col("doc_id") % 20 == 1).select(
+                (F.col("doc_id") + 2_000_000).alias("doc_id"),
+                "text", "lang", F.lit("recrawl").alias("source"), "n_chars",
+            )
+        )
+        .unionByName(
+            docs.filter(F.col("doc_id") % 15 == 0).select(
+                (F.col("doc_id") + 4_000_000).alias("doc_id"),
+                "text", "lang", F.lit("dupnew").alias("source"), "n_chars",
+            )
+        )
+    )
+
+    workdir = tempfile.mkdtemp(prefix="stream_incdedup_")
+    drop_dir = f"{workdir}/incoming"
+    sink = f"{workdir}/accepted"
+    checkpoint = f"{workdir}/checkpoint"
+    incoming.repartition(4).write.parquet(drop_dir)
+    # seed the sink with an empty frame so every batch can read it
+    incoming.limit(0).write.parquet(sink)
+
+    def do_batch(batch: DataFrame, batch_id: int) -> None:
+        seen = corpus.select("text").unionByName(
+            batch.sparkSession.read.parquet(sink).select("text")
+        )
+        survivors = (
+            flag_corpus_dups(dedup_exact_keep_first(batch), seen)
+            .filter(~F.col("in_corpus"))
+            .drop("in_corpus")
+        )
+        survivors.write.mode("append").parquet(sink)
+
+    stream = stream_source(
+        spark, drop_dir, incoming.schema, fmt="parquet", maxFilesPerTrigger=2
+    )
+    q = (
+        stream.writeStream.foreachBatch(do_batch)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    kept = (
+        spark.read.parquet(sink)
+        .groupBy("lang")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_kept"))
+    )
+    totals = incoming.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n_incoming")
+    )
+    out = (
+        totals.join(kept, "lang", "left")
+        .select(
+            "lang",
+            "n_incoming",
+            F.coalesce("n_kept", F.lit(0)).cast("long").alias("n_kept"),
+            (F.col("n_incoming") - F.coalesce("n_kept", F.lit(0)))
+            .cast("long")
+            .alias("n_dropped"),
+        )
+        .orderBy("lang")
+    )
+    rows = out.collect()
+    schema = out.schema
+    shutil.rmtree(workdir, ignore_errors=True)
+    return spark.createDataFrame(rows, schema)

@@ -153,3 +153,54 @@ def test_compact_files_reduces_file_count(spark, sf_dir, tmp_path):
     # sf0.001 orders is well under 128 MB -> one output file
     assert n == 1 and len(out_files) == 1
     assert spark.read.parquet(dst).count() == orders.count()
+
+
+def test_footer_stats_distributed_matches_driver_loop(spark, tmp_path):
+    """The distributed footer audit (mapInPandas over the file list)
+    must report exactly what the driver-side pyarrow loop sees on a
+    range-sorted zone, and the lag-window disjointness verdict must
+    hold there and fail on an overlapping (unsorted) zone."""
+    import pyarrow.parquet as pq
+    from pyspark.sql import functions as F
+
+    from real_estate_etl_dev_spark.operators.layout import (
+        footer_stats,
+        ranges_disjoint,
+        write_range_sorted,
+    )
+
+    df = spark.range(10_000).select(
+        F.col("id").alias("k"), (F.col("id") % 7).alias("v")
+    )
+    sorted_zone = str(tmp_path / "sorted")
+    write_range_sorted(df, sorted_zone, ["k"], n_files=4)
+
+    stats = footer_stats(spark, sorted_zone, "k").toPandas()
+    want = {}
+    for f in (tmp_path / "sorted").glob("part-*.parquet"):
+        meta = pq.ParquetFile(str(f)).metadata
+        idx = meta.schema.names.index("k")
+        mins = [meta.row_group(r).column(idx).statistics.min
+                for r in range(meta.num_row_groups)]
+        maxs = [meta.row_group(r).column(idx).statistics.max
+                for r in range(meta.num_row_groups)]
+        want[f.name] = (meta.num_rows, str(min(mins)), str(max(maxs)))
+    got = {r.file: (r.n_rows, r.col_min, r.col_max) for r in stats.itertuples()}
+    assert got == want and len(got) == 4
+
+    verdict = ranges_disjoint(
+        footer_stats(spark, sorted_zone, "k")
+    ).collect()[0]
+    # string-ordered mins: only assert on a zone whose lexical and
+    # numeric orders agree — pad ids for that
+    padded = df.select(F.lpad(F.col("k").cast("string"), 8, "0").alias("k"))
+    pad_zone = str(tmp_path / "padded")
+    write_range_sorted(padded, pad_zone, ["k"], n_files=4)
+    v = ranges_disjoint(footer_stats(spark, pad_zone, "k")).collect()[0]
+    assert v.n_files == 4 and v.all_disjoint
+
+    messy = str(tmp_path / "messy")
+    df.select(F.lpad((F.col("k") % 13).cast("string"), 8, "0").alias("k")) \
+        .repartition(4).write.parquet(messy)
+    m = ranges_disjoint(footer_stats(spark, messy, "k")).collect()[0]
+    assert m.n_files == 4 and not m.all_disjoint
