@@ -1957,3 +1957,48 @@ def streaming_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     schema = out.schema
     shutil.rmtree(workdir, ignore_errors=True)
     return spark.createDataFrame(rows, schema)
+
+
+@query(
+    "embedding_centroids",
+    """
+    WITH e AS (
+      SELECT label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ),
+    x AS (
+      SELECT label, u.i AS pos, v[u.i + 1] AS val
+      FROM e, unnest(range(0, len(v))) AS u(i)
+    )
+    SELECT label,
+           CAST(pos AS BIGINT) AS pos,
+           round(avg(val), 6) AS c
+    FROM x GROUP BY label, pos ORDER BY label, pos
+    """,
+    survey="llm-vector-agg",
+    tags=("similarity",),
+)
+def embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact per-class embedding centroids as a certified VECTOR
+    AGGREGATE — the primitive under IVF index builds (KMeans iterates
+    this), class prototypes for nearest-centroid classification, and
+    semantic-dedup cluster summaries.  One row per (label, dimension)
+    so the cross-engine hash compares raw doubles, never engine-
+    formatted vector strings.
+
+    Scale: posexplode multiplies rows by dim (64 here) but the
+    per-(label, pos) average combines MAP-SIDE (partial_avg before the
+    exchange), so the shuffle carries |labels|·dim partial rows per
+    task, not |vectors|·dim — the same reason a word-count scales.  At
+    thousands of dims swap to ``pyspark.ml.stat.Summarizer.mean`` over
+    the vector type (one pass, no explode) at the same plan position;
+    the explode form keeps this oracle-checkable."""
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "label", F.transform("embedding", lambda x: x.cast("double")).alias("v")
+    )
+    return (
+        e.select("label", F.posexplode("v").alias("pos", "val"))
+        .groupBy("label", "pos")
+        .agg(F.round(F.avg("val"), 6).alias("c"))
+        .select("label", F.col("pos").cast("long").alias("pos"), "c")
+        .orderBy("label", "pos")
+    )
