@@ -190,13 +190,21 @@ def footer_stats(
     files = spark.read.parquet(path).inputFiles()
 
     def read_footers(batches):
+        import pyarrow.fs as pafs
         import pyarrow.parquet as pq
 
         for pdf in batches:
             out = {"file": [], "n_rows": [], "col_min": [], "col_max": []}
             for uri in pdf["file"]:
-                local = uri.removeprefix("file:")
-                meta = pq.ParquetFile(local).metadata
+                # inputFiles() yields scheme-prefixed URIs (file:, hdfs:,
+                # s3a:, ...) — dispatch through pyarrow's FileSystem so
+                # the audit works on any store, not just local paths.
+                try:
+                    fs, fpath = pafs.FileSystem.from_uri(uri)
+                    meta = pq.ParquetFile(fs.open_input_file(fpath)).metadata
+                except (pafs.lib.ArrowInvalid, ValueError):
+                    fpath = uri.removeprefix("file:")
+                    meta = pq.ParquetFile(fpath).metadata
                 idx = meta.schema.names.index(column)
                 mins, maxs = [], []
                 for rg in range(meta.num_row_groups):
@@ -204,7 +212,7 @@ def footer_stats(
                     if st is not None and st.has_min_max:
                         mins.append(st.min)
                         maxs.append(st.max)
-                out["file"].append(local.rsplit("/", 1)[-1])
+                out["file"].append(fpath.rsplit("/", 1)[-1])
                 out["n_rows"].append(meta.num_rows)
                 out["col_min"].append(str(min(mins)) if mins else None)
                 out["col_max"].append(str(max(maxs)) if maxs else None)
@@ -220,24 +228,40 @@ def footer_stats(
     )
 
 
-def ranges_disjoint(stats: DataFrame) -> DataFrame:
+def ranges_disjoint(stats: DataFrame, cast_to: str = "string") -> DataFrame:
     """Pairwise-disjointness verdict over ``footer_stats`` output: sort
     files by min and flag any file whose min does not exceed the
     previous file's max.  One tiny shuffle over |files| rows; the
-    verdict aggregate is a single boolean row."""
+    verdict aggregate is a single row.
+
+    ``cast_to`` MUST name the sort column's comparable type ("bigint",
+    "double", "timestamp", ...) — footer_stats emits min/max as
+    strings for schema genericity, and comparing numerics
+    lexicographically would both miss real overlaps ('5' > '25') and
+    invent false ones ('10' < '2').  The default "string" is only
+    correct for keys whose lexical and natural orders agree (e.g.
+    zero-padded ids).
+
+    Files with NO column statistics cannot be placed — they are
+    COUNTED (``n_missing_stats``) and force ``all_disjoint`` false:
+    an unverifiable file must never certify a zone."""
     from pyspark.sql import Window
 
-    w = Window.orderBy("col_min", "file")
+    lo = F.col("col_min").cast(cast_to)
+    hi = F.col("col_max").cast(cast_to)
+    w = Window.orderBy(lo, "file")
     flagged = stats.select(
         "file",
-        "col_min",
-        "col_max",
+        (F.col("col_min").isNull() | F.col("col_max").isNull()).alias("no_stats"),
         (
-            F.lag("col_max").over(w).isNotNull()
-            & (F.col("col_min") <= F.lag("col_max").over(w))
+            F.lag(hi).over(w).isNotNull() & (lo <= F.lag(hi).over(w))
         ).alias("overlaps_prev"),
     )
     return flagged.agg(
         F.count(F.lit(1)).cast("long").alias("n_files"),
-        (~F.max(F.coalesce("overlaps_prev", F.lit(False)))).alias("all_disjoint"),
+        F.sum(F.col("no_stats").cast("long")).cast("long").alias("n_missing_stats"),
+        (
+            ~F.max(F.coalesce("overlaps_prev", F.lit(False)))
+            & (F.sum(F.col("no_stats").cast("long")) == 0)
+        ).alias("all_disjoint"),
     )

@@ -126,15 +126,7 @@ def split_column(
     weight ranges map buckets to names.  Deterministic across runs,
     engines, and partitionings."""
     total = sum(weights.values())
-    c = F.col(id_col) if isinstance(id_col, str) else id_col
-    bucket = (
-        F.conv(
-            F.substring(F.md5(F.concat(F.lit(salt), c.cast("string")).cast("binary")), 1, 8),
-            16,
-            10,
-        ).cast("long")
-        % _BINS
-    )
+    bucket = _hash_bucket(id_col, salt)
     expr = None
     acc = 0.0
     items = list(weights.items())

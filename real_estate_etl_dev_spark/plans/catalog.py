@@ -764,10 +764,12 @@ def front_window(hist: dict[str, int] | None = None) -> list[str]:
     ``hist`` is injectable for tests; default reads the artifacts."""
     if hist is None:
         hist = _cert_history()
+    unknown = [n for n in _FORCE_WINDOW if n not in CATALOG]
+    assert not unknown, f"_FORCE_WINDOW references unknown queries: {unknown}"
     names = [n for n in CATALOG if n != _SMOKE_GATE]
     window = [_SMOKE_GATE]
     window += [n for n in names if n not in hist and n not in _FORCE_WINDOW]
-    window += [n for n in _FORCE_WINDOW if n in CATALOG and n not in window]
+    window += [n for n in _FORCE_WINDOW if n not in window]
     reg_pos = {n: i for i, n in enumerate(names)}
     aged = sorted(
         (n for n in names if n in hist and n not in window),

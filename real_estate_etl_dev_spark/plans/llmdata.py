@@ -713,6 +713,64 @@ def hash_split_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _near_dup_pair_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Augmented embedding corpus → UNSORTED cosine near-dup pairs
+    (id_a, id_b, cos_sim) inside label blocks — shared by the
+    certified pair query (which adds its oracle ORDER BY) and the
+    semantic-dedup graph stage (which must not pay that sort)."""
+    base = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        "label",
+        F.transform("embedding", lambda x: x.cast("double")).alias("v"),
+    )
+    perturbed = base.filter(F.col("vec_id") % 20 == 0).select(
+        (F.col("vec_id") + 1_000_000).alias("vec_id"),
+        "label",
+        F.transform("v", lambda x: x * 1.0 + 0.02).alias("v"),
+    )
+    # Normalize ONCE map-side so the quadratic pair stage pays one dot
+    # product, not dot + two norms (measured ~3x on the blocked join).
+    from ..functions.core import let_
+    from ..operators.similarity import l2_norm
+
+    # let_-bind the norm so it is computed once per vector, not once
+    # per element inside the transform lambda.
+    corpus = base.unionByName(perturbed).select(
+        "label",
+        "vec_id",
+        let_(
+            l2_norm(F.col("v")),
+            lambda n: F.transform("v", lambda x: x / n),
+        ).alias("__n"),
+    )
+    a = corpus.select(
+        F.col("label"), F.col("vec_id").alias("id_a"), F.col("__n").alias("__na")
+    )
+    b = corpus.select(
+        F.col("label"), F.col("vec_id").alias("id_b"), F.col("__n").alias("__nb")
+    )
+    return _pairs(a, b)
+
+
+def _pairs(a: DataFrame, b: DataFrame) -> DataFrame:
+    """Unsorted cosine near-dup pairs — the certified query adds its
+    oracle ORDER BY; graph consumers (dedup_semantic_keepers) take
+    this form so they don't pay a corpus-wide range-exchange + sort
+    they immediately re-shuffle by node."""
+    from ..operators.similarity import dot
+
+    return (
+        a.join(b, "label")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            F.round(dot(F.col("__na"), F.col("__nb")), 6).alias("cos_sim"),
+        )
+        .filter(F.col("cos_sim") >= 0.9)
+    )
+
+
 @query(
     "embedding_near_dup_pairs",
     """
@@ -748,48 +806,7 @@ def embedding_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     so at 100 TB the candidate stage must come from LSH bucketing
     (``lsh_topk`` / ``dedup_minhash_pairs`` pattern) with this exact
     cosine as the verify step only."""
-    base = load_table(spark, sf_dir, "embeddings").select(
-        "vec_id",
-        "label",
-        F.transform("embedding", lambda x: x.cast("double")).alias("v"),
-    )
-    perturbed = base.filter(F.col("vec_id") % 20 == 0).select(
-        (F.col("vec_id") + 1_000_000).alias("vec_id"),
-        "label",
-        F.transform("v", lambda x: x * 1.0 + 0.02).alias("v"),
-    )
-    # Normalize ONCE map-side so the quadratic pair stage pays one dot
-    # product, not dot + two norms (measured ~3x on the blocked join).
-    from ..functions.core import let_
-    from ..operators.similarity import dot, l2_norm
-
-    # let_-bind the norm so it is computed once per vector, not once
-    # per element inside the transform lambda.
-    corpus = base.unionByName(perturbed).select(
-        "label",
-        "vec_id",
-        let_(
-            l2_norm(F.col("v")),
-            lambda n: F.transform("v", lambda x: x / n),
-        ).alias("__n"),
-    )
-    a = corpus.select(
-        F.col("label"), F.col("vec_id").alias("id_a"), F.col("__n").alias("__na")
-    )
-    b = corpus.select(
-        F.col("label"), F.col("vec_id").alias("id_b"), F.col("__n").alias("__nb")
-    )
-    return (
-        a.join(b, "label")
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select(
-            "id_a",
-            "id_b",
-            F.round(dot(F.col("__na"), F.col("__nb")), 6).alias("cos_sim"),
-        )
-        .filter(F.col("cos_sim") >= 0.9)
-        .orderBy("id_a", "id_b")
-    )
+    return _near_dup_pair_frames(spark, sf_dir).orderBy("id_a", "id_b")
 
 
 @query(
@@ -1685,8 +1702,10 @@ def dedup_semantic_keepers(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``operators/dedup.py:connected_components`` (diameter-bounded
     min-label propagation).  Edges never cross label blocks, so
     components inherit their members' label safely."""
-    pairs = embedding_near_dup_pairs(spark, sf_dir).select("id_a", "id_b")
-    comp = connected_components(pairs, src="id_a", dst="id_b")
+    pairs = _near_dup_pair_frames(spark, sf_dir)
+    comp = connected_components(
+        pairs.select("id_a", "id_b"), src="id_a", dst="id_b"
+    )
 
     base = load_table(spark, sf_dir, "embeddings").select("vec_id", "label")
     corpus = base.unionByName(
@@ -1840,10 +1859,11 @@ def corpus_shuffle_order(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM documents WHERE doc_id % 15 = 0
     ),
     new_texts AS (
-      SELECT lang, md5(text) AS h
+      SELECT lang, md5(lang || chr(10) || text) AS h
       FROM incoming
-      WHERE md5(text) NOT IN (SELECT md5(text) FROM corpus)
-      GROUP BY lang, md5(text)
+      WHERE md5(lang || chr(10) || text) NOT IN
+            (SELECT md5(lang || chr(10) || text) FROM corpus)
+      GROUP BY lang, md5(lang || chr(10) || text)
     )
     SELECT i.lang,
            CAST(count(*) AS BIGINT) AS n_incoming,
@@ -1911,14 +1931,24 @@ def streaming_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # seed the sink with an empty frame so every batch can read it
     incoming.limit(0).write.parquet(sink)
 
+    # Dedup key is (lang, text), NOT text alone: the oracle's per-lang
+    # kept counts are only deterministic if a text shared across langs
+    # counts once per lang — and a cross-lang "dup" is a different
+    # record anyway.  chr(10) separator can't occur in lang codes.
+    key = F.concat(F.col("lang"), F.lit("\n"), F.col("text")).alias("__k")
+
     def do_batch(batch: DataFrame, batch_id: int) -> None:
-        seen = corpus.select("text").unionByName(
-            batch.sparkSession.read.parquet(sink).select("text")
+        seen = corpus.select(key).unionByName(
+            batch.sparkSession.read.parquet(sink).select(key)
         )
         survivors = (
-            flag_corpus_dups(dedup_exact_keep_first(batch), seen)
+            flag_corpus_dups(
+                dedup_exact_keep_first(batch.withColumn("__k", key), text_col="__k"),
+                seen,
+                text_col="__k",
+            )
             .filter(~F.col("in_corpus"))
-            .drop("in_corpus")
+            .drop("in_corpus", "__k")
         )
         survivors.write.mode("append").parquet(sink)
 

@@ -49,15 +49,13 @@ SUSPECTS = [
 
 
 def sweep(spark, sf_dir: str, catalog) -> dict[str, float]:
-    timings: dict[str, float] = {}
-    for name, q in catalog.items():
-        t0 = time.perf_counter()
-        try:
-            q.fn(spark, sf_dir).count()
-            timings[name] = round(time.perf_counter() - t0, 4)
-        except Exception as exc:  # noqa: BLE001
-            print(f"FAILED {name}: {exc}", file=sys.stderr)
-            timings[name] = -1.0
+    """One timing contract for the whole repo: reuse bench.run_catalog
+    (fault isolation, error truncation, identical loop) — failed
+    queries are simply absent from the dict rather than -1-sentinel
+    values that could leak into averages."""
+    from bench import run_catalog
+
+    timings, _errors, _total = run_catalog(spark, sf_dir, catalog)
     return timings
 
 

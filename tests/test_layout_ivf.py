@@ -188,19 +188,32 @@ def test_footer_stats_distributed_matches_driver_loop(spark, tmp_path):
     got = {r.file: (r.n_rows, r.col_min, r.col_max) for r in stats.itertuples()}
     assert got == want and len(got) == 4
 
-    verdict = ranges_disjoint(
-        footer_stats(spark, sorted_zone, "k")
+    # NUMERIC zone: the typed cast must see the disjoint ranges a
+    # lexical compare would scramble ('10' < '2')
+    v_num = ranges_disjoint(
+        footer_stats(spark, sorted_zone, "k"), cast_to="bigint"
     ).collect()[0]
-    # string-ordered mins: only assert on a zone whose lexical and
-    # numeric orders agree — pad ids for that
+    assert v_num.n_files == 4 and v_num.all_disjoint
+    assert v_num.n_missing_stats == 0
+
+    # string zone whose lexical order agrees with the natural order
     padded = df.select(F.lpad(F.col("k").cast("string"), 8, "0").alias("k"))
     pad_zone = str(tmp_path / "padded")
     write_range_sorted(padded, pad_zone, ["k"], n_files=4)
     v = ranges_disjoint(footer_stats(spark, pad_zone, "k")).collect()[0]
     assert v.n_files == 4 and v.all_disjoint
 
+    # overlapping zone must FAIL the verdict
     messy = str(tmp_path / "messy")
     df.select(F.lpad((F.col("k") % 13).cast("string"), 8, "0").alias("k")) \
         .repartition(4).write.parquet(messy)
     m = ranges_disjoint(footer_stats(spark, messy, "k")).collect()[0]
     assert m.n_files == 4 and not m.all_disjoint
+
+    # a numeric zone that truly overlaps must fail UNDER THE CAST too
+    messy_num = str(tmp_path / "messy_num")
+    df.select((F.col("k") % 13).alias("k")).repartition(4).write.parquet(messy_num)
+    mn = ranges_disjoint(
+        footer_stats(spark, messy_num, "k"), cast_to="bigint"
+    ).collect()[0]
+    assert mn.n_files == 4 and not mn.all_disjoint
