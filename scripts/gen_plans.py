@@ -21,6 +21,12 @@ SF_DIR = os.environ.get("SPARK_GRAFT_PLANS_SF_DIR", "/root/testdata/sf0.001")
 # (query, what to look for in the plan)
 SHOWCASE = [
     (
+        "embedding_centroids",
+        "posexplode multiplies rows by dim, but partial_avg combines "
+        "MAP-SIDE before the exchange — the shuffle carries |labels|*dim "
+        "partials per task, not |vectors|*dim rows.",
+    ),
+    (
         "doc_decontaminate",
         "Eval suite collapses to distinct 8-grams and BROADCASTS into a "
         "left-semi probe of the exploded corpus grams — the corpus side "

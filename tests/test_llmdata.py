@@ -422,3 +422,23 @@ def test_mixture_sample_tracks_target_shares(spark):
     got = {r.domain: r.tok for r in out}
     for dom in ("dom_a", "dom_b"):
         assert 0.7 * 2000 < got[dom] < 1.3 * 2000, got
+
+
+def test_mixture_plan_rate_invariants(spark):
+    """Rates are integers in [0, 10000]; a domain absent from the
+    weight map rates 0 (sampled out, never crashed on)."""
+    from real_estate_etl_dev_spark.operators.sampling import mixture_plan
+
+    docs = spark.createDataFrame(
+        [(i, ["dom_a", "dom_b", "ghost"][i % 3], 10) for i in range(90)],
+        ["doc_id", "domain", "n_tok"],
+    )
+    plan = {
+        r["domain"]: r["__rate_bp"]
+        for r in mixture_plan(
+            docs, "domain", {"dom_a": 5000, "dom_b": 5000}, "n_tok", 600
+        ).collect()
+    }
+    assert set(plan) == {"dom_a", "dom_b", "ghost"}
+    assert plan["ghost"] == 0
+    assert all(0 <= v <= 10_000 for v in plan.values())
