@@ -75,6 +75,7 @@ HEADLINE = [
     "quality_threshold_by_quantile",  # exact quantile gates
     "streaming_queue_status",      # stateful streaming queue
     "streaming_incremental_dedup",  # crawl-shape streaming dedup
+    "fuzzy_title_pairs",           # edit-distance entity resolution
 ]
 
 

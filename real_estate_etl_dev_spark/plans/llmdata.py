@@ -2032,3 +2032,58 @@ def embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("label", F.col("pos").cast("long").alias("pos"), "c")
         .orderBy("label", "pos")
     )
+
+
+@query(
+    "fuzzy_title_pairs",
+    """
+    WITH f AS (
+      SELECT doc_id, substr(text, 1, 24) AS t
+      FROM documents WHERE doc_id % 4 = 0
+    ),
+    corpus AS (
+      SELECT * FROM f
+      UNION ALL
+      SELECT doc_id + 5000000 AS doc_id,
+             substr(t, 1, 2) || 'Z' || substr(t, 4) AS t
+      FROM f WHERE doc_id % 24 = 0
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(levenshtein(a.t, b.t) AS BIGINT) AS dist
+    FROM corpus a JOIN corpus b
+      ON a.doc_id < b.doc_id AND abs(length(a.t) - length(b.t)) <= 1
+    WHERE levenshtein(a.t, b.t) <= 1
+    ORDER BY id_a, id_b
+    """,
+    survey="llm-fuzzy-match",
+    tags=("llm-dedup",),
+)
+def fuzzy_title_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-distance entity resolution: pairs of 24-char title prefixes
+    within Levenshtein distance 1, found by DELETION-NEIGHBORHOOD
+    blocking (operators/fuzzy.py) — recall-COMPLETE for distance ≤ 1
+    (every such pair shares a deletion variant), so the brute-force
+    DuckDB oracle and the blocked Spark plan must produce the exact
+    same pair set; planted one-char typos (position 3, id + 5M) make
+    true matches certain.  The catch-typo'd-relistings shape the
+    reference's 6-field equality probe (reid/pipelines/property.py:
+    128-178) can't express.
+
+    Scale: the oracle is the |subset|² baseline; the operator is ONE
+    equality shuffle on the variant key, hot-variant buckets capped
+    and dropped (cap 200 here — vacuous at certified SFs, load-bearing
+    on a near-constant field), exact levenshtein as verify only."""
+    from ..operators.fuzzy import edit_distance_pairs
+
+    docs = load_table(spark, sf_dir, "documents")
+    f = docs.filter(F.col("doc_id") % 4 == 0).select(
+        "doc_id", F.substring("text", 1, 24).alias("t")
+    )
+    planted = f.filter(F.col("doc_id") % 24 == 0).select(
+        (F.col("doc_id") + 5_000_000).alias("doc_id"),
+        F.concat(
+            F.substring("t", 1, 2), F.lit("Z"), F.substring("t", 4, 21)
+        ).alias("t"),
+    )
+    corpus = f.unionByName(planted)
+    return edit_distance_pairs(corpus, field="t").orderBy("id_a", "id_b")

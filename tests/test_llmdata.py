@@ -442,3 +442,17 @@ def test_mixture_plan_rate_invariants(spark):
     assert set(plan) == {"dom_a", "dom_b", "ghost"}
     assert plan["ghost"] == 0
     assert all(0 <= v <= 10_000 for v in plan.values())
+
+
+def test_edit_distance_pairs_caps_hot_variant(spark):
+    """A near-constant field floods one variant bucket; the cap must
+    drop it (bounded work) rather than expand a quadratic pair set."""
+    from real_estate_etl_dev_spark.operators.fuzzy import edit_distance_pairs
+
+    rows = [(i, "same") for i in range(50)] + [(100, "abcd"), (101, "abce")]
+    df = spark.createDataFrame(rows, "doc_id long, t string")
+    got = {
+        (r.id_a, r.id_b)
+        for r in edit_distance_pairs(df, field="t", max_bucket=10).collect()
+    }
+    assert got == {(100, 101)}  # the hot 'same' clique is capped away

@@ -187,3 +187,45 @@ def test_connected_components_matches_union_find(spark, edges):
     df = spark.createDataFrame(edges, "src long, dst long")
     got = {r.node: r.comp for r in connected_components(df).collect()}
     assert got == want
+
+
+short_strings = st.lists(
+    st.text(alphabet="abc", min_size=0, max_size=6), min_size=2, max_size=10,
+    unique=True,
+)
+
+
+@given(strings=short_strings)
+@H
+def test_edit_distance_pairs_recall_complete(spark, strings):
+    """Deletion-neighborhood blocking must find EXACTLY the pairs with
+    levenshtein <= 1 — complete recall, no false pairs — for any
+    string set hypothesis builds (incl. empty strings and dist-0
+    impossible here since rows are unique)."""
+    from real_estate_etl_dev_spark.operators.fuzzy import edit_distance_pairs
+
+    def lev(a, b):
+        if len(a) < len(b):
+            a, b = b, a
+        prev = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            cur = [i]
+            for j, cb in enumerate(b, 1):
+                cur.append(min(prev[j] + 1, cur[j - 1] + 1,
+                               prev[j - 1] + (ca != cb)))
+            prev = cur
+        return prev[-1]
+
+    rows = [(i, s) for i, s in enumerate(strings)]
+    want = {
+        (i, j)
+        for i, (ia, sa) in enumerate(rows)
+        for j, (ib, sb) in enumerate(rows)
+        if ia < ib and lev(sa, sb) <= 1
+    }
+    df = spark.createDataFrame(rows, "doc_id long, t string")
+    got = {
+        (r.id_a, r.id_b)
+        for r in edit_distance_pairs(df, field="t").collect()
+    }
+    assert got == want
