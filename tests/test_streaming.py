@@ -356,3 +356,40 @@ def test_available_now_slices_micro_batches(spark, tmp_path):
     )
     q.awaitTermination()
     assert len(batch_ids) >= 2, batch_ids
+
+
+def test_incremental_dedup_keeps_same_text_across_langs(spark):
+    """The dedup key is (lang, text), not text alone: the same text
+    under two language tags is two records, and both must survive a
+    corpus that contains neither (pinning the review finding that
+    text-only keying made per-lang counts split-dependent)."""
+    from pyspark.sql import functions as F
+
+    from real_estate_etl_dev_spark.operators.dedup import (
+        dedup_exact_keep_first,
+        flag_corpus_dups,
+    )
+
+    corpus = spark.createDataFrame(
+        [(1, "en", "only in corpus")], "doc_id long, lang string, text string"
+    )
+    incoming = spark.createDataFrame(
+        [
+            (10, "en", "shared words"),
+            (11, "fr", "shared words"),   # same text, different lang: keep
+            (12, "en", "shared words"),   # same (lang, text) as 10: drop
+            (13, "en", "only in corpus"), # in corpus (same lang): drop
+            (14, "fr", "only in corpus"), # corpus text but OTHER lang: keep
+        ],
+        "doc_id long, lang string, text string",
+    )
+    key = F.concat(F.col("lang"), F.lit("\n"), F.col("text")).alias("__k")
+    survivors = (
+        flag_corpus_dups(
+            dedup_exact_keep_first(incoming.withColumn("__k", key), text_col="__k"),
+            corpus.select(key),
+            text_col="__k",
+        )
+        .filter(~F.col("in_corpus"))
+    )
+    assert {r.doc_id for r in survivors.collect()} == {10, 11, 14}
