@@ -34,6 +34,43 @@ def deletion_variants(s: Column | str) -> Column:
     return F.array_distinct(F.concat(F.array(c), deletions))
 
 
+def deletion_bucket_audit(
+    df: DataFrame,
+    field: str,
+    id_col: str = "doc_id",
+    max_bucket: int = 200,
+) -> DataFrame:
+    """The cap observable :func:`edit_distance_pairs` promises — the
+    fuzzy tier's analog of the MinHash ``combined_bucket_audit``: same
+    deletion-variant expansion, same occupancy grouping, one row of
+    (rows_expanded, n_buckets, n_hot_buckets, rows_in_hot,
+    pairs_skipped).  ``pairs_skipped`` is the candidate-pair mass
+    Σ n·(n-1)/2 over buckets the ``max_bucket`` guard drops — when the
+    cap bites (a near-constant field), this query is the alarm that the
+    certified pair output is no longer recall-complete; when it reads
+    all-zero, the cap is provably vacuous and the recall-completeness
+    claim stands.  ONE occupancy shuffle on the variant key, scalar
+    output — run it with the SAME (field, max_bucket) as the pair job.
+    """
+    base = df.select(
+        F.col(id_col).alias("__id"), F.col(field).alias("__f")
+    ).withColumn("__v", F.explode(deletion_variants(F.col("__f"))))
+    occ = base.groupBy("__v").agg(F.count(F.lit(1)).alias("__n"))
+    over = F.col("__n") > max_bucket
+    pair_mass = (F.col("__n") * (F.col("__n") - 1) / 2).cast("long")
+    return occ.agg(
+        F.sum("__n").cast("long").alias("rows_expanded"),
+        F.count(F.lit(1)).cast("long").alias("n_buckets"),
+        F.sum(F.when(over, 1).otherwise(0)).cast("long").alias("n_hot_buckets"),
+        F.sum(F.when(over, F.col("__n")).otherwise(0))
+        .cast("long")
+        .alias("rows_in_hot"),
+        F.sum(F.when(over, pair_mass).otherwise(0))
+        .cast("long")
+        .alias("pairs_skipped"),
+    )
+
+
 def edit_distance_pairs(
     df: DataFrame,
     field: str,

@@ -170,6 +170,30 @@ def compact_files(
     return len(glob.glob(os.path.join(dst_path, "part-*.parquet")))
 
 
+def _open_footer(uri: str):
+    """Resolve ``uri`` and return ``(local_path, FileMetaData)`` for its
+    parquet footer.  inputFiles() yields scheme-prefixed URIs (file:,
+    hdfs:, s3a:, ...) — dispatch through pyarrow's FileSystem so the
+    audit works on any store, not just local paths.  Scheme-less
+    strings (relative paths) make ``from_uri`` raise ``pa.ArrowInvalid``
+    — that class lives in pyarrow.lib, re-exported at the top level;
+    ``pyarrow.fs`` has no ``.lib``, so naming it there would
+    AttributeError and mask the real failure (r05 ADVICE).  The footer
+    is parsed eagerly at ParquetFile construction, so the handle is
+    closed before returning."""
+    import pyarrow as pa
+    import pyarrow.fs as pafs
+    import pyarrow.parquet as pq
+
+    try:
+        fs, fpath = pafs.FileSystem.from_uri(uri)
+        with fs.open_input_file(fpath) as fh:
+            return fpath, pq.ParquetFile(fh).metadata
+    except (pa.ArrowInvalid, ValueError):
+        fpath = uri.removeprefix("file:")
+        return fpath, pq.ParquetFile(fpath).metadata
+
+
 def footer_stats(
     spark: SparkSession, path: str, column: str
 ) -> DataFrame:
@@ -190,21 +214,10 @@ def footer_stats(
     files = spark.read.parquet(path).inputFiles()
 
     def read_footers(batches):
-        import pyarrow.fs as pafs
-        import pyarrow.parquet as pq
-
         for pdf in batches:
             out = {"file": [], "n_rows": [], "col_min": [], "col_max": []}
             for uri in pdf["file"]:
-                # inputFiles() yields scheme-prefixed URIs (file:, hdfs:,
-                # s3a:, ...) — dispatch through pyarrow's FileSystem so
-                # the audit works on any store, not just local paths.
-                try:
-                    fs, fpath = pafs.FileSystem.from_uri(uri)
-                    meta = pq.ParquetFile(fs.open_input_file(fpath)).metadata
-                except (pafs.lib.ArrowInvalid, ValueError):
-                    fpath = uri.removeprefix("file:")
-                    meta = pq.ParquetFile(fpath).metadata
+                fpath, meta = _open_footer(uri)
                 idx = meta.schema.names.index(column)
                 mins, maxs = [], []
                 for rg in range(meta.num_row_groups):

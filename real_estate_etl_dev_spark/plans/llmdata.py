@@ -2087,3 +2087,69 @@ def fuzzy_title_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     corpus = f.unionByName(planted)
     return edit_distance_pairs(corpus, field="t").orderBy("id_a", "id_b")
+
+
+@query(
+    "fuzzy_bucket_audit",
+    """
+    WITH f AS (
+      SELECT doc_id, substr(text, 1, 24) AS t
+      FROM documents WHERE doc_id % 4 = 0
+    ),
+    corpus AS (
+      SELECT * FROM f
+      UNION ALL
+      SELECT doc_id + 5000000 AS doc_id,
+             substr(t, 1, 2) || 'Z' || substr(t, 4) AS t
+      FROM f WHERE doc_id % 24 = 0
+    ),
+    vars AS (
+      SELECT doc_id, t AS v FROM corpus
+      UNION ALL
+      SELECT doc_id, substr(t, 1, i - 1) || substr(t, i + 1) AS v
+      FROM (SELECT doc_id, t, unnest(range(1, length(t) + 1)) AS i
+            FROM corpus)
+    ),
+    dv AS (SELECT DISTINCT doc_id, v FROM vars),
+    occ AS (SELECT v, CAST(count(*) AS BIGINT) AS n FROM dv GROUP BY v)
+    SELECT CAST(sum(n) AS BIGINT) AS rows_expanded,
+           CAST(count(*) AS BIGINT) AS n_buckets,
+           CAST(sum(CASE WHEN n > 200 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_hot_buckets,
+           CAST(sum(CASE WHEN n > 200 THEN n ELSE 0 END) AS BIGINT)
+             AS rows_in_hot,
+           CAST(sum(CASE WHEN n > 200 THEN n * (n - 1) // 2 ELSE 0 END)
+                AS BIGINT) AS pairs_skipped
+    FROM occ
+    """,
+    survey="llm-fuzzy-match",
+    tags=("llm-dedup",),
+)
+def fuzzy_bucket_audit_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The deletion-variant tier's cap observable (r05 VERDICT item 2):
+    SAME corpus, field, and cap (200) as ``fuzzy_title_pairs``, one row
+    of occupancy + skip mass.  Unlike ``dedup_bucket_audit``'s
+    zero-constant invariant oracle, the variant expansion here is pure
+    string algebra, so DuckDB recomputes the ENTIRE audit — bucket
+    counts, hot buckets, and the candidate-pair mass the cap would
+    drop — independently; engine and oracle must agree cell-for-cell at
+    any SF, including ones where the cap bites.  When ``pairs_skipped``
+    is 0, the recall-completeness claim certified by
+    ``fuzzy_title_pairs`` is cap-free by measurement, not luck; the
+    entity-resolution analog of the MinHash tier's bucket audit
+    (reference tie-in: the J4/J5 dup probes of
+    reid/pipelines/property.py:128-178 extended to near-miss keys)."""
+    from ..operators.fuzzy import deletion_bucket_audit
+
+    docs = load_table(spark, sf_dir, "documents")
+    f = docs.filter(F.col("doc_id") % 4 == 0).select(
+        "doc_id", F.substring("text", 1, 24).alias("t")
+    )
+    planted = f.filter(F.col("doc_id") % 24 == 0).select(
+        (F.col("doc_id") + 5_000_000).alias("doc_id"),
+        F.concat(
+            F.substring("t", 1, 2), F.lit("Z"), F.substring("t", 4, 21)
+        ).alias("t"),
+    )
+    corpus = f.unionByName(planted)
+    return deletion_bucket_audit(corpus, field="t", max_bucket=200)

@@ -217,3 +217,29 @@ def test_footer_stats_distributed_matches_driver_loop(spark, tmp_path):
         footer_stats(spark, messy_num, "k"), cast_to="bigint"
     ).collect()[0]
     assert mn.n_files == 4 and not mn.all_disjoint
+
+
+def test_open_footer_fallback_real_exception_class(tmp_path, monkeypatch):
+    """r05 ADVICE (medium): the footer-read fallback used to name
+    ``pafs.lib.ArrowInvalid`` — an attribute that does not exist — so
+    any URI `FileSystem.from_uri` rejects raised AttributeError instead
+    of taking the documented local-path fallback.  Pin both arms:
+    a scheme-prefixed URI goes through the FileSystem arm, and a
+    scheme-less relative path (which from_uri rejects with
+    pa.ArrowInvalid) must land in the fallback, not explode."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from real_estate_etl_dev_spark.operators.layout import _open_footer
+
+    f = tmp_path / "one.parquet"
+    pq.write_table(pa.table({"k": [1, 2, 3]}), str(f))
+
+    # URI arm
+    p1, meta1 = _open_footer(f.as_uri())
+    assert meta1.num_rows == 3 and p1.endswith("one.parquet")
+
+    # fallback arm: relative, scheme-less — from_uri raises ArrowInvalid
+    monkeypatch.chdir(tmp_path)
+    p2, meta2 = _open_footer("one.parquet")
+    assert meta2.num_rows == 3 and p2 == "one.parquet"

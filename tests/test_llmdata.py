@@ -456,3 +456,32 @@ def test_edit_distance_pairs_caps_hot_variant(spark):
         for r in edit_distance_pairs(df, field="t", max_bucket=10).collect()
     }
     assert got == {(100, 101)}  # the hot 'same' clique is capped away
+
+
+def test_deletion_bucket_audit_fires_on_capped_drop(spark):
+    """r05 ADVICE: the cap used to bite silently.  The audit must make
+    the same drop visible — same corpus + cap as the pair job above —
+    and read all-zero when the cap is vacuous."""
+    from real_estate_etl_dev_spark.operators.fuzzy import (
+        deletion_bucket_audit,
+        edit_distance_pairs,
+    )
+
+    rows = [(i, "same") for i in range(50)] + [(100, "abcd"), (101, "abce")]
+    df = spark.createDataFrame(rows, "doc_id long, t string")
+    a = deletion_bucket_audit(df, field="t", max_bucket=10).collect()[0]
+    # 'same' + its 4 deletions = 5 hot buckets of 50 rows each; the
+    # skipped candidate mass is 5 * C(50,2)
+    assert a.n_hot_buckets == 5
+    assert a.rows_in_hot == 250
+    assert a.pairs_skipped == 5 * (50 * 49 // 2)
+    # and the pair job under the same cap indeed returned none of them
+    got = {
+        (r.id_a, r.id_b)
+        for r in edit_distance_pairs(df, field="t", max_bucket=10).collect()
+    }
+    assert got == {(100, 101)}
+
+    # cap raised past the clique: audit goes quiet
+    quiet = deletion_bucket_audit(df, field="t", max_bucket=500).collect()[0]
+    assert (quiet.n_hot_buckets, quiet.rows_in_hot, quiet.pairs_skipped) == (0, 0, 0)
