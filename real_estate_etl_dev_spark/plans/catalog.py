@@ -717,7 +717,8 @@ _SMOKE_GATE = "schema_inventory"
 # Canaries: certified queries whose implementation was touched this
 # round — force them into the window ahead of pure aging.
 _FORCE_WINDOW = [
-    "streaming_windowed_counts",  # memory-sink view cleanup (r05)
+    # exact-decimal sum rewrite for order-independent certification (r06)
+    "embedding_centroids",
 ]
 
 

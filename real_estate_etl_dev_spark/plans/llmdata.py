@@ -1923,13 +1923,16 @@ def streaming_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
 
-    workdir = tempfile.mkdtemp(prefix="stream_incdedup_")
-    drop_dir = f"{workdir}/incoming"
-    sink = f"{workdir}/accepted"
-    checkpoint = f"{workdir}/checkpoint"
-    incoming.repartition(4).write.parquet(drop_dir)
-    # seed the sink with an empty frame so every batch can read it
-    incoming.limit(0).write.parquet(sink)
+    from ..benchmeta import setup_span
+
+    with setup_span("streaming_incremental_dedup"):
+        workdir = tempfile.mkdtemp(prefix="stream_incdedup_")
+        drop_dir = f"{workdir}/incoming"
+        sink = f"{workdir}/accepted"
+        checkpoint = f"{workdir}/checkpoint"
+        incoming.repartition(4).write.parquet(drop_dir)
+        # seed the sink with an empty frame so every batch can read it
+        incoming.limit(0).write.parquet(sink)
 
     # Dedup key is (lang, text), NOT text alone: the oracle's per-lang
     # kept counts are only deterministic if a text shared across langs
@@ -1996,12 +1999,13 @@ def streaming_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
     ),
     x AS (
-      SELECT label, u.i AS pos, v[u.i + 1] AS val
+      SELECT label, u.i AS pos,
+             CAST(v[u.i + 1] AS DECIMAL(20, 10)) AS val
       FROM e, unnest(range(0, len(v))) AS u(i)
     )
     SELECT label,
            CAST(pos AS BIGINT) AS pos,
-           round(avg(val), 6) AS c
+           round(CAST(sum(val) AS DOUBLE) / count(*), 6) AS c
     FROM x GROUP BY label, pos ORDER BY label, pos
     """,
     survey="llm-vector-agg",
@@ -2016,19 +2020,62 @@ def embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     formatted vector strings.
 
     Scale: posexplode multiplies rows by dim (64 here) but the
-    per-(label, pos) average combines MAP-SIDE (partial_avg before the
+    per-(label, pos) sum combines MAP-SIDE (partial_sum before the
     exchange), so the shuffle carries |labels|·dim partial rows per
     task, not |vectors|·dim — the same reason a word-count scales.  At
     thousands of dims swap to ``pyspark.ml.stat.Summarizer.mean`` over
-    the vector type (one pass, no explode) at the same plan position;
-    the explode form keeps this oracle-checkable."""
+    the vector type (one pass, no explode) at the same plan position —
+    that path is :func:`embedding_centroids_summarizer`, pinned equal
+    to this one by tests/test_llmdata.py.  The explode form keeps this
+    oracle-checkable.
+
+    Numeric determinism (r05 ADVICE): a double ``avg`` depends on
+    partial-aggregate summation ORDER, so a mean near a 5e-7 rounding
+    boundary could flip the 6th digit as partitioning changes.  Each
+    value is instead cast to DECIMAL(20,10) — a deterministic per-value
+    rounding — and summed EXACTLY (decimal addition is associative);
+    only the final exact sum is converted back to double and divided,
+    so the certified digits are a pure function of the data, not the
+    partitioning, in both engines."""
     e = load_table(spark, sf_dir, "embeddings").select(
         "label", F.transform("embedding", lambda x: x.cast("double")).alias("v")
     )
     return (
         e.select("label", F.posexplode("v").alias("pos", "val"))
+        .select("label", "pos", F.col("val").cast("decimal(20,10)").alias("val"))
         .groupBy("label", "pos")
-        .agg(F.round(F.avg("val"), 6).alias("c"))
+        .agg(
+            F.round(
+                F.sum("val").cast("double") / F.count(F.lit(1)), 6
+            ).alias("c")
+        )
+        .select("label", F.col("pos").cast("long").alias("pos"), "c")
+        .orderBy("label", "pos")
+    )
+
+
+def embedding_centroids_summarizer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The high-dim form ``embedding_centroids`` promises: per-class
+    mean via ``pyspark.ml.stat.Summarizer.mean`` over the ml vector
+    type — ONE pass, no posexplode, the shuffle carries |labels|
+    vector-valued partials instead of |labels|·dim rows.  The plan
+    position is identical (map-side partial aggregation before one
+    exchange on label); this is the shape to use when dim is in the
+    thousands and exploding would multiply the scan by dim.  Returns
+    the same (label, pos, c) long form as the certified query so the
+    two are directly comparable (tests pin elementwise equality)."""
+    from pyspark.ml.functions import array_to_vector, vector_to_array
+    from pyspark.ml.stat import Summarizer
+
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "label",
+        array_to_vector(
+            F.transform("embedding", lambda x: x.cast("double"))
+        ).alias("vec"),
+    )
+    means = e.groupBy("label").agg(Summarizer.mean(F.col("vec")).alias("m"))
+    return (
+        means.select("label", F.posexplode(vector_to_array(F.col("m"), "float64")).alias("pos", "c"))
         .select("label", F.col("pos").cast("long").alias("pos"), "c")
         .orderBy("label", "pos")
     )

@@ -439,10 +439,13 @@ def streaming_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     events = load_table(spark, sf_dir, "events").select("ts", "event_type")
 
-    workdir = tempfile.mkdtemp(prefix="stream_wc_")
-    drop_dir = f"{workdir}/events"
-    checkpoint = f"{workdir}/checkpoint"
-    events.repartition(4).write.parquet(drop_dir)
+    from ..benchmeta import setup_span
+
+    with setup_span("streaming_windowed_counts"):
+        workdir = tempfile.mkdtemp(prefix="stream_wc_")
+        drop_dir = f"{workdir}/events"
+        checkpoint = f"{workdir}/checkpoint"
+        events.repartition(4).write.parquet(drop_dir)
 
     stream = stream_source(
         spark, drop_dir, events.schema, fmt="parquet", maxFilesPerTrigger=2
@@ -555,10 +558,13 @@ def streaming_queue_status(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr(_QSTATUS_CASE_SQL).alias("status"),
     )
 
-    workdir = tempfile.mkdtemp(prefix="stream_qs_")
-    drop_dir = f"{workdir}/updates"
-    checkpoint = f"{workdir}/checkpoint"
-    updates.repartition(4).write.parquet(drop_dir)
+    from ..benchmeta import setup_span
+
+    with setup_span("streaming_queue_status"):
+        workdir = tempfile.mkdtemp(prefix="stream_qs_")
+        drop_dir = f"{workdir}/updates"
+        checkpoint = f"{workdir}/checkpoint"
+        updates.repartition(4).write.parquet(drop_dir)
 
     stream = stream_source(
         spark, drop_dir, updates.schema, fmt="parquet", maxFilesPerTrigger=2
