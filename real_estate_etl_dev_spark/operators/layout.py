@@ -133,6 +133,83 @@ def write_range_sorted(
     )
 
 
+# Bit-interleave (Morton / Z-order) masks: each step doubles the gap
+# between a value's bits; after all five, bit i of the input sits at
+# bit 2i of the output.  Standard magic-number spread (public domain
+# bit-twiddling; see e.g. "Bit Twiddling Hacks").
+_MORTON_STEPS = (
+    (16, 0x0000FFFF0000FFFF),
+    (8, 0x00FF00FF00FF00FF),
+    (4, 0x0F0F0F0F0F0F0F0F),
+    (2, 0x3333333333333333),
+    (1, 0x5555555555555555),
+)
+
+
+def _spread_bits(c):
+    """Spread a (≤31-bit) long's bits to the even bit positions — five
+    shift-or-mask steps, all JVM codegen, no UDF."""
+    for shift, mask in _MORTON_STEPS:
+        c = c.bitwiseOR(F.shiftleft(c, shift)).bitwiseAND(F.lit(mask))
+    return c
+
+
+def morton_code(x, y, bits: int = 16):
+    """Z-order (Morton) key: interleave the low ``bits`` of two integer
+    columns so that points close in BOTH dimensions get close keys —
+    the real Z-order behind ``write_range_sorted``'s "poor man's"
+    aside.  Range-sorting on this ONE derived key gives min/max file
+    skipping on TWO predicate columns at once: a 2-D box query touches
+    only the files whose Morton range intersects the box's curve
+    segments, where a 1-D sort clusters only its leading column.
+
+    ``bits`` ≤ 31 keeps the interleaved key inside a signed long (top
+    bit position 2·bits-1 ≤ 61).  Inputs are masked to ``bits`` — keys
+    wider than that alias, so size ``bits`` to the real key domain
+    (16 bits = 65k distinct values per dimension is enough for a
+    bucketed/binned layout key at any corpus size; bin first, don't
+    widen).  Pure column expressions — whole-stage codegen, identical
+    math in any engine with shifts (the DuckDB oracle of
+    ``zorder_bucket_stats`` recomputes it step for step)."""
+    assert 1 <= bits <= 31, bits
+    mask = (1 << bits) - 1
+    cx = (x if not isinstance(x, str) else F.col(x)).cast("long").bitwiseAND(
+        F.lit(mask)
+    )
+    cy = (y if not isinstance(y, str) else F.col(y)).cast("long").bitwiseAND(
+        F.lit(mask)
+    )
+    return _spread_bits(cx).bitwiseOR(F.shiftleft(_spread_bits(cy), 1))
+
+
+def write_zordered(
+    df: DataFrame,
+    path: str,
+    x: str,
+    y: str,
+    bits: int = 16,
+    n_files: int = 8,
+    fmt: str = "parquet",
+    mode: str = "overwrite",
+) -> None:
+    """Z-order layout: range-sort the files on the Morton key of
+    (x, y).  Same single range exchange as ``write_range_sorted``; the
+    written files carry disjoint Morton ranges AND, because the curve
+    preserves 2-D locality, usefully tight min/max on BOTH raw columns
+    — so a predicate on either (or a box on both) skips files the 1-D
+    sort layout cannot.  The Morton helper column is dropped before
+    write; readers see the original schema."""
+    (
+        df.withColumn("__z", morton_code(x, y, bits))
+        .repartitionByRange(n_files, "__z")
+        .sortWithinPartitions("__z")
+        .drop("__z")
+        .write.format(fmt)
+        .mode(mode)
+        .save(path)
+    )
+
+
 def compact_files(
     spark: SparkSession,
     src_path: str,

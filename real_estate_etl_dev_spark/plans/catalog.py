@@ -601,6 +601,139 @@ def doc_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "shipping_priority_topn",
+    """
+    SELECT l.l_orderkey,
+           CAST(sum(CAST(l.l_extendedprice * (1 - l.l_discount)
+                         AS DECIMAL(20, 8))) AS DOUBLE) AS revenue,
+           strftime(CAST(o.o_orderdate AS DATE), '%Y-%m-%d') AS order_day
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE c.c_mktsegment = 'BUILDING'
+      AND o.o_orderdate < TIMESTAMP '1995-03-15'
+      AND l.l_shipdate > TIMESTAMP '1995-03-15'
+    GROUP BY l.l_orderkey, order_day
+    ORDER BY revenue DESC, order_day, l_orderkey
+    LIMIT 10
+    """,
+    survey="J2,A2,O1,O3",
+)
+def shipping_priority_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape — unshipped-order revenue for one market segment,
+    top 10: a 3-table join chain with BOTH date predicates pushed to
+    their scans, grouped revenue, global top-N.  The composite the
+    reference's per-route queries never chain (analytics_routes.py
+    joins at most two tables); certifies the optimizer picks
+    filter-then-join at every step.
+
+    Numeric determinism: the per-item revenue is cast to
+    DECIMAL(20,8) and summed EXACTLY (see embedding_centroids), so the
+    certified digits don't depend on partial-agg order.  Scale: both
+    fact filters are scan-pushed; the customer side reduces to a
+    single-segment key set before the join; top-10 is a
+    TakeOrderedAndProject (per-partition heaps, no global sort)."""
+    c = (
+        T(spark, sf_dir, "customer")
+        .filter(F.col("c_mktsegment") == "BUILDING")
+        .select("c_custkey")
+    )
+    o = (
+        T(spark, sf_dir, "orders")
+        .filter(F.col("o_orderdate") < F.lit("1995-03-15").cast("timestamp"))
+        .select("o_custkey", "o_orderkey", "o_orderdate")
+    )
+    li = (
+        T(spark, sf_dir, "lineitem")
+        .filter(F.col("l_shipdate") > F.lit("1995-03-15").cast("timestamp"))
+        .select("l_orderkey", "l_extendedprice", "l_discount")
+    )
+    rev = (
+        (F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount")))
+        .cast("decimal(20,8)")
+    )
+    return (
+        o.join(c, o.o_custkey == c.c_custkey, "left_semi")
+        .join(li, F.col("o_orderkey") == F.col("l_orderkey"))
+        .groupBy(
+            "l_orderkey",
+            F.date_format(F.col("o_orderdate").cast("date"), "yyyy-MM-dd").alias(
+                "order_day"
+            ),
+        )
+        .agg(F.sum(rev).cast("double").alias("revenue"))
+        .orderBy(F.desc("revenue"), "order_day", "l_orderkey")
+        .limit(10)
+    )
+
+
+@query(
+    "returned_item_losses",
+    """
+    SELECT c.c_custkey, c.c_name, n.n_name,
+           round(c.c_acctbal, 2) AS acctbal,
+           CAST(sum(CAST(l.l_extendedprice * (1 - l.l_discount)
+                         AS DECIMAL(20, 8))) AS DOUBLE) AS revenue
+    FROM customer c
+    JOIN nation n ON n.n_nationkey = c.c_nationkey
+    JOIN orders o ON o.o_custkey = c.c_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE o.o_orderdate >= TIMESTAMP '1995-10-01'
+      AND o.o_orderdate <  TIMESTAMP '1996-01-01'
+      AND l.l_returnflag = 'R'
+    GROUP BY c.c_custkey, c.c_name, n.n_name, acctbal
+    ORDER BY revenue DESC, c_custkey
+    LIMIT 20
+    """,
+    survey="J2,A2,O1,P4",
+)
+def returned_item_losses(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 shape — revenue lost to returned items per customer in
+    one quarter, top 20 with nation enrichment: fact-fact join under
+    pushed date + flag predicates, small-dim broadcast (nation), 4-key
+    grouping, global top-N.  Exact-decimal revenue sum as in
+    shipping_priority_topn.  Scale: nation broadcasts (25 rows); the
+    quarter filter prunes orders at the scan before either join; the
+    group key includes the display columns so no second join is needed
+    to re-attach them."""
+    c = T(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_nationkey", "c_acctbal"
+    )
+    n = T(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    o = (
+        T(spark, sf_dir, "orders")
+        .filter(
+            (F.col("o_orderdate") >= F.lit("1995-10-01").cast("timestamp"))
+            & (F.col("o_orderdate") < F.lit("1996-01-01").cast("timestamp"))
+        )
+        .select("o_custkey", "o_orderkey")
+    )
+    li = (
+        T(spark, sf_dir, "lineitem")
+        .filter(F.col("l_returnflag") == "R")
+        .select("l_orderkey", "l_extendedprice", "l_discount")
+    )
+    rev = (
+        (F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount")))
+        .cast("decimal(20,8)")
+    )
+    return (
+        o.join(li, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(c, F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy(
+            "c_custkey",
+            "c_name",
+            "n_name",
+            F.round("c_acctbal", 2).alias("acctbal"),
+        )
+        .agg(F.sum(rev).cast("double").alias("revenue"))
+        .orderBy(F.desc("revenue"), "c_custkey")
+        .limit(20)
+    )
+
+
 # ---------------------------------------------------------------------------
 # Sibling catalog modules register additional queries on import.
 # (Placed at the bottom so the @query decorator machinery above is

@@ -332,3 +332,80 @@ def layout_maintenance_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         ],
         "op string, files_in long, files_out long, rows_preserved boolean, invariant_ok boolean",
     ).orderBy("op")
+
+
+# Morton spread steps, shared with operators/layout.py:_MORTON_STEPS —
+# the oracle SQL below applies the SAME five shift-or-mask rounds so
+# DuckDB recomputes the interleave bit for bit.
+_Z_STEPS_SQL = "\n".join(
+    f"    s{i + 1} AS (SELECT (a | (a << {sh})) & {mask} AS a,"
+    f" (b | (b << {sh})) & {mask} AS b FROM s{i})"
+    + ("," if i < 4 else "")
+    for i, (sh, mask) in enumerate(
+        [
+            (16, 0x0000FFFF0000FFFF),
+            (8, 0x00FF00FF00FF00FF),
+            (4, 0x0F0F0F0F0F0F0F0F),
+            (2, 0x3333333333333333),
+            (1, 0x5555555555555555),
+        ]
+    )
+)
+
+
+@query(
+    "zorder_bucket_stats",
+    f"""
+    WITH s0 AS (
+      SELECT (o_custkey & 65535) AS a,
+             (date_diff('day', DATE '1992-01-01',
+                        CAST(o_orderdate AS DATE)) & 65535) AS b
+      FROM orders
+    ),
+{_Z_STEPS_SQL},
+    z AS (SELECT (a | (b << 1)) AS z FROM s5)
+    SELECT CAST(z >> 16 AS BIGINT) AS bucket,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(min(z) AS BIGINT) AS z_min,
+           CAST(max(z) AS BIGINT) AS z_max
+    FROM z GROUP BY bucket ORDER BY bucket
+    """,
+    survey="layout-zorder",
+    tags=("layout",),
+)
+def zorder_bucket_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-ORDER layout key certified cross-engine: the Morton interleave
+    of (o_custkey, days-since-1992) — the derived key
+    ``operators/layout.py:write_zordered`` range-sorts files on so a
+    2-D box predicate (customer range × date range) skips files on
+    BOTH columns at once, where the existing range-sorted layout
+    clusters only its leading column.  The query buckets the curve
+    (z >> 16) and certifies per-bucket count + exact min/max Morton
+    codes; the DuckDB oracle recomputes the full five-step shift-or-
+    mask spread bit for bit, so any deviation in the interleave math
+    anywhere in the key domain breaks the hash.
+
+    Scale: the key is five shift/mask expressions per row — pure
+    whole-stage codegen, no UDF, no shuffle beyond the audit's own
+    bounded (≤256-bucket) aggregate; at write time the layout costs
+    the same single range exchange as ``write_range_sorted``.
+    ``tests/test_layout_ivf.py`` proves the locality claim: a 2-D box
+    query touches strictly fewer files on the Z-ordered layout than on
+    the 1-D sort of the same data."""
+    from ..operators.layout import morton_code
+
+    orders = load_table(spark, sf_dir, "orders")
+    day = F.datediff(
+        F.col("o_orderdate").cast("date"), F.to_date(F.lit("1992-01-01"))
+    )
+    z = morton_code(F.col("o_custkey"), day, bits=16)
+    return (
+        orders.select(z.alias("z"))
+        .groupBy(F.shiftrightunsigned("z", 16).cast("long").alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.min("z").cast("long").alias("z_min"),
+            F.max("z").cast("long").alias("z_max"),
+        )
+        .orderBy("bucket")
+    )
