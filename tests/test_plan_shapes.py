@@ -264,3 +264,39 @@ def test_mixture_sample_broadcasts_rate_frame(spark, sf_dir):
     repartitioned for the sampling filter."""
     plan = plan_of(spark, sf_dir, "domain_mixture_sample")
     assert "BroadcastHashJoin" in plan
+
+
+def test_tpch_shapes_take_ordered_and_push_filters(spark, sf_dir):
+    """The two TPC-H composites must plan as their docstrings promise:
+    every date/flag/segment predicate reaches its scan, top-N is a
+    TakeOrderedAndProject (per-partition heaps), and no fact table is
+    force-broadcast (only the 25-row nation carries a hint)."""
+    for name in ("shipping_priority_topn", "returned_item_losses"):
+        plan = plan_of(spark, sf_dir, name)
+        assert "TakeOrderedAndProject" in plan, name
+        assert "Python" not in plan, name
+        fmt = formatted(spark, sf_dir, name)
+        # each scan that carries a filter shows it pushed
+        assert "PushedFilters: [IsNotNull(o_orderdate)" in fmt, name
+    fmt3 = formatted(spark, sf_dir, "shipping_priority_topn")
+    assert "EqualTo(c_mktsegment,BUILDING)" in fmt3
+    assert "IsNotNull(l_shipdate)" in fmt3
+    fmt10 = formatted(spark, sf_dir, "returned_item_losses")
+    assert "EqualTo(l_returnflag,R)" in fmt10
+    logical = (
+        CATALOG["returned_item_losses"]
+        .fn(spark, sf_dir)
+        ._jdf.queryExecution()
+        .logical()
+        .toString()
+    )
+    assert logical.count("ResolvedHint") <= 1  # nation only
+
+
+def test_zorder_audit_is_codegen_only(spark, sf_dir):
+    """The Morton key must stay whole-stage codegen: no Python worker,
+    no join, and only the bounded bucket agg + output sort exchanges."""
+    plan = plan_of(spark, sf_dir, "zorder_bucket_stats")
+    assert "Python" not in plan
+    assert "Join" not in plan
+    assert plan.count("Exchange") == 2  # bucket hash-agg + orderBy range
