@@ -76,6 +76,12 @@ HEADLINE = [
     "streaming_queue_status",      # stateful streaming queue
     "streaming_incremental_dedup",  # crawl-shape streaming dedup
     "fuzzy_title_pairs",           # edit-distance entity resolution
+    "fuzzy_bucket_audit",          # deletion-variant cap observable
+    "zorder_bucket_stats",         # Morton 2-D layout key
+    "shipping_priority_topn",      # TPC-H Q3 composite
+    "returned_item_losses",        # TPC-H Q10 composite
+    "kll_quantile_sketch_prices",  # mergeable quantile sketches
+    "streaming_watermark_dedup",   # engine-native streaming dedup
 ]
 
 

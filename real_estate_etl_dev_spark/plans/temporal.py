@@ -273,6 +273,60 @@ def hll_sketch_mergeable_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "kll_quantile_sketch_prices",
+    """
+    SELECT CAST(count(*) AS BIGINT) AS n_orders,
+           TRUE AS sketch_n_ok, TRUE AS p50_rank_ok, TRUE AS p90_rank_ok
+    FROM orders
+    """,
+    survey="A-sketch",
+    tags=("temporal",),
+)
+def kll_quantile_sketch_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable-QUANTILE sketch: per-priority KLL sketches over
+    o_totalprice (``kll_sketch_agg_double``) re-merged with
+    ``kll_merge_agg_double`` into a global sketch — the quantile
+    counterpart of ``hll_sketch_mergeable_users``: partial sketches
+    per partition/day, union at serve time, never re-sort raw values
+    (an exact distributed percentile costs a full shuffle+sort; the
+    sketch is one map pass + tiny merges).
+
+    Gate design: ``kll_sketch_get_rank_double`` only takes a FOLDABLE
+    value, so the probe is inverted — read the sketch's p50/p90
+    VALUES, then measure each value's EXACT rank with a second
+    aggregate (avg of an indicator, map-only over a 1-row broadcast
+    combine) and certify |exact_rank − q| ≤ 0.05.  KLL's compaction is
+    randomized, so the certified booleans use a tolerance ~3× the
+    k=200 sketch's 99%-confidence rank error (±1.65%) instead of
+    pinning bytes; the sketch's tracked n, however, must equal the
+    exact row count exactly."""
+    orders = T(spark, sf_dir, "orders").select("o_orderpriority", "o_totalprice")
+    per = orders.groupBy("o_orderpriority").agg(
+        F.kll_sketch_agg_double("o_totalprice").alias("sk")
+    )
+    merged = per.agg(F.kll_merge_agg_double("sk").alias("sk"))
+    probe = merged.select(
+        F.kll_sketch_get_n_double("sk").alias("sketch_n"),
+        F.kll_sketch_get_quantile_double("sk", F.lit(0.5)).alias("q50"),
+        F.kll_sketch_get_quantile_double("sk", F.lit(0.9)).alias("q90"),
+    )
+    # 1-row broadcast combine: every order row checks against the two
+    # sketch values; the aggregate yields the values' exact ranks.
+    checked = orders.crossJoin(F.broadcast(probe)).agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.first("sketch_n").alias("sketch_n"),
+        F.avg((F.col("o_totalprice") <= F.col("q50")).cast("double")).alias("r50"),
+        F.avg((F.col("o_totalprice") <= F.col("q90")).cast("double")).alias("r90"),
+    )
+    return checked.select(
+        F.col("n_orders").cast("long").alias("n_orders"),
+        (F.col("sketch_n") == F.col("n_orders")).alias("sketch_n_ok"),
+        (F.abs(F.col("r50") - 0.5) <= 0.05).alias("p50_rank_ok"),
+        (F.abs(F.col("r90") - 0.9) <= 0.05).alias("p90_rank_ok"),
+    )
+
+
 _BANDS = [
     ("budget", 0, 100_000),
     ("mid", 100_000, 250_000),
@@ -483,6 +537,109 @@ def streaming_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     # not a distributed-data collapse — the sink already holds these
     # rows on the driver, and the result is bounded by
     # |windows| × |event_types| (150 at sf0.01), not by stream size.
+    rows = out.collect()
+    schema = out.schema
+    spark.catalog.dropTempView(name)
+    return spark.createDataFrame(rows, schema)
+
+
+@query(
+    "streaming_watermark_dedup",
+    """
+    WITH incoming AS (
+      SELECT event_id, event_type FROM events
+      UNION ALL SELECT event_id, event_type FROM events
+      UNION ALL SELECT event_id, event_type FROM events WHERE event_id % 3 = 0
+    )
+    SELECT e.event_type,
+           CAST((SELECT count(*) FROM incoming i
+                 WHERE i.event_type = e.event_type) AS BIGINT) AS n_in,
+           CAST(count(DISTINCT e.event_id) AS BIGINT) AS n_kept
+    FROM events e GROUP BY e.event_type ORDER BY e.event_type
+    """,
+    survey="streaming-dedup",
+    tags=("temporal", "streaming"),
+)
+def streaming_watermark_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.12 + dedup: the ENGINE-NATIVE streaming dedup —
+    ``dropDuplicatesWithinWatermark`` keyed on event_id over a real
+    multi-file stream (availableNow, maxFilesPerTrigger=2, so
+    duplicate copies genuinely arrive in different micro-batches and
+    are dropped by state carried ACROSS batches).  Complements
+    ``streaming_incremental_dedup``, which implements dedup in
+    foreachBatch application code: this one certifies Spark's built-in
+    stateful operator on the same crawl-recrawl shape (every event
+    re-delivered once, every third one twice).
+
+    The watermark delay is set beyond the fixture's whole event-time
+    span, so no state expires and no row is late — the streaming
+    result must equal exact batch DISTINCT, which is what the oracle
+    checks (plus per-type input counts, pinning that the duplicate
+    fan-in actually happened).  In production the delay bounds BOTH
+    state size and the dedup horizon: duplicates farther apart than
+    the delay are kept — that trade is the operator's contract, and
+    the bounded-state posture is exactly why it scales to unbounded
+    streams where the foreachBatch corpus-anti-join needs a persisted
+    corpus table instead."""
+    import shutil
+    import tempfile
+    import uuid
+
+    from ..sources.readers import load_table
+    from ..streaming.ingest import stream_source
+
+    events = load_table(spark, sf_dir, "events").select(
+        "event_id", "ts", "event_type"
+    )
+    incoming = events.unionByName(events).unionByName(
+        events.filter(F.col("event_id") % 3 == 0)
+    )
+
+    from ..benchmeta import setup_span
+
+    with setup_span("streaming_watermark_dedup"):
+        workdir = tempfile.mkdtemp(prefix="stream_wmdedup_")
+        drop_dir = f"{workdir}/incoming"
+        checkpoint = f"{workdir}/checkpoint"
+        incoming.repartition(4).write.parquet(drop_dir)
+
+    stream = stream_source(
+        spark, drop_dir, incoming.schema, fmt="parquet", maxFilesPerTrigger=2
+    )
+    deduped = stream.withWatermark("ts", "3650 days").dropDuplicatesWithinWatermark(
+        ["event_id"]
+    )
+    name = f"swd_{uuid.uuid4().hex[:8]}"
+    q = (
+        deduped.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    shutil.rmtree(workdir, ignore_errors=True)
+
+    totals = incoming.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_in")
+    )
+    kept = (
+        spark.table(name)
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_kept"))
+    )
+    out = (
+        totals.join(kept, "event_type", "left")
+        .select(
+            "event_type",
+            "n_in",
+            F.coalesce("n_kept", F.lit(0)).cast("long").alias("n_kept"),
+        )
+        .orderBy("event_type")
+    )
+    # bounded memory-sink read-back (|event_types| rows), then drop the
+    # view so repeated invocations don't accumulate driver copies.
     rows = out.collect()
     schema = out.schema
     spark.catalog.dropTempView(name)
