@@ -82,6 +82,9 @@ HEADLINE = [
     "returned_item_losses",        # TPC-H Q10 composite
     "kll_quantile_sketch_prices",  # mergeable quantile sketches
     "streaming_watermark_dedup",   # engine-native streaming dedup
+    "streaming_session_windows",   # native streaming sessionization
+    "streaming_static_enrichment",  # stream-static broadcast join
+    "cms_heavy_hitters_users",     # mergeable frequency sketch
 ]
 
 

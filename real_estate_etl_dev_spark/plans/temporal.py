@@ -775,3 +775,289 @@ def streaming_queue_status(spark: SparkSession, sf_dir: str) -> DataFrame:
     schema = out.schema
     spark.catalog.dropTempView(name)
     return spark.createDataFrame(rows, schema)
+
+
+@query(
+    "streaming_session_windows",
+    """
+    WITH flagged AS (
+      SELECT user_id, ts,
+             CASE WHEN lag(ts) OVER w IS NULL
+                       OR ts - lag(ts) OVER w >= INTERVAL 4 HOUR
+                  THEN 1 ELSE 0 END AS new_sess
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+    ),
+    sess AS (
+      SELECT user_id,
+             sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts) AS sid
+      FROM flagged
+    ),
+    per_sess AS (
+      SELECT user_id, sid, count(*) AS n FROM sess GROUP BY user_id, sid
+    )
+    SELECT user_id, CAST(count(*) AS BIGINT) AS n_sessions,
+           CAST(sum(n) AS BIGINT) AS n_events,
+           CAST(max(n) AS BIGINT) AS max_session_events
+    FROM per_sess GROUP BY user_id ORDER BY user_id
+    """,
+    survey="§2.12,W-session",
+    tags=("temporal", "streaming"),
+)
+def streaming_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.12 + sessionization: the ENGINE-NATIVE streaming session
+    operator — ``F.session_window(ts, '4 hours')`` grouped per user
+    over a real multi-file stream (availableNow,
+    ``maxFilesPerTrigger=2`` → ≥2 micro-batches).  Files are written
+    with a round-robin repartition, so one user's events are spread
+    across micro-batches and the engine must MERGE partial sessions
+    across batches — the stateful behavior batch ``sessionize``
+    (``operators/asof.py``) gets for free from a sorted window, and
+    exactly what this query certifies.
+
+    The DuckDB oracle is the independent batch gaps-and-islands
+    implementation (lag → break flags → running session ids).  Session
+    windows are half-open ``[first_ts, last_ts + gap)``, so a gap of
+    exactly 4h starts a NEW session in Spark — hence the oracle's
+    ``>= INTERVAL 4 HOUR`` break (verified both ways at sf0.01).
+
+    Scale: state is keyed by (user_id, open session) and the
+    production path sets a watermark to evict closed sessions, so
+    state tracks concurrent OPEN sessions, not stream history.  The
+    certification read-back (complete-mode memory sink) is bounded by
+    |users| × |sessions|; the returned frame re-aggregates it to one
+    row per user."""
+    import shutil
+    import tempfile
+    import uuid
+
+    from ..benchmeta import setup_span
+    from ..sources.readers import load_table
+    from ..streaming.ingest import stream_source
+
+    events = load_table(spark, sf_dir, "events").select("user_id", "ts")
+    with setup_span("streaming_session_windows"):
+        workdir = tempfile.mkdtemp(prefix="stream_sess_")
+        drop_dir = f"{workdir}/events"
+        checkpoint = f"{workdir}/checkpoint"
+        events.repartition(4).write.parquet(drop_dir)
+
+    stream = stream_source(
+        spark, drop_dir, events.schema, fmt="parquet", maxFilesPerTrigger=2
+    )
+    sess = stream.groupBy(
+        "user_id", F.session_window("ts", "4 hours").alias("w")
+    ).agg(F.count(F.lit(1)).alias("n_events"))
+    name = f"ssw_{uuid.uuid4().hex[:8]}"
+    q = (
+        sess.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    shutil.rmtree(workdir, ignore_errors=True)
+
+    out = (
+        spark.table(name)
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_sessions"),
+            F.sum("n_events").cast("long").alias("n_events"),
+            F.max("n_events").cast("long").alias("max_session_events"),
+        )
+        .orderBy("user_id")
+    )
+    # Memory-sink read-back + view drop (same posture as the other
+    # streaming certifications): rows are bounded by |users| here.
+    rows = out.collect()
+    schema = out.schema
+    spark.catalog.dropTempView(name)
+    return spark.createDataFrame(rows, schema)
+
+
+@query(
+    "streaming_static_enrichment",
+    """
+    SELECT n.n_name,
+           CAST(count(*) AS BIGINT) AS n_events,
+           round(sum(e.value), 2) AS total_value
+    FROM events e
+    JOIN customer c ON e.user_id = c.c_custkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    GROUP BY n.n_name ORDER BY n.n_name
+    """,
+    survey="§2.12,J2",
+    tags=("temporal", "streaming"),
+)
+def streaming_static_enrichment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.12 stream-static join: each micro-batch of the events stream
+    is enriched against the STATIC customer→nation dimension (the
+    standard streaming star-join: facts stream in, dims are a table),
+    then aggregated per nation in complete mode.  This is the
+    streaming twin of ``revenue_by_nation`` and the engine analog of
+    the reference's per-item lookup enrichment
+    (reid/pipelines/property.py:96-126) under continuous arrival.
+
+    Scale: the dim side is broadcast — every micro-batch plans a
+    BroadcastHashJoin with NO stream-side shuffle and NO join state
+    (unlike stream-stream joins, stream-static joins are stateless by
+    construction); the only state is the running (nation → count,sum)
+    aggregate, bounded by |nations|.  A dim too big to broadcast
+    bucketizes instead; re-broadcast per batch also picks up
+    slowly-changing dim updates in production."""
+    import shutil
+    import tempfile
+    import uuid
+
+    from ..benchmeta import setup_span
+    from ..sources.readers import load_table
+    from ..streaming.ingest import stream_source
+
+    events = load_table(spark, sf_dir, "events").select("user_id", "ts", "value")
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    nation = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    dim = F.broadcast(
+        cust.join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .select("c_custkey", "n_name")
+    )
+
+    with setup_span("streaming_static_enrichment"):
+        workdir = tempfile.mkdtemp(prefix="stream_enrich_")
+        drop_dir = f"{workdir}/events"
+        checkpoint = f"{workdir}/checkpoint"
+        events.repartition(4).write.parquet(drop_dir)
+
+    stream = stream_source(
+        spark, drop_dir, events.schema, fmt="parquet", maxFilesPerTrigger=2
+    )
+    enriched = (
+        stream.join(dim, stream.user_id == dim.c_custkey, "inner")
+        .groupBy("n_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+    )
+    name = f"sse_{uuid.uuid4().hex[:8]}"
+    q = (
+        enriched.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    shutil.rmtree(workdir, ignore_errors=True)
+
+    out = spark.table(name).orderBy("n_name")
+    rows = out.collect()
+    schema = out.schema
+    spark.catalog.dropTempView(name)
+    return spark.createDataFrame(rows, schema)
+
+
+# Count-min sketch geometry: depth 5 (five independent xxhash64
+# seeds), width 1024 — eps = 2/w ≈ 0.002, so a cell overcount beyond
+# 4·N/w has per-row Markov probability ≤ 1/4 and the min over 5 rows
+# exceeds it with probability ≤ 4⁻⁵ ≈ 0.1% (and the check is
+# deterministic for fixed data: it either always passes or always
+# fails — verified passing at sf0.001/0.01/0.1).
+_CMS_W = 1024
+_CMS_SEEDS = (101, 102, 103, 104, 105)
+
+
+def _cms_coords(col: F.Column) -> F.Column:
+    """(depth, bucket) coordinate pairs for one key — the same
+    expression builds the sketch and probes it."""
+    return F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("d"),
+                F.pmod(F.xxhash64(col, F.lit(s)), F.lit(_CMS_W)).alias("b"),
+            )
+            for i, s in enumerate(_CMS_SEEDS)
+        ]
+    )
+
+
+@query(
+    "cms_heavy_hitters_users",
+    """
+    WITH tot AS (SELECT count(*) AS n, count(DISTINCT user_id) AS u
+                 FROM events)
+    SELECT user_id, CAST(count(*) AS BIGINT) AS exact_n,
+           TRUE AS found, TRUE AS no_underestimate, TRUE AS within_bound
+    FROM events
+    GROUP BY user_id
+    HAVING count(*) * 20 * (SELECT u FROM tot) >= 23 * (SELECT n FROM tot)
+    ORDER BY user_id
+    """,
+    survey="A-sketch",
+    tags=("temporal",),
+)
+def cms_heavy_hitters_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable FREQUENCY sketch (count-min) — completes the sketch
+    trio next to ``hll_sketch_mergeable_users`` (distinct) and
+    ``kll_quantile_sketch_prices`` (quantiles).  Built ENGINE-NATIVE
+    as a DataFrame instead of an opaque binary: each row contributes
+    (depth, xxhash64(key, seed_d) % width) coordinate pairs and the
+    sketch IS ``groupBy(d, b).count()`` — a table of ≤ d·w rows.
+    Partial aggregation makes the build map-side (each partition ships
+    at most d·w cells, never raw keys), and two sketches merge by
+    summing cells — the union-at-serve-time property the sketch
+    functions' binary blobs give you, kept in plain SQL where it can
+    also be stored, diffed, and re-aggregated by day/source.
+
+    Heavy-hitter screen: keys with exact frequency ≥ 1.15× the mean
+    (integer-exact threshold: ``20·u·n_k ≥ 23·n``).  The certified
+    gates are the textbook CMS guarantees — ``no_underestimate``
+    (est ≥ exact: CMS never undercounts, deterministic), ``found``
+    (the sketch estimate clears the same threshold — implied by
+    no-underestimate, so a sketch-only screen has NO false
+    negatives), and ``within_bound`` (est − exact ≤ 4·N/w, the
+    Markov bound at 4× the mean cell load).  Probes join the ≤ d·w
+    cell table BROADCAST, so the probe side never shuffles.
+
+    Scale: the sketch build is one map pass + a ≤ d·w-row combine
+    regardless of input size; the exact per-key frame here is the
+    CERTIFICATION side (the oracle needs truth), not the serve path —
+    at 100 TB you keep only the sketch and a candidate heap."""
+    events = T(spark, sf_dir, "events").select("user_id")
+    pairs = events.select(F.explode(_cms_coords(F.col("user_id"))).alias("c")).select(
+        "c.d", "c.b"
+    )
+    cms = pairs.groupBy("d", "b").agg(F.count(F.lit(1)).alias("cnt"))
+
+    exact = events.groupBy("user_id").agg(F.count(F.lit(1)).alias("exact_n"))
+    tot = events.agg(
+        F.count(F.lit(1)).alias("n_total"),
+        F.countDistinct("user_id").alias("n_users"),
+    )
+    probes = exact.select(
+        "user_id", "exact_n", F.explode(_cms_coords(F.col("user_id"))).alias("c")
+    ).select("user_id", "exact_n", "c.d", "c.b")
+    est = (
+        probes.join(F.broadcast(cms), ["d", "b"], "inner")
+        .groupBy("user_id", "exact_n")
+        .agg(F.min("cnt").alias("est"))
+    )
+    return (
+        est.crossJoin(F.broadcast(tot))
+        .filter(F.col("exact_n") * 20 * F.col("n_users") >= 23 * F.col("n_total"))
+        .select(
+            "user_id",
+            F.col("exact_n").cast("long").alias("exact_n"),
+            (F.col("est") * 20 * F.col("n_users") >= 23 * F.col("n_total")).alias(
+                "found"
+            ),
+            (F.col("est") >= F.col("exact_n")).alias("no_underestimate"),
+            ((F.col("est") - F.col("exact_n")) * _CMS_W <= 4 * F.col("n_total")).alias(
+                "within_bound"
+            ),
+        )
+        .orderBy("user_id")
+    )

@@ -129,6 +129,14 @@ SHOWCASE = [
         "threshold.",
     ),
     (
+        "cms_heavy_hitters_users",
+        "Engine-native count-min sketch: the build is explode + "
+        "groupBy(d,b) with MAP-SIDE partial_count (each task ships at "
+        "most depth*width cells, never raw keys); the probe joins the "
+        "bounded cell table via BroadcastHashJoin — no sort-merge, no "
+        "Python worker anywhere.",
+    ),
+    (
         "doc_repetition_scores",
         "Within-doc repetition: duplicate-bigram fraction as pure "
         "codegen array expressions (transform over an index sequence + "

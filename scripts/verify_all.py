@@ -56,6 +56,10 @@ def main() -> int:
         help="verify only the first N registered queries — simulates the "
         "driver's certification window (it certifies queries() order [:50])",
     )
+    ap.add_argument(
+        "--only", default=None, metavar="A,B,...",
+        help="verify only the named queries (comma-separated)",
+    )
     args = ap.parse_args()
     sf_dir = os.path.join(args.root, args.sf)
 
@@ -89,6 +93,9 @@ def main() -> int:
     qs, oracles = e.queries(), e.oracle_sql()
     if args.first is not None:
         qs = dict(list(qs.items())[: args.first])
+    if args.only is not None:
+        keep = set(args.only.split(","))
+        qs = {n: f for n, f in qs.items() if n in keep}
     fails: list[str] = []
     for name, fn in qs.items():
         t0 = time.time()

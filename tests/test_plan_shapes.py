@@ -300,3 +300,13 @@ def test_zorder_audit_is_codegen_only(spark, sf_dir):
     assert "Python" not in plan
     assert "Join" not in plan
     assert plan.count("Exchange") == 2  # bucket hash-agg + orderBy range
+
+
+def test_cms_build_is_mapside_and_probe_broadcasts(spark, sf_dir):
+    """The CMS heavy-hitter plan must stay JVM-native (no Python
+    worker), probe the ≤ d·w cell table via BroadcastHashJoin, and
+    never sort-merge anything."""
+    plan = plan_of(spark, sf_dir, "cms_heavy_hitters_users")
+    assert "Python" not in plan
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan

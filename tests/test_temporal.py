@@ -132,3 +132,54 @@ def test_asof_matches_pandas_merge_asof(spark):
     for eid, want in expected.items():
         want = None if pd.isna(want) else int(want)
         assert got[eid] == want, f"event {eid}: got {got[eid]}, want {want}"
+
+
+def test_cms_sketch_merges_additively(spark):
+    """The count-min sketch's load-bearing property: the sketch of a
+    union is the cellwise SUM of the parts' sketches (what lets a
+    1000-executor build combine map-side and lets per-day sketches
+    roll up without rescanning keys)."""
+    from real_estate_etl_dev_spark.plans.temporal import _cms_coords
+
+    def cms(df):
+        pairs = df.select(F.explode(_cms_coords(F.col("k"))).alias("c")).select(
+            "c.d", "c.b"
+        )
+        return {
+            (r.d, r.b): r.cnt
+            for r in pairs.groupBy("d", "b").agg(F.count(F.lit(1)).alias("cnt")).collect()
+        }
+
+    full = spark.range(0, 500).select((F.col("id") % 37).alias("k"))
+    half1 = spark.range(0, 250).select((F.col("id") % 37).alias("k"))
+    half2 = spark.range(250, 500).select((F.col("id") % 37).alias("k"))
+
+    merged: dict = {}
+    for part in (cms(half1), cms(half2)):
+        for cell, n in part.items():
+            merged[cell] = merged.get(cell, 0) + n
+    assert cms(full) == merged
+
+
+def test_cms_estimate_never_underestimates(spark):
+    """est ≥ exact for EVERY key — the one-sided CMS error bound, on a
+    deliberately colliding (width-saturating) key space."""
+    from real_estate_etl_dev_spark.plans.temporal import _CMS_SEEDS, _CMS_W, _cms_coords
+
+    df = spark.range(0, 20_000).select((F.col("id") % 3000).alias("k"))
+    pairs = df.select(F.explode(_cms_coords(F.col("k"))).alias("c")).select("c.d", "c.b")
+    cms = pairs.groupBy("d", "b").agg(F.count(F.lit(1)).alias("cnt"))
+    exact = df.groupBy("k").agg(F.count(F.lit(1)).alias("exact_n"))
+    probes = exact.select(
+        "k", "exact_n", F.explode(_cms_coords(F.col("k"))).alias("c")
+    ).select("k", "exact_n", "c.d", "c.b")
+    est = (
+        probes.join(F.broadcast(cms), ["d", "b"])
+        .groupBy("k", "exact_n")
+        .agg(F.min("cnt").alias("est"))
+    )
+    bad = est.filter(F.col("est") < F.col("exact_n")).count()
+    assert bad == 0
+    # 3000 keys over width 1024 MUST collide somewhere — prove the
+    # test exercises the interesting regime, not a collision-free one
+    assert est.filter(F.col("est") > F.col("exact_n")).count() > 0
