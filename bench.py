@@ -36,17 +36,17 @@ from real_estate_etl_dev_spark.session import get_spark  # noqa: E402
 
 # Headline queries: one per heavy/representative operator family.
 # Kept small enough that the stdout JSON line stays under ~1900 chars
-# (driver tail limit is 2000).
+# (driver tail limit is 2000); when a new family lands, a cheap
+# family-twin entry rotates out (J7 semi-join twin, W1 sequence, W3
+# token stats) — the full table still goes to stderr every run.
 HEADLINE = [
     "monthly_order_counts",        # A3 derived-key agg
     "revenue_by_nation",           # A2/J2 join+agg
     "latest_order_per_customer",   # W2/J1 window top-1
     "customers_without_orders",    # J6 anti-join
-    "customers_with_march_1995_orders",  # J7 semi-join
     "duplicate_docs_cross_source", # J4 dup-detect join
     "doc_embedding_enrichment",    # J3/J8 enrichment join
     "orders_page3_by_price",       # O1/O5 sort+paginate
-    "order_sequence_ids",          # W1 partitioned sequence
     "merge_scd1",                  # R4 SCD-1 merge engine
     "merge_change_log",            # R4 change log
     "streaming_merge_scd1",        # §2.12 streaming upsert path
@@ -63,7 +63,6 @@ HEADLINE = [
     "embedding_ann_lsh",           # LSH ANN scale path
     "doc_language_id",             # text analysis
     "doc_quality_scores",          # quality scoring
-    "doc_token_stats",             # token counting
     "token_budget_sample",         # budgeted sampling
     "multimodal_fake_features",    # multimodal plumbing
     "ml_region_prediction",        # ML pipeline
@@ -85,6 +84,8 @@ HEADLINE = [
     "streaming_session_windows",   # native streaming sessionization
     "streaming_static_enrichment",  # stream-static broadcast join
     "cms_heavy_hitters_users",     # mergeable frequency sketch
+    "streaming_stream_stream_join",  # watermarked two-stream join
+    "revenue_grouping_sets",       # multi-grain single-pass agg
 ]
 
 

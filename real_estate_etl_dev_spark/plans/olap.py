@@ -119,3 +119,51 @@ def revenue_rollup_status_priority(spark: SparkSession, sf_dir: str) -> DataFram
         )
         .orderBy("agg_level", "status", "priority")
     )
+
+
+@query(
+    "revenue_grouping_sets",
+    """
+    SELECT o_orderstatus, o_orderpriority,
+           CAST(GROUPING(o_orderstatus, o_orderpriority) AS BIGINT) AS grp_id,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           round(sum(o_totalprice), 2) AS revenue
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+    ORDER BY grp_id, o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST
+    """,
+    survey="A-groupingsets",
+    tags=("olap",),
+)
+def revenue_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUPING SETS — the general form rollup/cube specialize: three
+    independent aggregation grains (by status, by priority, grand
+    total) in ONE pass over the fact table, disambiguated by
+    ``grouping_id`` (the null-vs-aggregated marker rollup consumers
+    need; bit order follows the listed group-by columns and matches
+    DuckDB's ``GROUPING()``).
+
+    Scale: Catalyst plans grouping sets as a single Expand + hash
+    aggregate — the fact table is scanned ONCE and expanded ×|sets|
+    with map-side partial aggregation, vs |sets| separate scans if the
+    grains ran as separate queries; the shuffle carries only the
+    per-grain group cardinalities."""
+    orders = T(spark, sf_dir, "orders")
+    return (
+        orders.groupingSets(
+            [["o_orderstatus"], ["o_orderpriority"], []],
+            "o_orderstatus",
+            "o_orderpriority",
+        )
+        .agg(
+            F.grouping_id().cast("long").alias("grp_id"),
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+        )
+        .select("o_orderstatus", "o_orderpriority", "grp_id", "n_orders", "revenue")
+        .orderBy(
+            "grp_id",
+            F.col("o_orderstatus").asc_nulls_first(),
+            F.col("o_orderpriority").asc_nulls_first(),
+        )
+    )

@@ -1061,3 +1061,108 @@ def cms_heavy_hitters_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+@query(
+    "streaming_stream_stream_join",
+    """
+    SELECT e.user_id AS err_user, CAST(count(*) AS BIGINT) AS n_pairs,
+           CAST(count(DISTINCT e.event_id) AS BIGINT) AS n_errors_with_click
+    FROM events e
+    JOIN events c
+      ON e.event_type = 'error' AND c.event_type = 'click'
+     AND e.user_id = c.user_id
+     AND c.ts >= e.ts - INTERVAL 1 HOUR AND c.ts <= e.ts
+    GROUP BY e.user_id ORDER BY err_user
+    """,
+    survey="§2.12,J-stream",
+    tags=("temporal", "streaming"),
+)
+def streaming_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.12 stream-STREAM join: two live streams (errors, clicks —
+    each its own multi-file source with ≥2 micro-batches) joined on
+    user with an EVENT-TIME range constraint (click within the hour
+    before the error) — the attribution-join shape (error ⟵ preceding
+    click) that stream-static joins can't express because BOTH sides
+    arrive continuously.  Completes the streaming join family next to
+    ``streaming_static_enrichment``.
+
+    Both sides are watermarked and the join carries the time-bound
+    predicate, which is what makes the state FINITE: each side only
+    buffers rows until the other side's watermark passes the range
+    bound, so state tracks the 1-hour correlation window, not stream
+    history.  Files are dropped round-robin, so matching pairs
+    genuinely arrive in different micro-batches and must meet through
+    the join state.  The fixture watermark delay spans the whole
+    bounded fixture (nothing expires ⇒ the result must equal the
+    batch inequality join, which is the DuckDB oracle); production
+    tightens it to bound state and accepts the late-data trade.
+
+    The append-mode sink emits each matched pair exactly once; the
+    returned frame re-aggregates pairs per user."""
+    import shutil
+    import tempfile
+    import uuid
+
+    from ..benchmeta import setup_span
+    from ..sources.readers import load_table
+    from ..streaming.ingest import stream_source
+
+    events = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "ts", "event_type"
+    )
+    errors = events.filter(F.col("event_type") == "error").select(
+        F.col("event_id").alias("err_id"),
+        F.col("user_id").alias("err_user"),
+        F.col("ts").alias("err_ts"),
+    )
+    clicks = events.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"),
+        F.col("user_id").alias("click_user"),
+        F.col("ts").alias("click_ts"),
+    )
+
+    with setup_span("streaming_stream_stream_join"):
+        workdir = tempfile.mkdtemp(prefix="stream_ssj_")
+        checkpoint = f"{workdir}/checkpoint"
+        errors.repartition(4).write.parquet(f"{workdir}/errors")
+        clicks.repartition(4).write.parquet(f"{workdir}/clicks")
+
+    se = stream_source(
+        spark, f"{workdir}/errors", errors.schema, fmt="parquet", maxFilesPerTrigger=2
+    ).withWatermark("err_ts", "3650 days")
+    sc = stream_source(
+        spark, f"{workdir}/clicks", clicks.schema, fmt="parquet", maxFilesPerTrigger=2
+    ).withWatermark("click_ts", "3650 days")
+    joined = se.join(
+        sc,
+        (F.col("err_user") == F.col("click_user"))
+        & (F.col("click_ts") >= F.col("err_ts") - F.expr("INTERVAL 1 HOUR"))
+        & (F.col("click_ts") <= F.col("err_ts")),
+        "inner",
+    )
+    name = f"ssj_{uuid.uuid4().hex[:8]}"
+    q = (
+        joined.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    shutil.rmtree(workdir, ignore_errors=True)
+
+    out = (
+        spark.table(name)
+        .groupBy(F.col("err_user").alias("err_user"))
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.countDistinct("err_id").alias("n_errors_with_click"),
+        )
+        .orderBy("err_user")
+    )
+    rows = out.collect()
+    schema = out.schema
+    spark.catalog.dropTempView(name)
+    return spark.createDataFrame(rows, schema)

@@ -310,3 +310,12 @@ def test_cms_build_is_mapside_and_probe_broadcasts(spark, sf_dir):
     assert "Python" not in plan
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_grouping_sets_is_one_scan_expand(spark, sf_dir):
+    """GROUPING SETS must plan as ONE fact scan + Expand + hash agg —
+    not one scan per grain, and never a join/union of grains."""
+    plan = plan_of(spark, sf_dir, "revenue_grouping_sets")
+    assert "Expand" in plan
+    assert plan.count("Scan parquet") == 1
+    assert "Join" not in plan and "Union" not in plan
