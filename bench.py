@@ -86,6 +86,7 @@ HEADLINE = [
     "cms_heavy_hitters_users",     # mergeable frequency sketch
     "streaming_stream_stream_join",  # watermarked two-stream join
     "revenue_grouping_sets",       # multi-grain single-pass agg
+    "snapshot_time_travel",        # versioned-table commit protocol
 ]
 
 

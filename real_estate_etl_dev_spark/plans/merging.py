@@ -479,3 +479,105 @@ def delist_tombstones(spark: SparkSession, sf_dir: str) -> DataFrame:
         "is_available",
         F.date_format("sold_at", "yyyy-MM-dd HH:mm:ss").alias("sold_at"),
     ).orderBy("url")
+
+
+@query(
+    "snapshot_time_travel",
+    """
+    WITH base AS (
+      SELECT o_orderkey, o_orderstatus,
+             CAST(round(o_totalprice * 100) AS BIGINT) AS price_cents
+      FROM orders
+    ),
+    v2 AS (
+      SELECT o_orderkey, o_orderstatus,
+             CASE WHEN o_orderstatus = 'O' THEN price_cents + 500
+                  ELSE price_cents END AS price_cents
+      FROM base
+    ),
+    v3 AS (SELECT * FROM v2 WHERE o_orderstatus <> 'F')
+    SELECT * FROM (
+      SELECT CAST(1 AS BIGINT) AS version, CAST(count(*) AS BIGINT) AS n_rows,
+             CAST(sum(price_cents) AS BIGINT) AS sum_price_cents,
+             CAST(count(*) FILTER (WHERE o_orderstatus = 'O') AS BIGINT) AS n_open
+      FROM base
+      UNION ALL
+      SELECT 2, count(*), CAST(sum(price_cents) AS BIGINT),
+             count(*) FILTER (WHERE o_orderstatus = 'O') FROM v2
+      UNION ALL
+      SELECT 3, count(*), CAST(sum(price_cents) AS BIGINT),
+             count(*) FILTER (WHERE o_orderstatus = 'O') FROM v3
+    ) ORDER BY version
+    """,
+    survey="S-snapshot,J9",
+    tags=("merging",),
+)
+def snapshot_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Manifest-versioned table + TIME TRAVEL (operators/snapshots.py):
+    three versions are published — v1 the base table, v2 an upsert
+    (open orders' price bumped 500 cents, read from the COMMITTED v1
+    snapshot, not the in-memory frame — version-to-version chaining),
+    v3 a delete (finished orders dropped) — and only then are all
+    three read back BY VERSION via their manifests.  Reading v1
+    correctly after v2/v3 exist is the snapshot-isolation property;
+    the manifest write being the single commit point is what makes
+    publish atomic on an object store.  All stats are integer cents,
+    so the cross-engine certification is exact, not rounded.
+
+    Scale: a version read lists files from its manifest (no directory
+    LIST, no eventual-consistency window); publish cost is the data
+    write + one small JSON PUT.  Production amortizes storage with
+    delta manifests + compaction (the layout tier's compact_files),
+    same commit protocol."""
+    import shutil
+    import tempfile
+
+    from ..benchmeta import setup_span
+    from ..operators.snapshots import publish_version, read_snapshot
+
+    base = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("price_cents"),
+    )
+
+    workdir = tempfile.mkdtemp(prefix="snap_tt_")
+    table_dir = f"{workdir}/orders_versions"
+    try:
+        with setup_span("snapshot_time_travel"):
+            publish_version(base, table_dir, 1)
+            v1 = read_snapshot(spark, table_dir, 1)
+            updates = v1.filter(F.col("o_orderstatus") == "O").select(
+                "o_orderkey", (F.col("price_cents") + 500).alias("new_cents")
+            )
+            v2 = (
+                v1.join(updates, "o_orderkey", "left")
+                .select(
+                    "o_orderkey",
+                    "o_orderstatus",
+                    F.coalesce("new_cents", "price_cents").alias("price_cents"),
+                )
+            )
+            publish_version(v2, table_dir, 2)
+            v3 = read_snapshot(spark, table_dir, 2).filter(
+                F.col("o_orderstatus") != "F"
+            )
+            publish_version(v3, table_dir, 3)
+
+        stats = [
+            read_snapshot(spark, table_dir, v)
+            .agg(
+                F.lit(v).cast("long").alias("version"),
+                F.count(F.lit(1)).alias("n_rows"),
+                F.sum("price_cents").alias("sum_price_cents"),
+                F.count(F.when(F.col("o_orderstatus") == "O", 1)).alias("n_open"),
+            )
+            .select("version", "n_rows", "sum_price_cents", "n_open")
+            for v in (1, 2, 3)
+        ]
+        out = stats[0].unionByName(stats[1]).unionByName(stats[2]).orderBy("version")
+        rows = out.collect()
+        schema = out.schema
+    finally:
+        shutil.rmtree(workdir, ignore_errors=True)
+    return spark.createDataFrame(rows, schema)
