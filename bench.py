@@ -57,13 +57,10 @@ HEADLINE = [
     "dedup_exact_groups",          # exact dedup
     "dedup_minhash_pairs",         # MinHash LSH near-dup
     "dedup_simhash_pairs",         # SimHash near-dup
-    "dedup_ngram_jaccard",         # n-gram Jaccard verify
     "embedding_cosine_topk",       # brute-force ANN baseline
     "embedding_ann_ivf",           # IVF ANN scale path
     "embedding_ann_lsh",           # LSH ANN scale path
     "doc_language_id",             # text analysis
-    "doc_quality_scores",          # quality scoring
-    "token_budget_sample",         # budgeted sampling
     "multimodal_fake_features",    # multimodal plumbing
     "ml_region_prediction",        # ML pipeline
     "salted_skew_event_sums",      # skew-safe agg
@@ -87,6 +84,7 @@ HEADLINE = [
     "streaming_stream_stream_join",  # watermarked two-stream join
     "revenue_grouping_sets",       # multi-grain single-pass agg
     "snapshot_time_travel",        # versioned-table commit protocol
+    "snapshot_change_feed",        # CDC derived between versions
 ]
 
 

@@ -581,3 +581,101 @@ def snapshot_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         shutil.rmtree(workdir, ignore_errors=True)
     return spark.createDataFrame(rows, schema)
+
+
+@query(
+    "snapshot_change_feed",
+    """
+    WITH base AS (
+      SELECT o_orderkey, o_orderstatus,
+             CAST(round(o_totalprice * 100) AS BIGINT) AS price_cents
+      FROM orders
+    )
+    SELECT * FROM (
+      SELECT 'delete' AS change_type, CAST(count(*) AS BIGINT) AS n_rows,
+             CAST(-sum(price_cents) AS BIGINT) AS net_cents
+      FROM base WHERE o_orderstatus = 'F'
+      UNION ALL
+      SELECT 'insert', count(*), CAST(sum(price_cents) AS BIGINT)
+      FROM base WHERE o_orderstatus = 'P'
+      UNION ALL
+      SELECT 'update', count(*), CAST(500 * count(*) AS BIGINT)
+      FROM base WHERE o_orderstatus = 'O'
+    ) ORDER BY change_type
+    """,
+    survey="S-snapshot,R4-cdc",
+    tags=("merging",),
+)
+def snapshot_change_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC DERIVED from versioned snapshots (operators/snapshots.py:
+    snapshot_diff): v2 applies an upsert (open orders +500 cents),
+    a delete (finished orders dropped), and an insert (pending orders
+    re-keyed to -(key+1), collision-free with the natural keys) in one publish; the change feed is then
+    computed from the two COMMITTED snapshots — no write-path log —
+    and every row classifies as insert/delete/update with old/new
+    values (identical rows drop out).  This is the reference's change
+    log (models/listing.py change tracking) recovered AFTER the fact
+    from table versions, the way a lakehouse derives CDC between
+    commits.
+
+    The certified rollup is per-change-type row counts + the exact
+    net cents delta; all integer arithmetic, so the oracle is exact.
+
+    Scale: the diff is ONE full-outer hash join on the key plus
+    null-safe column compares — JVM expressions only; bucketed
+    versions (layout tier) would diff with zero exchanges."""
+    import shutil
+    import tempfile
+
+    from ..benchmeta import setup_span
+    from ..operators.snapshots import publish_version, read_snapshot, snapshot_diff
+
+    base = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("price_cents"),
+    )
+
+    workdir = tempfile.mkdtemp(prefix="snap_cf_")
+    table_dir = f"{workdir}/orders_versions"
+    try:
+        with setup_span("snapshot_change_feed"):
+            publish_version(base, table_dir, 1)
+            v1 = read_snapshot(spark, table_dir, 1)
+            survived = v1.filter(F.col("o_orderstatus") != "F").select(
+                "o_orderkey",
+                "o_orderstatus",
+                F.when(
+                    F.col("o_orderstatus") == "O", F.col("price_cents") + 500
+                )
+                .otherwise(F.col("price_cents"))
+                .alias("price_cents"),
+            )
+            inserts = v1.filter(F.col("o_orderstatus") == "P").select(
+                (-(F.col("o_orderkey") + 1)).alias("o_orderkey"),
+                "o_orderstatus",
+                "price_cents",
+            )
+            publish_version(survived.unionByName(inserts), table_dir, 2)
+
+        feed = snapshot_diff(
+            read_snapshot(spark, table_dir, 1),
+            read_snapshot(spark, table_dir, 2),
+            key="o_orderkey",
+        )
+        out = (
+            feed.groupBy("change_type")
+            .agg(
+                F.count(F.lit(1)).alias("n_rows"),
+                F.sum(
+                    F.coalesce("new_price_cents", F.lit(0))
+                    - F.coalesce("old_price_cents", F.lit(0))
+                ).alias("net_cents"),
+            )
+            .orderBy("change_type")
+        )
+        rows = out.collect()
+        schema = out.schema
+    finally:
+        shutil.rmtree(workdir, ignore_errors=True)
+    return spark.createDataFrame(rows, schema)

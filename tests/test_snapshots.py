@@ -60,3 +60,32 @@ def test_manifest_counts_and_commit_ordering(spark, table_dir):
     # every manifest-listed file sits inside the version directory —
     # data lands before the manifest commit point by construction
     assert all(os.sep + "v00001" + os.sep in f for f in m["files"])
+
+
+def test_snapshot_diff_classifies_all_change_types(spark):
+    from real_estate_etl_dev_spark.operators.snapshots import snapshot_diff
+
+    old = spark.createDataFrame(
+        [(1, "a", 10), (2, "b", 20), (3, "c", 30), (4, "d", None)],
+        "k int, s string, v int",
+    )
+    new = spark.createDataFrame(
+        [(2, "b", 25), (3, "c", 30), (4, "d", None), (5, "e", 50)],
+        "k int, s string, v int",
+    )
+    got = {r.k: r for r in snapshot_diff(old, new, "k").collect()}
+    # 1 deleted, 2 updated, 5 inserted; 3 identical and 4 identical
+    # (null-safe compare) must NOT appear
+    assert set(got) == {1, 2, 5}
+    assert got[1].change_type == "delete" and got[1].new_v is None
+    assert got[2].change_type == "update" and (got[2].old_v, got[2].new_v) == (20, 25)
+    assert got[5].change_type == "insert" and got[5].old_v is None
+
+
+def test_snapshot_diff_rejects_schema_mismatch(spark):
+    from real_estate_etl_dev_spark.operators.snapshots import snapshot_diff
+
+    old = spark.createDataFrame([(1, "a")], "k int, s string")
+    new = spark.createDataFrame([(1, "a", 2)], "k int, s string, extra int")
+    with pytest.raises(ValueError, match="schema mismatch"):
+        snapshot_diff(old, new, "k")
