@@ -31,6 +31,15 @@ def get_spark(app_name: str = "real-estate-etl-dev-spark") -> SparkSession:
         .config("spark.sql.shuffle.partitions", str(max(int(cpus), 8)))
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # Runtime bloom-filter join pruning: a selective dim-side
+        # filter injects might_contain(bloom(join_key)) into the fact
+        # scan before the shuffle.  Spark ships it off by default; the
+        # default thresholds (creation side ≤ 10 MB, application-side
+        # scan ≥ 10 GB) mean it only fires at real fact-table sizes —
+        # a no-op at test SFs, a large shuffle-volume win at 100 TB.
+        # tests/test_plan_shapes.py proves the machinery fires when
+        # the thresholds are met.
+        .config("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
     )

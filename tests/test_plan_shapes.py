@@ -319,3 +319,41 @@ def test_grouping_sets_is_one_scan_expand(spark, sf_dir):
     assert "Expand" in plan
     assert plan.count("Scan parquet") == 1
     assert "Join" not in plan and "Union" not in plan
+
+
+def test_runtime_bloom_filter_fires_when_thresholds_met(spark, sf_dir):
+    """The session enables runtime bloom-filter join pruning (off
+    upstream by default); its size thresholds make it a no-op at test
+    SFs.  Lower the thresholds and a selective dim filter must inject
+    might_contain(bloom(key)) into the FACT side before its shuffle —
+    the 100 TB shuffle-volume win the session conf exists for."""
+    from pyspark.sql import functions as F
+
+    confs = {
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",  # keep a shuffle join
+    }
+    saved = {k: spark.conf.get(k, None) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        lineitem = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        orders = spark.read.parquet(f"{sf_dir}/orders.parquet").filter(
+            F.col("o_orderpriority") == "1-URGENT"
+        )
+        j = (
+            lineitem.join(orders, lineitem.l_orderkey == orders.o_orderkey)
+            .groupBy("o_orderpriority")
+            .count()
+        )
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "might_contain" in plan
+        # and the filter sits on the fact (lineitem) side
+        fact_side = plan[plan.index("might_contain"):]
+        assert "l_orderkey" in fact_side[:400]
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
