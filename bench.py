@@ -85,6 +85,7 @@ HEADLINE = [
     "revenue_grouping_sets",       # multi-grain single-pass agg
     "snapshot_time_travel",        # versioned-table commit protocol
     "snapshot_change_feed",        # CDC derived between versions
+    "incremental_agg_maintenance",  # IVM from CDC deltas
 ]
 
 

@@ -576,6 +576,9 @@ def snapshot_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
             for v in (1, 2, 3)
         ]
         out = stats[0].unionByName(stats[1]).unionByName(stats[2]).orderBy("version")
+        # Bounded read-back (≤ |versions|·|groups| rows) so the temp
+        # version store can be removed before returning — same posture
+        # as the streaming memory-sink read-backs.
         rows = out.collect()
         schema = out.schema
     finally:
@@ -674,6 +677,147 @@ def snapshot_change_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             .orderBy("change_type")
         )
+        # Bounded read-back (≤ |versions|·|groups| rows) so the temp
+        # version store can be removed before returning — same posture
+        # as the streaming memory-sink read-backs.
+        rows = out.collect()
+        schema = out.schema
+    finally:
+        shutil.rmtree(workdir, ignore_errors=True)
+    return spark.createDataFrame(rows, schema)
+
+
+@query(
+    "incremental_agg_maintenance",
+    """
+    WITH base AS (
+      SELECT o_orderkey, o_orderstatus,
+             CAST(round(o_totalprice * 100) AS BIGINT) AS price_cents
+      FROM orders
+    ),
+    v2 AS (
+      SELECT o_orderkey, o_orderstatus,
+             CASE WHEN o_orderstatus = 'O' THEN price_cents + 500
+                  ELSE price_cents END AS price_cents
+      FROM base WHERE o_orderstatus <> 'F'
+      UNION ALL
+      SELECT -(o_orderkey + 1), o_orderstatus, price_cents
+      FROM base WHERE o_orderstatus = 'P'
+    )
+    SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(price_cents) AS BIGINT) AS sum_cents,
+           TRUE AS matches_full_recompute
+    FROM v2 GROUP BY o_orderstatus ORDER BY o_orderstatus
+    """,
+    survey="A-ivm,R4-cdc",
+    tags=("merging",),
+)
+def incremental_agg_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental VIEW maintenance: the materialized per-status
+    rollup of version 1 is advanced to version 2 by applying the CDC
+    feed's deltas (+new for inserts, −old for deletes, new−old for
+    updates) — the base table is NEVER rescanned.  The certified
+    frame is the incrementally-maintained rollup; the
+    ``matches_full_recompute`` gate re-derives the same rollup
+    directly from the v2 snapshot and asserts groupwise equality, so
+    the delta algebra is proven inside the query, and the oracle
+    recomputes v2's rollup independently in DuckDB.
+
+    Scale: this is THE pattern for keeping serving aggregates fresh at
+    100 TB — the full rollup costs a fact-table scan per refresh; the
+    incremental path costs a scan of the DELTA only (here derived from
+    two snapshots via ``snapshot_diff``; a streaming source feeds the
+    same algebra).  Sum/count are self-inverting under deltas; min/max
+    are not — those need the full recompute or a monotone argument,
+    which is why the gate column exists."""
+    import shutil
+    import tempfile
+
+    from ..benchmeta import setup_span
+    from ..operators.snapshots import publish_version, read_snapshot, snapshot_diff
+
+    base = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("price_cents"),
+    )
+
+    workdir = tempfile.mkdtemp(prefix="snap_ivm_")
+    table_dir = f"{workdir}/orders_versions"
+    try:
+        with setup_span("incremental_agg_maintenance"):
+            publish_version(base, table_dir, 1)
+            v1 = read_snapshot(spark, table_dir, 1)
+            survived = v1.filter(F.col("o_orderstatus") != "F").select(
+                "o_orderkey",
+                "o_orderstatus",
+                F.when(F.col("o_orderstatus") == "O", F.col("price_cents") + 500)
+                .otherwise(F.col("price_cents"))
+                .alias("price_cents"),
+            )
+            inserts = v1.filter(F.col("o_orderstatus") == "P").select(
+                (-(F.col("o_orderkey") + 1)).alias("o_orderkey"),
+                "o_orderstatus",
+                "price_cents",
+            )
+            publish_version(survived.unionByName(inserts), table_dir, 2)
+
+        v1 = read_snapshot(spark, table_dir, 1)
+        v2 = read_snapshot(spark, table_dir, 2)
+        agg_v1 = v1.groupBy("o_orderstatus").agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum("price_cents").alias("sum_cents"),
+        )
+        feed = snapshot_diff(v1, v2, key="o_orderkey")
+        # Delta algebra: status never changes across versions here, so
+        # each feed row contributes to ONE status group.  count delta:
+        # +1 insert / −1 delete / 0 update; sum delta: new − old with
+        # absent sides as 0.
+        deltas = feed.groupBy(
+            F.coalesce("new_o_orderstatus", "old_o_orderstatus").alias("o_orderstatus")
+        ).agg(
+            F.sum(
+                F.when(F.col("change_type") == "insert", 1)
+                .when(F.col("change_type") == "delete", -1)
+                .otherwise(0)
+            ).alias("d_n"),
+            F.sum(
+                F.coalesce("new_price_cents", F.lit(0))
+                - F.coalesce("old_price_cents", F.lit(0))
+            ).alias("d_sum"),
+        )
+        maintained = (
+            agg_v1.join(deltas, "o_orderstatus", "full_outer")
+            .select(
+                "o_orderstatus",
+                (F.coalesce("n_rows", F.lit(0)) + F.coalesce("d_n", F.lit(0))).alias(
+                    "n_rows"
+                ),
+                (
+                    F.coalesce("sum_cents", F.lit(0)) + F.coalesce("d_sum", F.lit(0))
+                ).alias("sum_cents"),
+            )
+            .filter(F.col("n_rows") > 0)
+        )
+        full = v2.groupBy("o_orderstatus").agg(
+            F.count(F.lit(1)).alias("f_n"), F.sum("price_cents").alias("f_sum")
+        )
+        out = (
+            maintained.join(full, "o_orderstatus", "full_outer")
+            .select(
+                "o_orderstatus",
+                F.col("n_rows").cast("long").alias("n_rows"),
+                F.col("sum_cents").cast("long").alias("sum_cents"),
+                (
+                    F.col("n_rows").eqNullSafe(F.col("f_n"))
+                    & F.col("sum_cents").eqNullSafe(F.col("f_sum"))
+                ).alias("matches_full_recompute"),
+            )
+            .orderBy("o_orderstatus")
+        )
+        # Bounded read-back (≤ |versions|·|groups| rows) so the temp
+        # version store can be removed before returning — same posture
+        # as the streaming memory-sink read-backs.
         rows = out.collect()
         schema = out.schema
     finally:
