@@ -46,7 +46,6 @@ HEADLINE = [
     "customers_without_orders",    # J6 anti-join
     "duplicate_docs_cross_source", # J4 dup-detect join
     "doc_embedding_enrichment",    # J3/J8 enrichment join
-    "orders_page3_by_price",       # O1/O5 sort+paginate
     "merge_scd1",                  # R4 SCD-1 merge engine
     "merge_change_log",            # R4 change log
     "streaming_merge_scd1",        # §2.12 streaming upsert path
@@ -56,10 +55,8 @@ HEADLINE = [
     "price_extraction_cases",      # F-tier scalar battery
     "dedup_exact_groups",          # exact dedup
     "dedup_minhash_pairs",         # MinHash LSH near-dup
-    "dedup_simhash_pairs",         # SimHash near-dup
     "embedding_cosine_topk",       # brute-force ANN baseline
     "embedding_ann_ivf",           # IVF ANN scale path
-    "embedding_ann_lsh",           # LSH ANN scale path
     "doc_language_id",             # text analysis
     "multimodal_fake_features",    # multimodal plumbing
     "ml_region_prediction",        # ML pipeline

@@ -610,16 +610,23 @@ def streaming_watermark_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         ["event_id"]
     )
     name = f"swd_{uuid.uuid4().hex[:8]}"
-    q = (
-        deduped.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("append")
-        .option("checkpointLocation", checkpoint)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
-    shutil.rmtree(workdir, ignore_errors=True)
+    # 8 shuffle partitions while the stateful stream runs (state store
+    # per partition per micro-batch — see streaming_queue_status).
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        q = (
+            deduped.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .option("checkpointLocation", checkpoint)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+        shutil.rmtree(workdir, ignore_errors=True)
 
     totals = incoming.groupBy("event_type").agg(
         F.count(F.lit(1)).cast("long").alias("n_in")
@@ -849,16 +856,23 @@ def streaming_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id", F.session_window("ts", "4 hours").alias("w")
     ).agg(F.count(F.lit(1)).alias("n_events"))
     name = f"ssw_{uuid.uuid4().hex[:8]}"
-    q = (
-        sess.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("complete")
-        .option("checkpointLocation", checkpoint)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
-    shutil.rmtree(workdir, ignore_errors=True)
+    # 8 shuffle partitions while the stateful stream runs (state store
+    # per partition per micro-batch — see streaming_queue_status).
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        q = (
+            sess.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("complete")
+            .option("checkpointLocation", checkpoint)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+        shutil.rmtree(workdir, ignore_errors=True)
 
     out = (
         spark.table(name)
@@ -942,16 +956,23 @@ def streaming_static_enrichment(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     name = f"sse_{uuid.uuid4().hex[:8]}"
-    q = (
-        enriched.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("complete")
-        .option("checkpointLocation", checkpoint)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
-    shutil.rmtree(workdir, ignore_errors=True)
+    # 8 shuffle partitions while the stateful stream runs (state store
+    # per partition per micro-batch — see streaming_queue_status).
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        q = (
+            enriched.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("complete")
+            .option("checkpointLocation", checkpoint)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+        shutil.rmtree(workdir, ignore_errors=True)
 
     out = spark.table(name).orderBy("n_name")
     rows = out.collect()
@@ -1142,16 +1163,26 @@ def streaming_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         "inner",
     )
     name = f"ssj_{uuid.uuid4().hex[:8]}"
-    q = (
-        joined.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("append")
-        .option("checkpointLocation", checkpoint)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
-    shutil.rmtree(workdir, ignore_errors=True)
+    # Stream-stream joins keep a state store per shuffle partition on
+    # BOTH sides and checkpoint each per micro-batch — at 32 local
+    # partitions that constant cost dwarfs the data.  Run the stream
+    # at 8 partitions (same posture as streaming_queue_status); on a
+    # real cluster this knob is sized to state volume, not cores.
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        q = (
+            joined.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .option("checkpointLocation", checkpoint)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+        shutil.rmtree(workdir, ignore_errors=True)
 
     out = (
         spark.table(name)
