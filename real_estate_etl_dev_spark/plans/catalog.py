@@ -750,6 +750,7 @@ from . import ingest  # noqa: E402,F401  (registers scan/projection queries)
 from . import rules_more  # noqa: E402,F401  (registers R8-R12/P14 queries)
 from . import temporal  # noqa: E402,F401  (registers asof/session/sketch queries)
 from . import olap  # noqa: E402,F401  (registers pivot/unpivot/rollup queries)
+from . import tpch_shapes  # noqa: E402,F401  (registers Q4/Q12/Q14/Q18/intersect shapes)
 
 
 # ---------------------------------------------------------------------------

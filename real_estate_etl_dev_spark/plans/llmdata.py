@@ -2200,3 +2200,104 @@ def fuzzy_bucket_audit_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     corpus = f.unionByName(planted)
     return deletion_bucket_audit(corpus, field="t", max_bucket=200)
+
+
+@query(
+    "dedup_ngram_coverage",
+    """
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS t FROM documents
+    ),
+    grams AS (
+      SELECT doc_id, i - 1 AS pos, array_to_string(t[i:i+3], ' ') AS g
+      FROM toks, unnest(range(1, len(t) - 2)) AS u(i)
+      WHERE len(t) >= 4
+    ),
+    dup AS (
+      SELECT g FROM grams GROUP BY g HAVING count(DISTINCT doc_id) >= 2
+    ),
+    hits AS (
+      SELECT doc_id, pos FROM grams WHERE g IN (SELECT g FROM dup)
+    ),
+    perdoc AS (
+      SELECT h.doc_id,
+             count(*) AS n_dup_gram_hits,
+             count(DISTINCT h.pos + o.j) AS covered_tokens
+      FROM hits h, unnest(range(0, 4)) AS o(j)
+      GROUP BY h.doc_id
+    )
+    SELECT p.doc_id,
+           CAST(len(t.t) AS BIGINT) AS n_tokens,
+           CAST(p.n_dup_gram_hits / 4 AS BIGINT) AS n_dup_gram_hits,
+           CAST(p.covered_tokens AS BIGINT) AS covered_tokens,
+           round(CAST(p.covered_tokens AS DOUBLE) / len(t.t), 6)
+             AS dup_token_frac
+    FROM perdoc p JOIN toks t ON t.doc_id = p.doc_id
+    ORDER BY dup_token_frac DESC, p.doc_id
+    LIMIT 100
+    """,
+    survey="LLM-dedup",
+    tags=("llm-dedup",),
+)
+def dedup_ngram_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicated-substring ACCOUNTING (the ExactSubstr shape of Lee et
+    al., "Deduplicating Training Data Makes Language Models Better"):
+    for every document, how many of its tokens sit inside a 4-token
+    window that also occurs verbatim in ANOTHER document — the signal
+    the substring-removal pass acts on, certified as exact integers
+    (window hits + distinct covered token positions) plus the derived
+    fraction.  Complements ``doc_decontaminate`` (corpus-vs-EVAL
+    grams) with the corpus-INTERNAL variant, and the whole-doc dedup
+    family with sub-document granularity.
+
+    Plan: tokenize once, slide a 4-token window as a codegen
+    ``transform`` over an index sequence (no UDF), posexplode to
+    (doc, pos, gram) rows; duplicated grams are ONE equality shuffle
+    (count distinct docs per gram ≥ 2) and rejoin as a semi join;
+    coverage is a per-doc distinct count over pos+0..3 — second
+    shuffle on doc_id.  Scale: gram rows are the only large
+    intermediate and they carry (hash-able) strings + two ints; at
+    100 TB swap the gram string for ``xxhash64(g)`` so the shuffle
+    carries 8-byte keys (collision-safe for counting at ~2^32 grams),
+    exactly the trick ``dedup_exact_groups`` certifies for whole
+    docs.  Top-100 by duplicated fraction is a TakeOrderedAndProject."""
+    n = 4
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.split("text", " ").alias("t")
+    )
+    toks = docs.filter(F.size("t") >= n)
+    win = F.transform(
+        F.sequence(F.lit(0), F.size("t") - n),
+        lambda i: F.concat_ws(" ", F.slice("t", i + 1, n)),
+    )
+    grams = toks.select("doc_id", F.posexplode(win).alias("pos", "g"))
+    dup = (
+        grams.groupBy("g")
+        .agg(F.count_distinct("doc_id").alias("ndocs"))
+        .filter(F.col("ndocs") >= 2)
+        .select("g")
+    )
+    hits = grams.join(dup, "g", "left_semi")
+    perdoc = (
+        hits.select(
+            "doc_id", "pos", F.explode(F.sequence("pos", F.col("pos") + n - 1)).alias("cp")
+        )
+        .groupBy("doc_id")
+        .agg(
+            (F.count(F.lit(1)) / n).cast("long").alias("n_dup_gram_hits"),
+            F.count_distinct("cp").cast("long").alias("covered_tokens"),
+        )
+    )
+    return (
+        perdoc.join(docs.select("doc_id", F.size("t").cast("long").alias("n_tokens")), "doc_id")
+        .select(
+            "doc_id",
+            "n_tokens",
+            "n_dup_gram_hits",
+            "covered_tokens",
+            F.round(F.col("covered_tokens").cast("double") / F.col("n_tokens"), 6)
+              .alias("dup_token_frac"),
+        )
+        .orderBy(F.desc("dup_token_frac"), "doc_id")
+        .limit(100)
+    )

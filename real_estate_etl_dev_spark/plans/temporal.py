@@ -1197,3 +1197,100 @@ def streaming_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     schema = out.schema
     spark.catalog.dropTempView(name)
     return spark.createDataFrame(rows, schema)
+
+
+@query(
+    "price_mad_outliers",
+    """
+    WITH ranked AS (
+      SELECT o_orderpriority, o_totalprice, o_orderkey,
+             row_number() OVER (PARTITION BY o_orderpriority
+                                ORDER BY o_totalprice, o_orderkey) AS rn,
+             count(*) OVER (PARTITION BY o_orderpriority) AS n
+      FROM orders
+    ),
+    med AS (
+      SELECT o_orderpriority, o_totalprice AS med, n
+      FROM ranked WHERE rn = (n + 1) // 2
+    ),
+    dev AS (
+      SELECT r.o_orderpriority, m.med, m.n,
+             abs(r.o_totalprice - m.med) AS d,
+             row_number() OVER (PARTITION BY r.o_orderpriority
+                                ORDER BY abs(r.o_totalprice - m.med),
+                                         r.o_orderkey) AS drn
+      FROM ranked r JOIN med m USING (o_orderpriority)
+    ),
+    mad AS (
+      SELECT o_orderpriority, med, n, d AS mad
+      FROM dev WHERE drn = (n + 1) // 2
+    )
+    SELECT d.o_orderpriority,
+           CAST(m.n AS BIGINT) AS n_orders,
+           round(m.med, 2) AS median_price,
+           round(m.mad, 2) AS mad,
+           CAST(count(*) FILTER (WHERE d.d > 3 * m.mad) AS BIGINT)
+             AS n_outliers
+    FROM dev d JOIN mad m USING (o_orderpriority)
+    GROUP BY d.o_orderpriority, m.n, m.med, m.mad
+    ORDER BY d.o_orderpriority
+    """,
+    survey="A-robust,R-outlier",
+    tags=("temporal",),
+)
+def price_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust outlier detection by MEDIAN ABSOLUTE DEVIATION: per
+    priority group, the exact (lower) median, the exact MAD, and the
+    count of orders deviating more than 3 MADs — the heavy-tail-safe
+    complement to ``price_winsorized_stats`` (a single far outlier
+    moves a percentile cut; it cannot move the MAD).
+
+    Determinism: BOTH medians come from rank arithmetic
+    (value at row (n+1) div 2 of a totally-ordered window, ties broken
+    by o_orderkey) — each is an ELEMENT of the data, not an
+    interpolation, so engine-independent to the bit; the 3×MAD
+    comparison then operates on identical doubles in both engines.
+
+    Plan: ONE scan, ONE shuffle.  Every window partitions on the same
+    key, and each scalar (median, then MAD) propagates to its group's
+    rows as an unbounded-frame ``max(when(rn = cut, value))`` over
+    that SAME partitioning — no self-join, no broadcast, no re-scan
+    (the naive three-frame formulation re-scans orders three times
+    and shuffles four; the oracle SQL keeps that shape on purpose as
+    the independent derivation).  The chained windows re-SORT within
+    partitions (price → deviation) but never re-exchange.  At 100 TB
+    swap the full-sort windows for sampled range-partition medians if
+    one group outgrows an executor's sort spill."""
+    orders = T(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority", "o_totalprice"
+    )
+    grp = Window.partitionBy("o_orderpriority")
+    cut = F.expr("(n + 1) div 2")
+    ranked = orders.select(
+        "o_orderpriority",
+        "o_totalprice",
+        F.row_number()
+        .over(grp.orderBy("o_totalprice", "o_orderkey"))
+        .alias("rn"),
+        F.count(F.lit(1)).over(grp).alias("n"),
+        "o_orderkey",
+    )
+    with_med = ranked.withColumn(
+        "med",
+        F.max(F.when(F.col("rn") == cut, F.col("o_totalprice"))).over(grp),
+    ).withColumn("d", F.abs(F.col("o_totalprice") - F.col("med")))
+    with_mad = with_med.withColumn(
+        "drn", F.row_number().over(grp.orderBy("d", "o_orderkey"))
+    ).withColumn("mad", F.max(F.when(F.col("drn") == cut, F.col("d"))).over(grp))
+    return (
+        with_mad.groupBy("o_orderpriority")
+        .agg(
+            F.first("n").cast("long").alias("n_orders"),
+            F.round(F.first("med"), 2).alias("median_price"),
+            F.round(F.first("mad"), 2).alias("mad"),
+            F.sum((F.col("d") > 3 * F.col("mad")).cast("long"))
+            .cast("long")
+            .alias("n_outliers"),
+        )
+        .orderBy("o_orderpriority")
+    )

@@ -1,0 +1,305 @@
+"""Catalog queries for the remaining classic decision-support shapes
+(TPC-H Q4/Q12/Q14/Q18 analogs) plus the INTERSECT set op.
+
+The reference's API tier composes at most two tables per route
+(api/routers/analytics_routes.py); these certify the four-table /
+subquery compositions a user of that API would eventually reach for
+once the engine makes them cheap: EXISTS-probe aggregation, fact-fact
+conditional classification, a global conditional ratio, and a
+HAVING-filtered self-aggregation joined back to its dimensions.
+
+Adaptation note: the driver's lineitem fixture carries no
+l_commitdate / l_receiptdate / l_shipmode columns, so Q4's EXISTS
+probe tests l_returnflag = 'R' and Q12's two-way classification
+groups by l_returnflag and classifies o_orderpriority — same plan
+shapes (semi-join + agg; join + conditional agg), different
+predicates.
+
+All five are exactly SQL-expressible; every oracle is an independent
+DuckDB formulation (EXISTS subquery, FILTER aggregates, INTERSECT).
+Money sums use the exact-DECIMAL discipline established in
+shipping_priority_topn so certified digits never depend on
+partial-aggregate order.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .catalog import query, T
+
+_Q4_LO, _Q4_HI = "1995-07-01", "1995-10-01"
+_Q12_LO, _Q12_HI = "1995-01-01", "1996-01-01"
+_Q14_LO, _Q14_HI = "1995-09-01", "1995-10-01"
+_Q18_MIN_QTY = 300
+
+_DEC = "decimal(20,8)"
+
+
+@query(
+    "order_priority_exists_counts",
+    f"""
+    SELECT o.o_orderpriority, count(*) AS n_orders
+    FROM orders o
+    WHERE o.o_orderdate >= TIMESTAMP '{_Q4_LO}'
+      AND o.o_orderdate <  TIMESTAMP '{_Q4_HI}'
+      AND EXISTS (SELECT 1 FROM lineitem l
+                  WHERE l.l_orderkey = o.o_orderkey
+                    AND l.l_returnflag = 'R')
+    GROUP BY o.o_orderpriority
+    ORDER BY o.o_orderpriority
+    """,
+    survey="P11,A1,J7",
+    tags=("tpch",),
+)
+def order_priority_exists_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape — per-priority count of one quarter's orders that
+    have at least one matching lineitem (EXISTS probe; returned-item
+    flag stands in for the fixture's missing commit/receipt dates).
+
+    Plan: the EXISTS compiles to a LEFT SEMI join, so each order is
+    counted at most once no matter how many lineitems match — the bug
+    an inner-join + distinct formulation invites.  Scale: the quarter
+    filter prunes orders at the scan BEFORE the semi join; the probe
+    side projects to (l_orderkey) only after its own pushed flag
+    filter; the final agg is 5 keys."""
+    o = (
+        T(spark, sf_dir, "orders")
+        .filter(
+            (F.col("o_orderdate") >= F.lit(_Q4_LO).cast("timestamp"))
+            & (F.col("o_orderdate") < F.lit(_Q4_HI).cast("timestamp"))
+        )
+        .select("o_orderkey", "o_orderpriority")
+    )
+    probe = (
+        T(spark, sf_dir, "lineitem")
+        .filter(F.col("l_returnflag") == "R")
+        .select("l_orderkey")
+    )
+    return (
+        o.join(probe, o.o_orderkey == probe.l_orderkey, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+        .orderBy("o_orderpriority")
+    )
+
+
+@query(
+    "returnflag_priority_classes",
+    f"""
+    SELECT l.l_returnflag,
+           count(*) FILTER (WHERE o.o_orderpriority IN ('1-URGENT', '2-HIGH'))
+             AS high_line_count,
+           count(*) FILTER (WHERE o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH'))
+             AS low_line_count
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    WHERE l.l_shipdate >= TIMESTAMP '{_Q12_LO}'
+      AND l.l_shipdate <  TIMESTAMP '{_Q12_HI}'
+    GROUP BY l.l_returnflag
+    ORDER BY l.l_returnflag
+    """,
+    survey="J2,A2,P8",
+    tags=("tpch",),
+)
+def returnflag_priority_classes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape — fact-fact join with a two-way conditional
+    classification: for each lineitem return flag, how many shipped
+    lines belonged to urgent/high-priority orders vs the rest
+    (returnflag stands in for the fixture's missing l_shipmode).
+
+    Plan: the priority test is a CASE inside the aggregate, not a
+    pre-split union — ONE join, ONE agg, both branches share the scan.
+    Scale: the ship-year filter prunes lineitem before the join; only
+    (l_orderkey, l_returnflag) and (o_orderkey, o_orderpriority)
+    survive projection into the shuffle."""
+    li = (
+        T(spark, sf_dir, "lineitem")
+        .filter(
+            (F.col("l_shipdate") >= F.lit(_Q12_LO).cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit(_Q12_HI).cast("timestamp"))
+        )
+        .select("l_orderkey", "l_returnflag")
+    )
+    o = T(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
+    is_high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy("l_returnflag")
+        .agg(
+            F.sum(is_high.cast("long")).cast("long").alias("high_line_count"),
+            F.sum((~is_high).cast("long")).cast("long").alias("low_line_count"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+@query(
+    "promo_revenue_ratio",
+    f"""
+    SELECT
+      CAST(sum(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(20,8)))
+             FILTER (WHERE p.p_type = 'PROMO') AS DOUBLE) AS promo_revenue,
+      CAST(sum(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(20,8)))
+             AS DOUBLE) AS total_revenue,
+      round(100.0 *
+        CAST(sum(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(20,8)))
+               FILTER (WHERE p.p_type = 'PROMO') AS DOUBLE) /
+        CAST(sum(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(20,8)))
+               AS DOUBLE), 6) AS promo_pct
+    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    WHERE l.l_shipdate >= TIMESTAMP '{_Q14_LO}'
+      AND l.l_shipdate <  TIMESTAMP '{_Q14_HI}'
+    """,
+    survey="J2,A6",
+    tags=("tpch",),
+)
+def promo_revenue_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape — one month's promo-part revenue share: a
+    fact→dimension join reduced to a single global row holding a
+    conditional-sum ratio.
+
+    Numeric determinism: BOTH sums are exact DECIMAL(20,8) (the
+    per-item term is exact at that scale), so numerator and
+    denominator are bit-identical across engines and the double
+    division + round(…,6) cannot flake with partitioning.  Scale: the
+    month filter prunes the fact scan; part projects to
+    (p_partkey, p_type) and broadcasts; the global agg is a two-level
+    partial→final over ONE group."""
+    li = (
+        T(spark, sf_dir, "lineitem")
+        .filter(
+            (F.col("l_shipdate") >= F.lit(_Q14_LO).cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit(_Q14_HI).cast("timestamp"))
+        )
+        .select("l_partkey", "l_extendedprice", "l_discount")
+    )
+    p = T(spark, sf_dir, "part").select("p_partkey", "p_type")
+    rev = (F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount"))).cast(_DEC)
+    promo = F.when(F.col("p_type") == "PROMO", rev).otherwise(F.lit(0).cast(_DEC))
+    agg = (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .agg(
+            F.sum(promo).cast("double").alias("promo_revenue"),
+            F.sum(rev).cast("double").alias("total_revenue"),
+        )
+    )
+    return agg.select(
+        "promo_revenue",
+        "total_revenue",
+        F.round(
+            F.lit(100.0) * F.col("promo_revenue") / F.col("total_revenue"), 6
+        ).alias("promo_pct"),
+    )
+
+
+@query(
+    "large_volume_customers",
+    f"""
+    WITH big AS (
+      SELECT l_orderkey, CAST(sum(CAST(l_quantity AS DECIMAL(20,8))) AS DOUBLE)
+               AS sum_qty
+      FROM lineitem GROUP BY l_orderkey
+      HAVING sum(CAST(l_quantity AS DECIMAL(20,8))) > {_Q18_MIN_QTY}
+    )
+    SELECT c.c_custkey, c.c_name, o.o_orderkey,
+           strftime(CAST(o.o_orderdate AS DATE), '%Y-%m-%d') AS order_day,
+           round(o.o_totalprice, 2) AS totalprice,
+           b.sum_qty
+    FROM big b
+    JOIN orders o ON o.o_orderkey = b.l_orderkey
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    ORDER BY totalprice DESC, o.o_orderkey
+    """,
+    survey="A4,J2,O1",
+    tags=("tpch",),
+)
+def large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape — orders whose total line quantity exceeds a
+    threshold, joined back to their order and customer rows: the
+    HAVING-filtered self-aggregation the reference's API cannot
+    express in one round trip.
+
+    Plan: lineitem aggregates FIRST (partial map-side sums on
+    l_orderkey), and only the >threshold survivors — a few per ten
+    thousand orders — enter the joins, so the expensive side of both
+    joins is tiny.  At 100 TB the `big` frame is small enough to
+    BROADCAST against orders; at test SF Spark picks broadcast via
+    AQE from actual size.  Quantities sum as exact DECIMAL before the
+    HAVING comparison, so threshold membership is engine-independent."""
+    big = (
+        T(spark, sf_dir, "lineitem")
+        .groupBy("l_orderkey")
+        .agg(F.sum(F.col("l_quantity").cast(_DEC)).alias("sq"))
+        .filter(F.col("sq") > _Q18_MIN_QTY)
+        .select("l_orderkey", F.col("sq").cast("double").alias("sum_qty"))
+    )
+    o = T(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"
+    )
+    c = T(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    return (
+        big.join(o, big.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .select(
+            "c_custkey",
+            "c_name",
+            "o_orderkey",
+            F.date_format(F.col("o_orderdate").cast("date"), "yyyy-MM-dd").alias(
+                "order_day"
+            ),
+            F.round("o_totalprice", 2).alias("totalprice"),
+            "sum_qty",
+        )
+        .orderBy(F.desc("totalprice"), "o_orderkey")
+    )
+
+
+@query(
+    "trade_ready_nations_intersect",
+    """
+    SELECT n.n_name
+    FROM nation n
+    JOIN (
+      SELECT DISTINCT c_nationkey AS k FROM customer
+      WHERE c_mktsegment = 'BUILDING' AND c_acctbal > 9000
+      INTERSECT
+      SELECT DISTINCT s_nationkey AS k FROM supplier
+      WHERE s_acctbal > 5000
+    ) x ON x.k = n.n_nationkey
+    ORDER BY n.n_name
+    """,
+    survey="E-intersect",
+    tags=("tpch",),
+)
+def trade_ready_nations_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT set op — nations that BOTH hold a rich
+    building-segment customer AND a well-capitalized supplier,
+    enriched with the nation name.  Completes the set-op family
+    (distinct / except / union are certified elsewhere; this is the
+    missing intersect).
+
+    Plan: `intersect` compiles to a distinct + LEFT SEMI join over the
+    two pre-filtered, pre-projected key sets — each side collapses to
+    ≤25 nation keys BEFORE the set op, and the 25-row nation dim
+    broadcasts for the name lookup.  No full-table shuffle survives
+    the projection."""
+    cust = (
+        T(spark, sf_dir, "customer")
+        .filter((F.col("c_mktsegment") == "BUILDING") & (F.col("c_acctbal") > 9000))
+        .select(F.col("c_nationkey").alias("k"))
+        .distinct()
+    )
+    supp = (
+        T(spark, sf_dir, "supplier")
+        .filter(F.col("s_acctbal") > 5000)
+        .select(F.col("s_nationkey").alias("k"))
+        .distinct()
+    )
+    n = T(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    return (
+        cust.intersect(supp)
+        .join(F.broadcast(n), F.col("k") == F.col("n_nationkey"))
+        .select("n_name")
+        .orderBy("n_name")
+    )

@@ -357,3 +357,61 @@ def test_runtime_bloom_filter_fires_when_thresholds_met(spark, sf_dir):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_new_tpch_shapes_plan_as_documented(spark, sf_dir):
+    """Q4/Q12/Q14/Q18/intersect shapes (plans/tpch_shapes.py): EXISTS
+    compiles to a semi join, the ratio query broadcasts its dimension,
+    Q18 aggregates lineitem BEFORE any join, and the intersect
+    collapses both sides before the set op."""
+    q4 = plan_of(spark, sf_dir, "order_priority_exists_counts")
+    assert "LeftSemi" in q4
+    fmt4 = formatted(spark, sf_dir, "order_priority_exists_counts")
+    assert "EqualTo(l_returnflag,R)" in fmt4  # probe filter pushed to scan
+    assert "IsNotNull(o_orderdate)" in fmt4
+
+    q12 = plan_of(spark, sf_dir, "returnflag_priority_classes")
+    assert q12.count("Join") >= 1 and "Python" not in q12
+    fmt12 = formatted(spark, sf_dir, "returnflag_priority_classes")
+    assert "IsNotNull(l_shipdate)" in fmt12  # year filter pushed
+
+    q14 = plan_of(spark, sf_dir, "promo_revenue_ratio")
+    assert "BroadcastHashJoin" in q14  # part side broadcasts
+
+    # Q18: the first (and only fact-sized) aggregate must sit BELOW the
+    # first join — lineitem collapses to per-order sums pre-join.
+    q18 = plan_of(spark, sf_dir, "large_volume_customers")
+    first_join = q18.find("Join")
+    assert first_join >= 0
+    assert "HashAggregate" in q18[first_join:], q18
+
+    qi = plan_of(spark, sf_dir, "trade_ready_nations_intersect")
+    assert "LeftSemi" in qi  # intersect = distinct + semi join
+    fmti = formatted(spark, sf_dir, "trade_ready_nations_intersect")
+    assert "EqualTo(c_mktsegment,BUILDING)" in fmti
+
+
+def test_ngram_coverage_is_udf_free_single_gram_shuffle(spark, sf_dir):
+    """dedup_ngram_coverage: the 4-token window slide is codegen
+    (transform+posexplode, no Python anywhere), duplicated grams come
+    back as a semi join, and top-100 is a TakeOrderedAndProject."""
+    plan = plan_of(spark, sf_dir, "dedup_ngram_coverage")
+    assert "Python" not in plan
+    assert "LeftSemi" in plan
+    assert "TakeOrderedAndProject" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_mad_outliers_one_scan_one_shuffle(spark, sf_dir):
+    """price_mad_outliers: every window partitions on the group key and
+    the scalars propagate via unbounded-frame window max — so the
+    WHOLE query is one parquet scan and ONE hash exchange on
+    o_orderpriority (plus the final 5-row ordering exchange), with no
+    join of any kind."""
+    import re
+
+    plan = plan_of(spark, sf_dir, "price_mad_outliers")
+    assert "Join" not in plan, plan
+    hash_exchanges = re.findall(r"Exchange hashpartitioning\(o_orderpriority", plan)
+    assert len(hash_exchanges) == 1, plan
+    assert plan.count("FileScan parquet") == 1, plan
