@@ -1294,3 +1294,127 @@ def price_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderpriority")
     )
+
+
+@query(
+    "event_funnel_counts",
+    """
+    WITH v AS (
+      SELECT user_id, min(ts) AS t1 FROM events
+      WHERE event_type = 'view' GROUP BY user_id
+    ),
+    c AS (
+      SELECT e.user_id, min(e.ts) AS t2
+      FROM events e JOIN v ON v.user_id = e.user_id
+      WHERE e.event_type = 'click' AND e.ts > v.t1
+      GROUP BY e.user_id
+    ),
+    p AS (
+      SELECT e.user_id, min(e.ts) AS t3
+      FROM events e JOIN c ON c.user_id = e.user_id
+      WHERE e.event_type = 'purchase' AND e.ts > c.t2
+      GROUP BY e.user_id
+    )
+    SELECT stage, n_users FROM (
+      SELECT 1 AS ord, 'view' AS stage, count(*) AS n_users FROM v
+      UNION ALL
+      SELECT 2, 'click_after_view', count(*) FROM c
+      UNION ALL
+      SELECT 3, 'purchase_after_click', count(*) FROM p
+    ) ORDER BY ord
+    """,
+    survey="A-funnel",
+    tags=("temporal",),
+)
+def event_funnel_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORDERED funnel analysis — users who viewed, then clicked AFTER
+    their first view, then purchased AFTER that click: the sequential
+    conversion metric (each stage's timestamp must follow the previous
+    stage's), not the unordered "did all three ever" overcount.
+
+    Plan: each stage is a conditional min-aggregation of the
+    pre-filtered event type joined to the PREVIOUS stage's per-user
+    frame — the stage frames only shrink (stage N ⊆ stage N-1), so at
+    100 TB every inter-stage join is a broadcast of an already-reduced
+    user set against a scan-pruned event slice; no sort, no window,
+    no whole-table shuffle.  Funnel depth = chain length, each step
+    one agg + one broadcast join."""
+    ev = T(spark, sf_dir, "events").select("user_id", "ts", "event_type")
+
+    def stage(prev, etype: str, tcol: str, prev_t: str):
+        e = ev.filter(F.col("event_type") == etype)
+        if prev is None:
+            return e.groupBy("user_id").agg(F.min("ts").alias(tcol))
+        return (
+            e.join(F.broadcast(prev), "user_id")
+            .filter(F.col("ts") > F.col(prev_t))
+            .groupBy("user_id")
+            .agg(F.min("ts").alias(tcol))
+        )
+
+    v = stage(None, "view", "t1", "")
+    c = stage(v, "click", "t2", "t1")
+    p = stage(c, "purchase", "t3", "t2")
+    rows = [
+        v.agg(F.lit(1).alias("ord"), F.lit("view").alias("stage"),
+              F.count(F.lit(1)).alias("n_users")),
+        c.agg(F.lit(2).alias("ord"), F.lit("click_after_view").alias("stage"),
+              F.count(F.lit(1)).alias("n_users")),
+        p.agg(F.lit(3).alias("ord"), F.lit("purchase_after_click").alias("stage"),
+              F.count(F.lit(1)).alias("n_users")),
+    ]
+    out = rows[0].unionByName(rows[1]).unionByName(rows[2])
+    return out.orderBy("ord").select("stage", "n_users")
+
+
+@query(
+    "user_retention_cohorts",
+    """
+    WITH firsts AS (
+      SELECT user_id, date_trunc('week', min(ts)) AS cohort_week
+      FROM events GROUP BY user_id
+    ),
+    active AS (
+      SELECT DISTINCT e.user_id, date_trunc('week', e.ts) AS week
+      FROM events e
+    )
+    SELECT strftime(f.cohort_week, '%Y-%m-%d') AS cohort_week,
+           CAST(date_diff('day', f.cohort_week, a.week) // 7 AS BIGINT)
+             AS week_offset,
+           count(*) AS n_active
+    FROM active a JOIN firsts f USING (user_id)
+    GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+    survey="A-cohort",
+    tags=("temporal",),
+)
+def user_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention grid — users grouped by first-seen week, counted
+    in each subsequent activity week: the (cohort × offset) triangle
+    every growth dashboard is built on.
+
+    Plan: ONE shuffle on user_id computes both the cohort assignment
+    (min ts) and the distinct active weeks (dropDuplicates on
+    user+week re-uses the same hash partitioning), then the per-user
+    cohort joins back user-partitioned before the final small
+    (cohort, offset) rollup.  Weeks are date_trunc('week') in both
+    engines (Monday start) and the offset is integer day-diff div 7 —
+    no timezone or interpolation ambiguity."""
+    ev = T(spark, sf_dir, "events").select("user_id", "ts")
+    firsts = ev.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).alias("cohort_week")
+    )
+    active = ev.select(
+        "user_id", F.date_trunc("week", "ts").alias("week")
+    ).dropDuplicates(["user_id", "week"])
+    return (
+        active.join(firsts, "user_id")
+        .groupBy(
+            F.date_format("cohort_week", "yyyy-MM-dd").alias("cohort_week"),
+            (F.datediff(F.col("week"), F.col("cohort_week")) / 7)
+            .cast("long")
+            .alias("week_offset"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_active"))
+        .orderBy("cohort_week", "week_offset")
+    )

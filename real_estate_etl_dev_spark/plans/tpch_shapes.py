@@ -303,3 +303,75 @@ def trade_ready_nations_intersect(spark: SparkSession, sf_dir: str) -> DataFrame
         .select("n_name")
         .orderBy("n_name")
     )
+
+
+@query(
+    "price_qty_exact_corr",
+    """
+    WITH m AS (
+      SELECT l_returnflag,
+             count(*) AS n,
+             sum(CAST(l_quantity AS DECIMAL(38,8))) AS sx,
+             sum(CAST(l_extendedprice AS DECIMAL(38,8))) AS sy,
+             sum(CAST(l_quantity AS DECIMAL(38,8))
+                 * CAST(l_extendedprice AS DECIMAL(38,8))) AS sxy,
+             sum(CAST(l_quantity AS DECIMAL(38,8))
+                 * CAST(l_quantity AS DECIMAL(38,8))) AS sxx,
+             sum(CAST(l_extendedprice AS DECIMAL(38,8))
+                 * CAST(l_extendedprice AS DECIMAL(38,8))) AS syy
+      FROM lineitem GROUP BY l_returnflag
+    )
+    SELECT l_returnflag,
+           CAST(n AS BIGINT) AS n_lines,
+           round((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                  - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                 / sqrt((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                         - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                        * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                           - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 6)
+             AS qty_price_corr
+    FROM m ORDER BY l_returnflag
+    """,
+    survey="A-corr",
+    tags=("tpch",),
+)
+def price_qty_exact_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson correlation per group from EXACT decimal moments —
+    deliberately NOT the built-in ``corr`` aggregate: streaming
+    covariance accumulators are floating-point and order-dependent,
+    so two engines (or two partitionings of the same engine) disagree
+    in the last digits.  Here the five moments (Σx, Σy, Σxy, Σx²,
+    Σy²) are exact DECIMAL(38,8) sums — associative, commutative,
+    partial-aggregatable map-side — and the correlation assembles
+    from identical doubles on both engines.
+
+    Scale: one map-side-combinable hash-agg on a 3-value key; the
+    moment trick is the standard one-pass parallel corr/covariance
+    at any cluster size (same posture as embedding_centroids' exact
+    partial_avg)."""
+    li = T(spark, sf_dir, "lineitem").select(
+        "l_returnflag",
+        F.col("l_quantity").cast("decimal(38,8)").alias("x"),
+        F.col("l_extendedprice").cast("decimal(38,8)").alias("y"),
+    )
+    m = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    n = F.col("n").cast("double")
+    sx, sy = F.col("sx").cast("double"), F.col("sy").cast("double")
+    sxy = F.col("sxy").cast("double")
+    sxx, syy = F.col("sxx").cast("double"), F.col("syy").cast("double")
+    return m.select(
+        "l_returnflag",
+        F.col("n").cast("long").alias("n_lines"),
+        F.round(
+            (n * sxy - sx * sy)
+            / F.sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)),
+            6,
+        ).alias("qty_price_corr"),
+    ).orderBy("l_returnflag")

@@ -415,3 +415,35 @@ def test_mad_outliers_one_scan_one_shuffle(spark, sf_dir):
     hash_exchanges = re.findall(r"Exchange hashpartitioning\(o_orderpriority", plan)
     assert len(hash_exchanges) == 1, plan
     assert plan.count("FileScan parquet") == 1, plan
+
+
+def test_funnel_stages_broadcast_and_shrink(spark, sf_dir):
+    """event_funnel_counts: every inter-stage join is a broadcast of
+    the previous (smaller) stage frame; no window, no sort of the
+    event table, no cartesian."""
+    plan = plan_of(spark, sf_dir, "event_funnel_counts")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "Window" not in plan
+
+
+def test_retention_cohorts_single_user_shuffle(spark, sf_dir):
+    """user_retention_cohorts: cohort assignment and distinct active
+    weeks both hash-partition on user_id, so the join needs no extra
+    fact-side exchange beyond those aggs."""
+    import re
+
+    plan = plan_of(spark, sf_dir, "user_retention_cohorts")
+    user_exchanges = re.findall(r"Exchange hashpartitioning\(user_id", plan)
+    assert len(user_exchanges) <= 2, plan
+    assert "CartesianProduct" not in plan
+
+
+def test_exact_corr_is_one_mapside_agg(spark, sf_dir):
+    """price_qty_exact_corr: the five decimal moments are ONE
+    partial→final hash aggregate over one scan — no join, no window,
+    no second pass."""
+    plan = plan_of(spark, sf_dir, "price_qty_exact_corr")
+    assert "Join" not in plan
+    assert "Window" not in plan
+    assert plan.count("FileScan parquet") == 1, plan
