@@ -233,3 +233,98 @@ def lsh_topk(
         scored.withColumn("rank", F.row_number().over(w).cast("long"))
         .filter(F.col("rank") <= k)
     )
+
+
+def lloyd_kmeans(
+    vectors: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 4,
+    iterations: int = 2,
+) -> DataFrame:
+    """Lloyd k-means over an embedding column with EXACT-DECIMAL
+    arithmetic, so every assignment and centroid is a pure function of
+    the data — bit-identical across engines and partitionings, hence
+    oracle-certifiable (no other distributed k-means is).
+
+    Determinism recipe:
+      * components cast float → double → DECIMAL(12,8) (deterministic
+        per-value rounding, the embedding_centroids trick);
+      * squared-L2 distances are exact decimal sums (decimal + and ×
+        are associative — no float summation-order dependence);
+      * argmin ties break on cluster id via an exact struct-min;
+      * recomputed centroids divide the exact component sum by the
+        member count in DOUBLE, then round back to DECIMAL(12,8) —
+        one deterministic rounding per iteration, the same on both
+        engines.
+
+    Seeding: the k smallest ids are the initial centroids (data-
+    deterministic, no RNG).  Iterations are UNROLLED into the plan —
+    each is: broadcast join of k×dim centroid cells on ``pos``, a
+    (vector, cluster) distance agg, an exact argmin, and a
+    (cluster, pos) centroid agg.  Per iteration that is two keyed
+    shuffles of |vectors|·dim·k cells — the canonical distributed
+    Lloyd step (MLlib's KMeans does the same dance in Scala with
+    float math; this form trades its speed for certifiability, and
+    ``pyspark.ml.clustering.KMeans`` is the drop-in at real scale).
+
+    Returns one row per (cluster, pos): the final centroid component
+    ``c`` (rounded to 6), plus that cluster's final ``n_members``.
+    """
+    dec = "decimal(12,8)"
+    x = vectors.select(
+        F.col(id_col).alias("vid"),
+        F.posexplode(
+            F.transform(vec_col, lambda v: v.cast("double").cast(dec))
+        ).alias("pos", "val"),
+    )
+    seed_ids = (
+        vectors.select(F.col(id_col).alias("vid"))
+        .orderBy("vid")
+        .limit(k)
+        .withColumn("cluster", F.row_number().over(Window.orderBy("vid")) - 1)
+    )
+    # x feeds every iteration — materialize the tokenized cells once so
+    # the unrolled plan re-reads a 64×|vectors| cache, not the parquet +
+    # explode subtree, in each of the 2(iterations+1) joins below.
+    x = x.localCheckpoint(eager=False)
+    cents = (
+        x.join(F.broadcast(seed_ids), "vid")
+        .select("cluster", "pos", F.col("val").alias("cval"))
+    )
+    for _ in range(iterations + 1):
+        d = (
+            x.join(F.broadcast(cents), "pos")
+            .groupBy("vid", "cluster")
+            .agg(
+                F.sum(
+                    (F.col("val") - F.col("cval")) * (F.col("val") - F.col("cval"))
+                ).alias("dist")
+            )
+        )
+        assign = d.groupBy("vid").agg(
+            F.min(F.struct("dist", "cluster")).getField("cluster").alias("cluster")
+        )
+        # k×dim rows: checkpoint truncates the iterative lineage, so
+        # iteration i+1's plan starts from a materialized centroid
+        # table instead of re-deriving iterations 1..i (the same
+        # posture as connected_components' per-round labels).  The
+        # member count rides along so the final sizes need no second
+        # evaluation of the assignment.
+        cents = (
+            x.join(assign, "vid")
+            .groupBy("cluster", "pos")
+            .agg(
+                (F.sum("val").cast("double") / F.count(F.lit(1)))
+                .cast(dec)
+                .alias("cval"),
+                F.count(F.lit(1)).alias("n_members"),
+            )
+            .localCheckpoint(eager=False)
+        )
+    return cents.select(
+        F.col("cluster").cast("long").alias("cluster"),
+        F.col("pos").cast("long").alias("pos"),
+        F.round(F.col("cval").cast("double"), 6).alias("c"),
+        F.col("n_members").cast("long").alias("n_members"),
+    ).orderBy("cluster", "pos")

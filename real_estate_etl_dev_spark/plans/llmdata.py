@@ -2301,3 +2301,90 @@ def dedup_ngram_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("dup_token_frac"), "doc_id")
         .limit(100)
     )
+
+
+def _kmeans_oracle_sql(k: int = 4, rounds: int = 3) -> str:
+    """Unrolled Lloyd iterations as chained CTEs — the oracle engine
+    has no loops, so the fixed iteration count is expanded textually
+    (same exact-decimal arithmetic as the Spark side)."""
+    body = [
+        f"""
+    WITH x AS (
+      SELECT vid, u.i AS pos,
+             CAST(CAST(v[u.i + 1] AS DOUBLE) AS DECIMAL(12,8)) AS val
+      FROM (SELECT vec_id AS vid, CAST(embedding AS DOUBLE[]) AS v
+            FROM embeddings) e,
+           unnest(range(0, len(v))) AS u(i)
+    ),
+    seeds AS (
+      SELECT vid, row_number() OVER (ORDER BY vid) - 1 AS cluster
+      FROM (SELECT DISTINCT vid FROM x ORDER BY vid LIMIT {k})
+    ),
+    c0 AS (
+      SELECT s.cluster, x.pos, x.val AS cval
+      FROM x JOIN seeds s USING (vid)
+    )"""
+    ]
+    prev = "c0"
+    for i in range(1, rounds + 1):
+        body.append(f""",
+    d{i} AS (
+      SELECT x.vid, c.cluster,
+             sum((x.val - c.cval) * (x.val - c.cval)) AS dist
+      FROM x JOIN {prev} c USING (pos) GROUP BY x.vid, c.cluster
+    ),
+    a{i} AS (
+      SELECT vid, cluster FROM (
+        SELECT vid, cluster,
+               row_number() OVER (PARTITION BY vid
+                                  ORDER BY dist, cluster) AS rn
+        FROM d{i}) WHERE rn = 1
+    ),
+    c{i} AS (
+      SELECT a.cluster, x.pos,
+             CAST(CAST(sum(x.val) AS DOUBLE) / count(*) AS DECIMAL(12,8))
+               AS cval
+      FROM x JOIN a{i} a USING (vid) GROUP BY a.cluster, x.pos
+    )""")
+        prev = f"c{i}"
+    body.append(f""",
+    sizes AS (
+      SELECT cluster, count(*) AS n_members FROM a{rounds} GROUP BY cluster
+    )
+    SELECT CAST(c.cluster AS BIGINT) AS cluster,
+           CAST(c.pos AS BIGINT) AS pos,
+           round(CAST(c.cval AS DOUBLE), 6) AS c,
+           CAST(s.n_members AS BIGINT) AS n_members
+    FROM {prev} c JOIN sizes s USING (cluster)
+    ORDER BY cluster, pos""")
+    return "".join(body)
+
+
+@query(
+    "embedding_kmeans",
+    _kmeans_oracle_sql(k=4, rounds=3),
+    survey="llm-kmeans",
+    tags=("similarity",),
+)
+def embedding_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed Lloyd k-means (k=4, 3 unrolled iterations,
+    id-deterministic seeding) certified value-exact against an
+    independent unrolled recursive formulation — possible only because
+    every distance and centroid uses exact decimal arithmetic (see
+    :func:`operators.similarity.lloyd_kmeans`).  This is the iterative
+    refinement step under the IVF index (`embedding_ann_ivf` probes
+    centroids this loop would produce) and the standard corpus
+    clustering pass before per-cluster semantic dedup (SemDeDup
+    clusters first for exactly this reason).
+
+    Scale: per iteration, the k×dim centroid table broadcasts and the
+    two aggregations shuffle |vectors|·k (distance) and |members|·dim
+    (recompute) cells with map-side partials; iterations unroll into
+    ONE plan (no driver-side convergence collect — fixed rounds, the
+    batch-friendly form).  At real scale swap in
+    ``pyspark.ml.clustering.KMeans`` (float math, same shuffle
+    structure) once certifiability stops being the requirement."""
+    from ..operators.similarity import lloyd_kmeans
+
+    vecs = load_table(spark, sf_dir, "embeddings")
+    return lloyd_kmeans(vecs, id_col="vec_id", vec_col="embedding", k=4, iterations=2)

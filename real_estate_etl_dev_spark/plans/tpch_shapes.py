@@ -24,7 +24,7 @@ partial-aggregate order.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from .catalog import query, T
@@ -375,3 +375,57 @@ def price_qty_exact_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("qty_price_corr"),
     ).orderBy("l_returnflag")
+
+
+@query(
+    "price_histogram",
+    """
+    WITH b AS (
+      SELECT CAST(least(floor(o_totalprice / 50000), 9) AS BIGINT)
+               AS bucket
+      FROM orders
+    )
+    SELECT bucket,
+           bucket * 50000.0 AS lo,
+           CASE WHEN bucket = 9 THEN NULL
+                ELSE (bucket + 1) * 50000.0 END AS hi,
+           count(*) AS n_orders,
+           CAST(sum(count(*)) OVER (ORDER BY bucket) AS BIGINT) AS cum_orders
+    FROM b GROUP BY bucket ORDER BY bucket
+    """,
+    survey="A-histogram",
+    tags=("tpch",),
+)
+def price_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-width price histogram with a cumulative count — the
+    fixed-bucket profile pass a pipeline runs before choosing range
+    partition bounds or quality thresholds.  Buckets are pure integer
+    floor arithmetic (width 50k, last bucket open-ended), so bucket
+    membership is engine-exact — no percentile sketch, no sampling.
+
+    Scale: map-only bucket derivation + a ≤10-key hash-agg (map-side
+    partials), then the cumulative sum runs over the 10 AGGREGATED
+    rows — the global window is bounded by the bucket count, never the
+    table (same posture as rolling_7d_revenue)."""
+    orders = T(spark, sf_dir, "orders")
+    bucket = F.least(F.floor(F.col("o_totalprice") / 50000), F.lit(9)).cast(
+        "long"
+    )
+    agg = (
+        orders.select(bucket.alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+    )
+    w = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, 0)
+    return (
+        agg.select(
+            "bucket",
+            (F.col("bucket") * 50000.0).alias("lo"),
+            F.when(F.col("bucket") == 9, F.lit(None).cast("double"))
+            .otherwise((F.col("bucket") + 1) * 50000.0)
+            .alias("hi"),
+            "n_orders",
+            F.sum("n_orders").over(w).cast("long").alias("cum_orders"),
+        )
+        .orderBy("bucket")
+    )

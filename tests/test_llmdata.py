@@ -520,3 +520,27 @@ def test_summarizer_centroids_match_explode_form(spark, sf_dir):
         abs(float(a.c) - float(b.c)) for a, b in zip(exact, summ)
     )
     assert worst <= 1e-9, worst
+
+
+def test_lloyd_kmeans_partitioning_invariance_and_shape(spark, sf_dir):
+    """lloyd_kmeans is a pure function of the data: the same corpus at
+    a different partitioning yields the SAME centroids and sizes (the
+    exact-decimal arithmetic claim), cluster sizes sum to |vectors|,
+    and every cluster row carries all dims."""
+    from real_estate_etl_dev_spark.operators.similarity import lloyd_kmeans
+    from real_estate_etl_dev_spark.sources.readers import load_table
+
+    vecs = load_table(spark, sf_dir, "embeddings")
+    a = lloyd_kmeans(vecs, k=4, iterations=2).collect()
+    b = lloyd_kmeans(vecs.repartition(7, "label"), k=4, iterations=2).collect()
+    assert [tuple(r) for r in a] == [tuple(r) for r in b]
+
+    n_vecs = vecs.count()
+    sizes = {}
+    dims = {}
+    for r in a:
+        sizes[r.cluster] = r.n_members
+        dims[r.cluster] = dims.get(r.cluster, 0) + 1
+    assert sum(sizes.values()) == n_vecs
+    assert set(dims.values()) == {64}
+    assert len(sizes) == 4

@@ -157,6 +157,8 @@ def test_catalog_wide_plan_invariants(spark, sf_dir):
         "rolling_7d_revenue",
         # global rank over a 100-row TakeOrdered slice, not the corpus
         "corpus_shuffle_order",
+        # cumulative sum over ≤10 aggregated bucket rows
+        "price_histogram",
     }
     offenders = {"cartesian": [], "py_udf": [], "global_window": []}
     for name, q in CATALOG.items():
