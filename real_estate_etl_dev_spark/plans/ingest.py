@@ -409,3 +409,142 @@ def zorder_bucket_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bucket")
     )
+
+
+@query(
+    "partition_pruned_scan",
+    """
+    SELECT strftime(o_orderdate, '%Y-%m') AS month,
+           count(*) AS n_orders,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(20,8))) AS DOUBLE)
+             AS revenue
+    FROM orders
+    WHERE year(o_orderdate) = 1995
+    GROUP BY month ORDER BY month
+    """,
+    survey="S-partitioned,P6",
+    tags=("ingest",),
+)
+def partition_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hive-style PARTITION PRUNING end-to-end: orders are laid out
+    ``partitionBy(o_year)`` (the write a 100 TB deployment does once),
+    and a one-year query must then touch ONLY that year's directory —
+    the filter becomes a PartitionFilter resolved against directory
+    names at planning time, so 6/7ths of the data is never opened,
+    listed footers aside.  The in-query assertion fails the
+    certification row if the pushed partition filter ever leaves the
+    plan; the RESULT is certified against the unpartitioned original
+    via an independent year() derivation.
+
+    Scale: this is THE dominant I/O lever at 100 TB (a year-
+    partitioned fact table turns a 7-year scan into a 1-year scan
+    before a single task launches); the layout write costs one
+    shuffle-free pass, billed as setup."""
+    import shutil
+    import tempfile
+
+    from ..benchmeta import setup_span
+
+    with setup_span("partition_pruned_scan"):
+        workdir = tempfile.mkdtemp(prefix="part_prune_")
+        orders = load_table(spark, sf_dir, "orders")
+        (
+            orders.withColumn("o_year", F.year("o_orderdate"))
+            .write.partitionBy("o_year")
+            .mode("overwrite")
+            .parquet(f"{workdir}/orders_by_year")
+        )
+
+    df = (
+        spark.read.parquet(f"{workdir}/orders_by_year")
+        .filter(F.col("o_year") == 1995)
+        .groupBy(F.date_format("o_orderdate", "yyyy-MM").alias("month"))
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(20,8)"))
+            .cast("double")
+            .alias("revenue"),
+        )
+        .orderBy("month")
+    )
+    plan = df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+    assert "PartitionFilters" in plan and "o_year" in plan.split(
+        "PartitionFilters"
+    )[1].split("]")[0], "partition filter did not reach the scan"
+    out = df.collect()
+    shutil.rmtree(workdir, ignore_errors=True)
+    return spark.createDataFrame(out, df.schema)
+
+
+@query(
+    "schema_evolution_union",
+    """
+    WITH unioned AS (
+      SELECT o_orderkey, o_totalprice, NULL AS o_orderpriority
+      FROM orders WHERE year(o_orderdate) = 1995
+      UNION ALL
+      SELECT o_orderkey, o_totalprice, o_orderpriority
+      FROM orders WHERE year(o_orderdate) = 1996
+    )
+    SELECT coalesce(o_orderpriority, '(pre-schema)') AS priority,
+           count(*) AS n_orders,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(20,8))) AS DOUBLE)
+             AS revenue
+    FROM unioned GROUP BY priority ORDER BY priority
+    """,
+    survey="S-evolution",
+    tags=("ingest",),
+)
+def schema_evolution_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCHEMA EVOLUTION on read: an early batch written WITHOUT the
+    ``o_orderpriority`` column and a later batch written WITH it are
+    read as one table via ``mergeSchema`` — old rows surface NULL for
+    the added column, new rows carry their value; no rewrite of the
+    old files.  The aggregate certifies both the row routing and that
+    no value leaked across the schema boundary.
+
+    Scale: mergeSchema reconciles footers at planning time (on a huge
+    table, pin the merged schema explicitly via ``.schema(...)`` to
+    skip the footer sweep — documented trade); the data files
+    themselves are never rewritten, which is the point: at 100 TB a
+    column add must be O(metadata), not O(data)."""
+    import shutil
+    import tempfile
+
+    from ..benchmeta import setup_span
+
+    with setup_span("schema_evolution_union"):
+        workdir = tempfile.mkdtemp(prefix="schema_evo_")
+        orders = load_table(spark, sf_dir, "orders")
+        (
+            orders.filter(F.year("o_orderdate") == 1995)
+            .select("o_orderkey", "o_totalprice")
+            .write.mode("overwrite")
+            .parquet(f"{workdir}/t/batch=1995")
+        )
+        (
+            orders.filter(F.year("o_orderdate") == 1996)
+            .select("o_orderkey", "o_totalprice", "o_orderpriority")
+            .write.mode("overwrite")
+            .parquet(f"{workdir}/t/batch=1996")
+        )
+
+    df = (
+        spark.read.option("mergeSchema", "true")
+        .parquet(f"{workdir}/t")
+        .groupBy(
+            F.coalesce("o_orderpriority", F.lit("(pre-schema)")).alias("priority")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(20,8)"))
+            .cast("double")
+            .alias("revenue"),
+        )
+        .orderBy("priority")
+    )
+    out = df.collect()
+    shutil.rmtree(workdir, ignore_errors=True)
+    return spark.createDataFrame(out, df.schema)

@@ -386,9 +386,9 @@ def price_qty_exact_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM orders
     )
     SELECT bucket,
-           bucket * 50000.0 AS lo,
-           CASE WHEN bucket = 9 THEN NULL
-                ELSE (bucket + 1) * 50000.0 END AS hi,
+           CAST(bucket * 50000.0 AS DOUBLE) AS lo,
+           CAST(CASE WHEN bucket = 9 THEN NULL
+                ELSE (bucket + 1) * 50000.0 END AS DOUBLE) AS hi,
            count(*) AS n_orders,
            CAST(sum(count(*)) OVER (ORDER BY bucket) AS BIGINT) AS cum_orders
     FROM b GROUP BY bucket ORDER BY bucket

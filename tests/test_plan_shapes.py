@@ -449,3 +449,44 @@ def test_exact_corr_is_one_mapside_agg(spark, sf_dir):
     assert "Join" not in plan
     assert "Window" not in plan
     assert plan.count("FileScan parquet") == 1, plan
+
+
+def test_partition_pruning_reads_one_year_of_files(spark, sf_dir):
+    """Physical proof of partition pruning: the one-year filter reads
+    strictly fewer files than the full partitioned table (one
+    directory of seven), and the partition filter appears in the
+    scan, not a post-scan Filter."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+    from real_estate_etl_dev_spark.sources.readers import load_table
+
+    workdir = tempfile.mkdtemp(prefix="prune_test_")
+    try:
+        (
+            load_table(spark, sf_dir, "orders")
+            .withColumn("o_year", F.year("o_orderdate"))
+            .write.partitionBy("o_year")
+            .mode("overwrite")
+            .parquet(f"{workdir}/t")
+        )
+        full = spark.read.parquet(f"{workdir}/t")
+        one = full.filter(F.col("o_year") == 1995)
+        # input_file_name() names the files EXECUTION actually read —
+        # (inputFiles() reports the pre-pruning listing, useless here)
+        read_one = {
+            r[0] for r in one.select(F.input_file_name()).distinct().collect()
+        }
+        read_full = {
+            r[0] for r in full.select(F.input_file_name()).distinct().collect()
+        }
+        assert len(read_one) < len(read_full)
+        assert {f.split("o_year=")[1].split("/")[0] for f in read_one} == {"1995"}
+        fmt = one._sc._jvm.PythonSQLUtils.explainString(
+            one._jdf.queryExecution(), "formatted"
+        )
+        assert "PartitionFilters" in fmt
+        assert "o_year" in fmt.split("PartitionFilters")[1].split("]")[0]
+    finally:
+        shutil.rmtree(workdir, ignore_errors=True)
