@@ -15,11 +15,13 @@ groups by l_returnflag and classifies o_orderpriority — same plan
 shapes (semi-join + agg; join + conditional agg), different
 predicates.
 
-All five are exactly SQL-expressible; every oracle is an independent
-DuckDB formulation (EXISTS subquery, FILTER aggregates, INTERSECT).
-Money sums use the exact-DECIMAL discipline established in
-shipping_priority_topn so certified digits never depend on
-partial-aggregate order.
+Also here: the Q5 six-table co-location join (the only query joining
+the ``region`` dimension), the exact-moment correlation, and the
+equi-width histogram.  All are exactly SQL-expressible; every oracle
+is an independent DuckDB formulation (EXISTS subquery, FILTER
+aggregates, INTERSECT).  Money sums use the exact-DECIMAL discipline
+established in shipping_priority_topn so certified digits never
+depend on partial-aggregate order.
 """
 
 from __future__ import annotations
@@ -428,4 +430,159 @@ def price_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_orders").over(w).cast("long").alias("cum_orders"),
         )
         .orderBy("bucket")
+    )
+
+
+@query(
+    "local_supplier_volume",
+    """
+    SELECT n.n_name AS nation,
+           CAST(count(*) AS BIGINT) AS n_lines,
+           CAST(sum(CAST(l.l_extendedprice * (1 - l.l_discount)
+                         AS DECIMAL(20,8))) AS DOUBLE) AS revenue
+    FROM customer c
+    JOIN orders o ON o.o_custkey = c.c_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey
+                   AND s.s_nationkey = c.c_nationkey
+    JOIN nation n ON n.n_nationkey = c.c_nationkey
+    JOIN region r ON r.r_regionkey = n.n_regionkey
+    WHERE r.r_name = 'ASIA'
+      AND o.o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o.o_orderdate <  TIMESTAMP '1997-01-01'
+    GROUP BY n.n_name
+    ORDER BY revenue DESC, nation
+    """,
+    survey="J2,A2,P4",
+    tags=("tpch",),
+)
+def local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 proper — the six-table join (region → nation →
+    customer → orders → lineitem → supplier) with the CO-LOCATION
+    predicate ``s_nationkey = c_nationkey``: revenue earned where the
+    supplier and the ordering customer share a nation, for one region
+    and one year.  The only catalog query exercising the ``region``
+    dimension in a join (everywhere else it appears only in the
+    schema-inventory gate).
+
+    Plan/scale: region (5 rows) filters to ONE key and broadcasts;
+    nation (25 rows) broadcasts; so the region restriction reduces
+    customers BEFORE the fact joins.  The year filter prunes orders at
+    the scan.  The supplier join carries the extra nation-equality as
+    part of the join condition — one hash join on (s_suppkey), the
+    co-nation test applied in the same operator, never a post-join
+    filter over an inflated intermediate.  Revenue sums as exact
+    DECIMAL per the house rule."""
+    r = (
+        T(spark, sf_dir, "region")
+        .filter(F.col("r_name") == "ASIA")
+        .select("r_regionkey")
+    )
+    n = T(spark, sf_dir, "nation").select("n_nationkey", "n_name", "n_regionkey")
+    n_asia = n.join(F.broadcast(r), n.n_regionkey == r.r_regionkey).select(
+        "n_nationkey", "n_name"
+    )
+    c = T(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    c_asia = c.join(F.broadcast(n_asia), c.c_nationkey == n_asia.n_nationkey).select(
+        "c_custkey", "c_nationkey", "n_name"
+    )
+    o = (
+        T(spark, sf_dir, "orders")
+        .filter(
+            (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+        )
+        .select("o_orderkey", "o_custkey")
+    )
+    li = T(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"
+    )
+    s = T(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    rev = (F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount"))).cast(
+        "decimal(20,8)"
+    )
+    return (
+        o.join(c_asia, o.o_custkey == c_asia.c_custkey)
+        .join(li, F.col("o_orderkey") == li.l_orderkey)
+        .join(
+            F.broadcast(s),
+            (li.l_suppkey == s.s_suppkey)
+            & (F.col("c_nationkey") == s.s_nationkey),
+        )
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_lines"),
+            F.sum(rev).cast("double").alias("revenue"),
+        )
+        .orderBy(F.desc("revenue"), "nation")
+    )
+
+
+@query(
+    "idle_rich_customers",
+    """
+    WITH avg_bal AS (
+      SELECT avg(CAST(CAST(c_acctbal AS DECIMAL(20,8)) AS DOUBLE)) AS a
+      FROM customer WHERE c_acctbal > 0
+    )
+    SELECT c.c_nationkey,
+           count(*) AS n_customers,
+           CAST(sum(CAST(c.c_acctbal AS DECIMAL(20,8))) AS DOUBLE)
+             AS total_balance
+    FROM customer c, avg_bal
+    WHERE c.c_acctbal > avg_bal.a
+      AND NOT EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey
+                        AND o.o_orderdate >= TIMESTAMP '2000-01-01')
+    GROUP BY c.c_nationkey
+    ORDER BY c.c_nationkey
+    """,
+    survey="P9,J6,A5",
+    tags=("tpch",),
+)
+def idle_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape — customers with an above-average balance and
+    NO RECENT ORDER (none since 2000-01-01; the fixture has no
+    never-ordered customers), rolled up per nation: a SCALAR-subquery
+    threshold (the global positive-balance mean) combined with an
+    anti-join against the recency-filtered fact.  The scalar is data-derived, so the filter cannot be
+    scan-pushed — the right plan computes ONE aggregate row and
+    broadcasts it against the customer scan.
+
+    Determinism: the mean divides an exact DECIMAL sum by an exact
+    count once, globally — no partial-agg ordering in the certified
+    digits (same posture as promo_revenue_ratio); the threshold
+    COMPARISON then uses that one identical double in both engines.
+    Scale: threshold = 1-row broadcast (no second customer shuffle);
+    anti-join probes orders projected to o_custkey; final agg is ≤25
+    keys."""
+    c = T(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey", "c_acctbal"
+    )
+    avg_bal = (
+        c.filter(F.col("c_acctbal") > 0)
+        .agg(
+            (
+                F.sum(F.col("c_acctbal").cast("decimal(20,8)")).cast("double")
+                / F.count(F.lit(1))
+            ).alias("a")
+        )
+    )
+    o = (
+        T(spark, sf_dir, "orders")
+        .filter(F.col("o_orderdate") >= F.lit("2000-01-01").cast("timestamp"))
+        .select("o_custkey")
+    )
+    return (
+        c.join(F.broadcast(avg_bal))
+        .filter(F.col("c_acctbal") > F.col("a"))
+        .join(o, c.c_custkey == o.o_custkey, "left_anti")
+        .groupBy("c_nationkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.sum(F.col("c_acctbal").cast("decimal(20,8)"))
+            .cast("double")
+            .alias("total_balance"),
+        )
+        .orderBy("c_nationkey")
     )

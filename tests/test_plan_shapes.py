@@ -490,3 +490,18 @@ def test_partition_pruning_reads_one_year_of_files(spark, sf_dir):
         assert "o_year" in fmt.split("PartitionFilters")[1].split("]")[0]
     finally:
         shutil.rmtree(workdir, ignore_errors=True)
+
+
+def test_q5_broadcasts_dims_and_joins_conation_in_operator(spark, sf_dir):
+    """local_supplier_volume: region/nation/supplier broadcast; the
+    co-nation equality lives INSIDE the supplier join condition (no
+    post-join Filter on nationkey equality), and the year filter is
+    pushed to the orders scan."""
+    plan = plan_of(spark, sf_dir, "local_supplier_volume")
+    assert plan.count("BroadcastHashJoin") >= 3
+    fmt = formatted(spark, sf_dir, "local_supplier_volume")
+    assert "IsNotNull(o_orderdate)" in fmt
+    assert "EqualTo(r_name,ASIA)" in fmt
+    # co-nation predicate is a join key, not a residual filter row scan
+    joins = [ln for ln in plan.splitlines() if "BroadcastHashJoin" in ln]
+    assert any("s_nationkey" in ln for ln in joins), joins
