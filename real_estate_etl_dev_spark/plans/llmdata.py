@@ -2388,3 +2388,97 @@ def embedding_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     vecs = load_table(spark, sf_dir, "embeddings")
     return lloyd_kmeans(vecs, id_col="vec_id", vec_col="embedding", k=4, iterations=2)
+
+
+@query(
+    "doc_lm_cross_entropy",
+    """
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+    ),
+    uni AS (
+      SELECT tok, count(*) AS c FROM toks WHERE tok <> '' GROUP BY tok
+    ),
+    scal AS (
+      SELECT CAST(sum(c) AS DOUBLE) AS n_corpus,
+             CAST(count(*) AS DOUBLE) AS v
+      FROM uni
+    ),
+    lp AS (
+      SELECT u.tok,
+             log2((u.c + 1) / (s.n_corpus + s.v)) AS logp
+      FROM uni u, scal s
+    ),
+    perdoc AS (
+      SELECT t.doc_id, t.tok, count(*) AS c_td
+      FROM toks t WHERE t.tok <> '' GROUP BY t.doc_id, t.tok
+    ),
+    terms AS (
+      SELECT p.doc_id,
+             p.c_td,
+             CAST(round(p.c_td * l.logp, 6) AS DECIMAL(24,6)) AS term
+      FROM perdoc p JOIN lp l USING (tok)
+    )
+    SELECT doc_id,
+           CAST(sum(c_td) AS BIGINT) AS n_tokens,
+           round(-CAST(sum(term) AS DOUBLE) / sum(c_td), 4)
+             AS cross_entropy_bits
+    FROM terms GROUP BY doc_id
+    ORDER BY cross_entropy_bits DESC, doc_id
+    LIMIT 100
+    """,
+    survey="LLM-quality",
+    tags=("llm-text",),
+)
+def doc_lm_cross_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-model QUALITY SCORING, the CCNet recipe: train a
+    unigram LM on the corpus itself (add-one smoothing), then score
+    every document by its per-token cross-entropy in bits — documents
+    far from the corpus distribution (the perplexity outliers a
+    pipeline drops or down-weights) rank first.  Top-100 by score.
+
+    Numeric determinism: each (doc, token) term ``count·log2 p`` is
+    rounded to 6 decimals and cast to DECIMAL *before* the per-doc
+    sum, so the aggregate is an EXACT decimal sum — associative,
+    partition-order-independent — and only one deterministic division
+    + coarser round(…,4) follows.  A raw double sum of log-probs
+    would inherit partial-agg ordering (the embedding_centroids
+    lesson applied to logs).
+
+    Scale: the LM is |vocab| rows — aggregate once, broadcast
+    everywhere (at web scale the unigram table of a 100 TB corpus is
+    still only millions of rows; hash-partition it instead and
+    co-shuffle with the (doc, token) counts).  Two keyed shuffles:
+    (token) for the LM, (doc, token)→(doc) for scoring, both with
+    map-side partials; the scalar (N, V) frame is a 1-row broadcast
+    combine."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("tok")
+    ).filter(F.col("tok") != "")
+    uni = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("c"))
+    scal = uni.agg(
+        F.sum("c").cast("double").alias("n_corpus"),
+        F.count(F.lit(1)).cast("double").alias("v"),
+    )
+    lp = uni.join(F.broadcast(scal)).select(
+        "tok",
+        F.log2((F.col("c") + 1) / (F.col("n_corpus") + F.col("v"))).alias("logp"),
+    )
+    perdoc = toks.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("c_td"))
+    terms = perdoc.join(F.broadcast(lp), "tok").select(
+        "doc_id",
+        "c_td",
+        F.round(F.col("c_td") * F.col("logp"), 6).cast("decimal(24,6)").alias("term"),
+    )
+    return (
+        terms.groupBy("doc_id")
+        .agg(
+            F.sum("c_td").cast("long").alias("n_tokens"),
+            F.round(
+                -F.sum("term").cast("double") / F.sum("c_td"), 4
+            ).alias("cross_entropy_bits"),
+        )
+        .orderBy(F.desc("cross_entropy_bits"), "doc_id")
+        .limit(100)
+    )

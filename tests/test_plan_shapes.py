@@ -505,3 +505,14 @@ def test_q5_broadcasts_dims_and_joins_conation_in_operator(spark, sf_dir):
     # co-nation predicate is a join key, not a residual filter row scan
     joins = [ln for ln in plan.splitlines() if "BroadcastHashJoin" in ln]
     assert any("s_nationkey" in ln for ln in joins), joins
+
+
+def test_lm_scoring_broadcasts_model_and_stays_jvm(spark, sf_dir):
+    """doc_lm_cross_entropy: the unigram LM joins the per-doc counts by
+    BROADCAST (the model is |vocab| rows, never shuffled against the
+    corpus), the whole pipeline is codegen (no Python), and top-100 is
+    a TakeOrderedAndProject."""
+    plan = plan_of(spark, sf_dir, "doc_lm_cross_entropy")
+    assert "BroadcastHashJoin" in plan
+    assert "Python" not in plan
+    assert "TakeOrderedAndProject" in plan
