@@ -240,7 +240,7 @@ def lloyd_kmeans(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     k: int = 4,
-    iterations: int = 2,
+    iterations: int = 3,
 ) -> DataFrame:
     """Lloyd k-means over an embedding column with EXACT-DECIMAL
     arithmetic, so every assignment and centroid is a pure function of
@@ -259,7 +259,13 @@ def lloyd_kmeans(
         engines.
 
     Seeding: the k smallest ids are the initial centroids (data-
-    deterministic, no RNG).  Iterations are UNROLLED into the plan —
+    deterministic, no RNG).  ``iterations`` is the TOTAL number of
+    assign-then-recompute Lloyd rounds executed (match it 1:1 with the
+    oracle's unrolled round count).  A cluster that loses every member
+    in some round DROPS from the output (fewer than k cluster ids) —
+    the standard Lloyd degeneracy; callers needing exactly k seeds
+    should re-seed, as MLlib does.  Iterations are UNROLLED into the
+    plan —
     each is: broadcast join of k×dim centroid cells on ``pos``, a
     (vector, cluster) distance agg, an exact argmin, and a
     (cluster, pos) centroid agg.  Per iteration that is two keyed
@@ -292,7 +298,7 @@ def lloyd_kmeans(
         x.join(F.broadcast(seed_ids), "vid")
         .select("cluster", "pos", F.col("val").alias("cval"))
     )
-    for _ in range(iterations + 1):
+    for _ in range(iterations):
         d = (
             x.join(F.broadcast(cents), "pos")
             .groupBy("vid", "cluster")

@@ -455,26 +455,30 @@ def partition_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
             .parquet(f"{workdir}/orders_by_year")
         )
 
-    df = (
-        spark.read.parquet(f"{workdir}/orders_by_year")
-        .filter(F.col("o_year") == 1995)
-        .groupBy(F.date_format("o_orderdate", "yyyy-MM").alias("month"))
-        .agg(
-            F.count(F.lit(1)).alias("n_orders"),
-            F.sum(F.col("o_totalprice").cast("decimal(20,8)"))
-            .cast("double")
-            .alias("revenue"),
+    try:
+        df = (
+            spark.read.parquet(f"{workdir}/orders_by_year")
+            .filter(F.col("o_year") == 1995)
+            .groupBy(F.date_format("o_orderdate", "yyyy-MM").alias("month"))
+            .agg(
+                F.count(F.lit(1)).alias("n_orders"),
+                F.sum(F.col("o_totalprice").cast("decimal(20,8)"))
+                .cast("double")
+                .alias("revenue"),
+            )
+            .orderBy("month")
         )
-        .orderBy("month")
-    )
-    plan = df._sc._jvm.PythonSQLUtils.explainString(
-        df._jdf.queryExecution(), "formatted"
-    )
-    assert "PartitionFilters" in plan and "o_year" in plan.split(
-        "PartitionFilters"
-    )[1].split("]")[0], "partition filter did not reach the scan"
-    out = df.collect()
-    shutil.rmtree(workdir, ignore_errors=True)
+        plan = df._sc._jvm.PythonSQLUtils.explainString(
+            df._jdf.queryExecution(), "formatted"
+        )
+        # raise, not assert: the gate must survive python -O
+        if "PartitionFilters" not in plan or "o_year" not in plan.split(
+            "PartitionFilters"
+        )[1].split("]")[0]:
+            raise AssertionError("partition filter did not reach the scan")
+        out = df.collect()
+    finally:
+        shutil.rmtree(workdir, ignore_errors=True)
     return spark.createDataFrame(out, df.schema)
 
 
@@ -531,20 +535,24 @@ def schema_evolution_union(spark: SparkSession, sf_dir: str) -> DataFrame:
             .parquet(f"{workdir}/t/batch=1996")
         )
 
-    df = (
-        spark.read.option("mergeSchema", "true")
-        .parquet(f"{workdir}/t")
-        .groupBy(
-            F.coalesce("o_orderpriority", F.lit("(pre-schema)")).alias("priority")
+    try:
+        df = (
+            spark.read.option("mergeSchema", "true")
+            .parquet(f"{workdir}/t")
+            .groupBy(
+                F.coalesce("o_orderpriority", F.lit("(pre-schema)")).alias(
+                    "priority"
+                )
+            )
+            .agg(
+                F.count(F.lit(1)).alias("n_orders"),
+                F.sum(F.col("o_totalprice").cast("decimal(20,8)"))
+                .cast("double")
+                .alias("revenue"),
+            )
+            .orderBy("priority")
         )
-        .agg(
-            F.count(F.lit(1)).alias("n_orders"),
-            F.sum(F.col("o_totalprice").cast("decimal(20,8)"))
-            .cast("double")
-            .alias("revenue"),
-        )
-        .orderBy("priority")
-    )
-    out = df.collect()
-    shutil.rmtree(workdir, ignore_errors=True)
+        out = df.collect()
+    finally:
+        shutil.rmtree(workdir, ignore_errors=True)
     return spark.createDataFrame(out, df.schema)

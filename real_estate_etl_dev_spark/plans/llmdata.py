@@ -2270,7 +2270,13 @@ def dedup_ngram_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sequence(F.lit(0), F.size("t") - n),
         lambda i: F.concat_ws(" ", F.slice("t", i + 1, n)),
     )
-    grams = toks.select("doc_id", F.posexplode(win).alias("pos", "g"))
+    # grams feeds BOTH the dup-gram build side and the semi-join probe;
+    # materialize the explode once so the plan re-reads a cache instead
+    # of re-tokenizing the corpus per consumer (docstring's "tokenize
+    # once", made true the same way lloyd_kmeans pins its cells).
+    grams = toks.select("doc_id", F.posexplode(win).alias("pos", "g")).localCheckpoint(
+        eager=False
+    )
     dup = (
         grams.groupBy("g")
         .agg(F.count_distinct("doc_id").alias("ndocs"))
@@ -2288,8 +2294,11 @@ def dedup_ngram_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count_distinct("cp").cast("long").alias("covered_tokens"),
         )
     )
+    n_tok = grams.groupBy("doc_id").agg(
+        (F.max("pos") + n).cast("long").alias("n_tokens")
+    )
     return (
-        perdoc.join(docs.select("doc_id", F.size("t").cast("long").alias("n_tokens")), "doc_id")
+        perdoc.join(n_tok, "doc_id")
         .select(
             "doc_id",
             "n_tokens",
@@ -2387,7 +2396,7 @@ def embedding_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.similarity import lloyd_kmeans
 
     vecs = load_table(spark, sf_dir, "embeddings")
-    return lloyd_kmeans(vecs, id_col="vec_id", vec_col="embedding", k=4, iterations=2)
+    return lloyd_kmeans(vecs, id_col="vec_id", vec_col="embedding", k=4, iterations=3)
 
 
 @query(

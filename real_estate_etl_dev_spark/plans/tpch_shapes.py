@@ -178,7 +178,9 @@ def promo_revenue_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     p = T(spark, sf_dir, "part").select("p_partkey", "p_type")
     rev = (F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount"))).cast(_DEC)
-    promo = F.when(F.col("p_type") == "PROMO", rev).otherwise(F.lit(0).cast(_DEC))
+    # no .otherwise(0): sum must be NULL when zero promo rows survive,
+    # matching the oracle's sum(...) FILTER semantics in every window
+    promo = F.when(F.col("p_type") == "PROMO", rev)
     agg = (
         li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
         .agg(
@@ -522,7 +524,8 @@ def local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     "idle_rich_customers",
     """
     WITH avg_bal AS (
-      SELECT avg(CAST(CAST(c_acctbal AS DECIMAL(20,8)) AS DOUBLE)) AS a
+      SELECT CAST(sum(CAST(c_acctbal AS DECIMAL(20,8))) AS DOUBLE) / count(*)
+               AS a
       FROM customer WHERE c_acctbal > 0
     )
     SELECT c.c_nationkey,

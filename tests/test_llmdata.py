@@ -531,8 +531,8 @@ def test_lloyd_kmeans_partitioning_invariance_and_shape(spark, sf_dir):
     from real_estate_etl_dev_spark.sources.readers import load_table
 
     vecs = load_table(spark, sf_dir, "embeddings")
-    a = lloyd_kmeans(vecs, k=4, iterations=2).collect()
-    b = lloyd_kmeans(vecs.repartition(7, "label"), k=4, iterations=2).collect()
+    a = lloyd_kmeans(vecs, k=4, iterations=3).collect()
+    b = lloyd_kmeans(vecs.repartition(7, "label"), k=4, iterations=3).collect()
     assert [tuple(r) for r in a] == [tuple(r) for r in b]
 
     n_vecs = vecs.count()
