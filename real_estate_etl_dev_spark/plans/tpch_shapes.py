@@ -315,14 +315,14 @@ def trade_ready_nations_intersect(spark: SparkSession, sf_dir: str) -> DataFrame
     WITH m AS (
       SELECT l_returnflag,
              count(*) AS n,
-             sum(CAST(l_quantity AS DECIMAL(38,8))) AS sx,
-             sum(CAST(l_extendedprice AS DECIMAL(38,8))) AS sy,
-             sum(CAST(l_quantity AS DECIMAL(38,8))
-                 * CAST(l_extendedprice AS DECIMAL(38,8))) AS sxy,
-             sum(CAST(l_quantity AS DECIMAL(38,8))
-                 * CAST(l_quantity AS DECIMAL(38,8))) AS sxx,
-             sum(CAST(l_extendedprice AS DECIMAL(38,8))
-                 * CAST(l_extendedprice AS DECIMAL(38,8))) AS syy
+             sum(CAST(l_quantity AS DECIMAL(10,2))) AS sx,
+             sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS sy,
+             sum(CAST(l_quantity AS DECIMAL(10,2))
+                 * CAST(l_extendedprice AS DECIMAL(12,2))) AS sxy,
+             sum(CAST(l_quantity AS DECIMAL(10,2))
+                 * CAST(l_quantity AS DECIMAL(10,2))) AS sxx,
+             sum(CAST(l_extendedprice AS DECIMAL(12,2))
+                 * CAST(l_extendedprice AS DECIMAL(12,2))) AS syy
       FROM lineitem GROUP BY l_returnflag
     )
     SELECT l_returnflag,
@@ -353,10 +353,16 @@ def price_qty_exact_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
     moment trick is the standard one-pass parallel corr/covariance
     at any cluster size (same posture as embedding_centroids' exact
     partial_avg)."""
+    # (10,2)/(12,2), not (38,8): every product must fit decimal-38
+    # EXACTLY on both engines — 38,8 squares would overflow precision
+    # and each engine degrades differently (Spark truncates scale,
+    # DuckDB falls back to double), which stays latent at small SF
+    # and flips digits at large SF.  Quantities are 2-digit integers
+    # and prices 2-dp, so (23,4)/(21,4)/(25,4) products are exact.
     li = T(spark, sf_dir, "lineitem").select(
         "l_returnflag",
-        F.col("l_quantity").cast("decimal(38,8)").alias("x"),
-        F.col("l_extendedprice").cast("decimal(38,8)").alias("y"),
+        F.col("l_quantity").cast("decimal(10,2)").alias("x"),
+        F.col("l_extendedprice").cast("decimal(12,2)").alias("y"),
     )
     m = li.groupBy("l_returnflag").agg(
         F.count(F.lit(1)).alias("n"),
@@ -589,3 +595,89 @@ def idle_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("c_nationkey")
     )
+
+
+@query(
+    "price_trend_by_priority",
+    """
+    WITH m AS (
+      SELECT o_orderpriority,
+             count(*) AS n,
+             sum(CAST(date_diff('day', DATE '1970-01-01',
+                                CAST(o_orderdate AS DATE)) AS DECIMAL(10,2)))
+               AS sx,
+             sum(CAST(o_totalprice AS DECIMAL(12,2))) AS sy,
+             sum(CAST(date_diff('day', DATE '1970-01-01',
+                                CAST(o_orderdate AS DATE)) AS DECIMAL(10,2))
+                 * CAST(o_totalprice AS DECIMAL(12,2))) AS sxy,
+             sum(CAST(date_diff('day', DATE '1970-01-01',
+                                CAST(o_orderdate AS DATE)) AS DECIMAL(10,2))
+                 * CAST(date_diff('day', DATE '1970-01-01',
+                                  CAST(o_orderdate AS DATE)) AS DECIMAL(10,2)))
+               AS sxx
+      FROM orders GROUP BY o_orderpriority
+    )
+    SELECT o_orderpriority,
+           CAST(n AS BIGINT) AS n_orders,
+           round((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                  - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                 / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                    - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)), 6)
+             AS slope_per_day,
+           round((CAST(sy AS DOUBLE)
+                  - ((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                      - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                     / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                        - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)))
+                    * CAST(sx AS DOUBLE)) / CAST(n AS DOUBLE), 4)
+             AS intercept
+    FROM m ORDER BY o_orderpriority
+    """,
+    survey="A-regression",
+    tags=("tpch",),
+)
+def price_trend_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group LEAST-SQUARES TREND (slope + intercept of price over
+    time) from exact decimal moments — the distributed form of SQL's
+    ``regr_slope``/``regr_intercept``, which this deliberately does
+    NOT use: the built-ins stream float accumulators whose last digits
+    depend on row order, while the four moments here (Σx, Σy, Σxy,
+    Σx²; x = integer days since epoch) are exact decimal sums, so the
+    fitted line is a pure function of the data on both engines.
+
+    Scale: same one-pass map-side-combinable agg as
+    price_qty_exact_corr — the regression over a 100 TB fact table is
+    ONE shuffle of 5 moment cells per group per task.  This is the
+    whole trick behind scalable analytics regressions: ship moments,
+    not rows."""
+    # widths chosen so every PRODUCT stays inside decimal-38 exactly on
+    # both engines (38,8 squares would force engine-specific scale
+    # truncation): days are 7-digit integers, prices 2-dp — x·y is
+    # (10,2)×(12,2) → (23,4), x² → (21,4), sums have 15 digits of
+    # headroom over a 100 TB row count.
+    day = F.datediff(
+        F.col("o_orderdate").cast("date"), F.lit("1970-01-01").cast("date")
+    ).cast("decimal(10,2)")
+    y = F.col("o_totalprice").cast("decimal(12,2)")
+    m = (
+        T(spark, sf_dir, "orders")
+        .select("o_orderpriority", day.alias("x"), y.alias("y"))
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("x").alias("sx"),
+            F.sum("y").alias("sy"),
+            F.sum(F.col("x") * F.col("y")).alias("sxy"),
+            F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        )
+    )
+    n = F.col("n").cast("double")
+    sx, sy = F.col("sx").cast("double"), F.col("sy").cast("double")
+    sxy, sxx = F.col("sxy").cast("double"), F.col("sxx").cast("double")
+    slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    return m.select(
+        "o_orderpriority",
+        F.col("n").cast("long").alias("n_orders"),
+        F.round(slope, 6).alias("slope_per_day"),
+        F.round((sy - slope * sx) / n, 4).alias("intercept"),
+    ).orderBy("o_orderpriority")
