@@ -355,3 +355,52 @@ def ranges_disjoint(stats: DataFrame, cast_to: str = "string") -> DataFrame:
             & (F.sum(F.col("no_stats").cast("long")) == 0)
         ).alias("all_disjoint"),
     )
+
+
+def salted_join(
+    fact: DataFrame,
+    dim: DataFrame,
+    on: str,
+    n_salts: int = 8,
+    force_shuffle: bool = False,
+) -> DataFrame:
+    """Skew-safe EQUI-JOIN by salting: the fact side gets a
+    deterministic per-row salt in [0, n_salts), the dim side is
+    REPLICATED once per salt value, and the join key becomes
+    (key, salt) — a hot key's fact rows land on ``n_salts`` different
+    reducers instead of one, at the cost of dim-side duplication
+    (cheap: the replicated side is the SMALL one by construction).
+
+    This is the manual form of what AQE's skew-join split does at
+    runtime; keep it for the cases AQE can't see — a skewed key known
+    AT PLAN TIME (e.g. the null/default key of a log table), or a
+    shuffle consumed by a later stage AQE won't re-plan.  The salt is
+    hash-of-all-columns deterministic (same retry-safety argument as
+    :func:`salted_count_sum`); identical fact rows share a salt, so
+    spread degrades only for all-duplicate hot keys.
+
+    Returns fact ⋈ dim with the salt column dropped — result set is
+    EXACTLY the plain join's (the certification oracle for
+    ``salted_skew_user_join`` is the unsalted join)."""
+    salted_fact = fact.withColumn(
+        "__salt",
+        F.pmod(F.xxhash64(*[F.col(c) for c in fact.columns]), F.lit(n_salts)),
+    )
+    salts = fact.sparkSession.range(n_salts).select(
+        F.col("id").cast("long").alias("__salt")
+    )
+    replicated_dim = dim.crossJoin(F.broadcast(salts))
+    if force_shuffle:
+        # the hint must attach to the JOIN INPUT (post-replication) —
+        # a hint on ``dim`` does not survive the crossJoin — and only
+        # the demonstration/certification path wants it: in production
+        # let AQE broadcast when the replicated dim fits, because a
+        # broadcast join has no shuffle to skew in the first place.
+        replicated_dim = replicated_dim.hint("shuffle_hash")
+        salted_fact = salted_fact.hint("shuffle_hash")
+    joined = salted_fact.join(
+        replicated_dim,
+        on=[on, "__salt"],
+        how="inner",
+    )
+    return joined.drop("__salt")

@@ -1418,3 +1418,126 @@ def user_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_active"))
         .orderBy("cohort_week", "week_offset")
     )
+
+
+@query(
+    "event_gap_stats",
+    """
+    WITH seq AS (
+      SELECT user_id,
+             epoch_us(ts) AS us,
+             event_type,
+             row_number() OVER w AS rn,
+             lag(epoch_us(ts)) OVER w AS prev_us,
+             first_value(event_type) OVER w AS first_type,
+             last_value(event_type) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING
+             ) AS last_type
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    )
+    SELECT user_id,
+           count(*) AS n_events,
+           min(first_type) AS first_type,
+           min(last_type) AS last_type,
+           CAST(max(us - prev_us) AS BIGINT) AS max_gap_us,
+           CAST(sum(us - prev_us) // (count(*) - 1) AS BIGINT)
+             AS avg_gap_us
+    FROM seq GROUP BY user_id
+    HAVING count(*) > 1
+    ORDER BY user_id
+    """,
+    survey="W-lag,W-firstlast",
+    tags=("temporal",),
+)
+def event_gap_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inter-event cadence per user via the navigation-window family
+    this catalog had only used implicitly: ``lag`` for consecutive
+    gaps, ``first_value``/``last_value`` (with the explicit
+    unbounded-following frame last_value requires) for the session's
+    bookend event types, then a rollup of max/mean gap.
+
+    Determinism: gaps are integer microsecond differences and the mean
+    is EXPLICIT integer division (div / //) of an exact integer sum —
+    no float anywhere (a plain ``/`` would detour through double and
+    the engines round the cast back differently); ties
+    in the event order break on event_id in both engines.  Scale: ONE
+    hash exchange on user_id feeds every window (same partitioning),
+    and the rollup groups on the partition key so it re-uses the
+    exchange too."""
+    ev = T(spark, sf_dir, "events").select("user_id", "ts", "event_id", "event_type")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    us = F.unix_micros("ts")
+    seq = ev.select(
+        "user_id",
+        us.alias("us"),
+        "event_type",
+        F.lag(us).over(w).alias("prev_us"),
+        F.first("event_type").over(w).alias("first_type"),
+        F.last("event_type")
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing))
+        .alias("last_type"),
+    )
+    return (
+        seq.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.min("first_type").alias("first_type"),
+            F.min("last_type").alias("last_type"),
+            F.max(F.col("us") - F.col("prev_us")).cast("long").alias("max_gap_us"),
+            F.expr("sum(us - prev_us) div (count(1) - 1)")
+            .cast("long")
+            .alias("avg_gap_us"),
+        )
+        .filter(F.col("n_events") > 1)
+        .orderBy("user_id")
+    )
+
+
+@query(
+    "salted_skew_user_join",
+    """
+    SELECT c.c_mktsegment AS segment,
+           count(*) AS n_events,
+           CAST(sum(CAST(e.value AS DECIMAL(20,8))) AS DOUBLE) AS total_value
+    FROM events e
+    JOIN customer c ON c.c_custkey = e.user_id
+    GROUP BY segment ORDER BY segment
+    """,
+    survey="J-salted",
+    tags=("temporal",),
+)
+def salted_skew_user_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-safe SHUFFLE JOIN by salting (operators/layout.py:
+    salted_join) — the join-side counterpart of
+    ``salted_skew_event_sums``: the fact's join key gains a
+    deterministic salt, the dim side replicates ×8, and the shuffle
+    keys become (user, salt) so a hot user's rows spread over 8
+    reducers.  The dim side carries a shuffle_hash hint because the
+    DEMONSTRATION is the salted shuffle — at this SF Spark would
+    otherwise broadcast the replicated dim and no skew could exist in
+    the first place (broadcast IS the first-choice skew fix when the
+    dim fits; salting is for when it doesn't).
+
+    Certification: the salted join must return EXACTLY the plain
+    join's rows — the oracle is the unsalted join, so any lost or
+    duplicated row under salting breaks the hash.  Value sums are
+    exact decimal."""
+    from ..operators.layout import salted_join
+
+    ev = T(spark, sf_dir, "events").select("user_id", "value")
+    dim = T(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("user_id"), "c_mktsegment"
+    )
+    joined = salted_join(ev, dim, on="user_id", n_salts=8, force_shuffle=True)
+    return (
+        joined.groupBy(F.col("c_mktsegment").alias("segment"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(20,8)"))
+            .cast("double")
+            .alias("total_value"),
+        )
+        .orderBy("segment")
+    )

@@ -516,3 +516,21 @@ def test_lm_scoring_broadcasts_model_and_stays_jvm(spark, sf_dir):
     assert "BroadcastHashJoin" in plan
     assert "Python" not in plan
     assert "TakeOrderedAndProject" in plan
+
+
+def test_salted_join_shuffles_on_salted_key(spark, sf_dir):
+    """salted_skew_user_join: the join must be a two-sided SHUFFLE join
+    (no broadcast — a broadcast join has no skew to fix) and both
+    exchanges must hash-partition on (user_id, __salt), proving the
+    hot key actually spreads."""
+    plan = plan_of(spark, sf_dir, "salted_skew_user_join")
+    assert "ShuffledHashJoin" in plan or "SortMergeJoin" in plan
+    assert "__salt" in plan
+    import re
+
+    salted_exchanges = [
+        ln
+        for ln in plan.splitlines()
+        if "Exchange hashpartitioning" in ln and "__salt" in ln
+    ]
+    assert len(salted_exchanges) >= 2, plan
