@@ -44,12 +44,10 @@ HEADLINE = [
     "revenue_by_nation",           # A2/J2 join+agg
     "latest_order_per_customer",   # W2/J1 window top-1
     "customers_without_orders",    # J6 anti-join
-    "duplicate_docs_cross_source", # J4 dup-detect join
     "doc_embedding_enrichment",    # J3/J8 enrichment join
     "merge_scd1",                  # R4 SCD-1 merge engine
     "merge_change_log",            # R4 change log
     "streaming_merge_scd1",        # §2.12 streaming upsert path
-    "misc_extraction_cases",       # F12/F20/F26/F36/F37 + C3/C5 battery
     "tag_reconcile",               # R2 tag reconcile
     "dq_identify_issues",          # R2 13-rule DQ
     "price_extraction_cases",      # F-tier scalar battery
@@ -57,19 +55,15 @@ HEADLINE = [
     "dedup_minhash_pairs",         # MinHash LSH near-dup
     "embedding_cosine_topk",       # brute-force ANN baseline
     "embedding_ann_ivf",           # IVF ANN scale path
-    "doc_language_id",             # text analysis
     "multimodal_fake_features",    # multimodal plumbing
     "ml_region_prediction",        # ML pipeline
     "salted_skew_event_sums",      # skew-safe agg
     "dedup_connected_components",  # dup-cluster graph resolution
     "dedup_semantic_keepers",      # semantic dedup end-to-end
     "doc_decontaminate",           # eval n-gram overlap screen
-    "domain_mixture_sample",       # mixture re-weighting
-    "quality_threshold_by_quantile",  # exact quantile gates
     "streaming_queue_status",      # stateful streaming queue
     "streaming_incremental_dedup",  # crawl-shape streaming dedup
     "fuzzy_title_pairs",           # edit-distance entity resolution
-    "fuzzy_bucket_audit",          # deletion-variant cap observable
     "zorder_bucket_stats",         # Morton 2-D layout key
     "shipping_priority_topn",      # TPC-H Q3 composite
     "returned_item_losses",        # TPC-H Q10 composite
@@ -83,6 +77,12 @@ HEADLINE = [
     "snapshot_time_travel",        # versioned-table commit protocol
     "snapshot_change_feed",        # CDC derived between versions
     "incremental_agg_maintenance",  # IVM from CDC deltas
+    "embedding_kmeans",            # certified Lloyd k-means
+    "dedup_ngram_coverage",        # ExactSubstr dup accounting
+    "doc_lm_cross_entropy",        # LM perplexity quality gate
+    "partition_pruned_scan",       # Hive-partition pruning
+    "local_supplier_volume",       # TPC-H Q5 co-location join
+    "salted_skew_user_join",       # manual skew-split join
 ]
 
 
