@@ -1,0 +1,90 @@
+"""Iterative graph ranking as DataFrame algebra — the third member of
+the engine's certified-iterative family (connected components in
+operators/dedup.py, Lloyd k-means in operators/similarity.py).
+
+PageRank here is EXACT-DECIMAL: every per-edge contribution is one
+deterministic double division rounded into a fixed-scale decimal, and
+every aggregation is an exact decimal sum — so the ranks after a fixed
+number of unrolled rounds are a pure function of the edge set,
+bit-identical across engines and partitionings, hence certifiable
+against an independent SQL formulation (no float-accumulator PageRank
+can make that claim).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+_RANK_DEC = "decimal(20,12)"
+
+
+def pagerank(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    damping: float = 0.85,
+    rounds: int = 3,
+) -> DataFrame:
+    """Fixed-round PageRank over a directed edge list (assumed free of
+    dangling nodes — union reverse edges first if needed; the
+    certified trade-graph query does exactly that, which also makes
+    the walk an undirected co-trading rank).
+
+    Per round: contribution(e) = CAST(rank(src)/out_deg(src) → DOUBLE
+    division → DECIMAL(20,12)) — ONE deterministic rounding per edge —
+    then new_rank(v) = base + d·Σ contributions, with the sum exact
+    decimal and ``base = CAST((1-d)/N AS DECIMAL)`` a constant decimal
+    built by the same double-division→decimal-cast chain on both
+    engines.
+    Rounds are UNROLLED into the plan; the rank table (|nodes| rows)
+    is localCheckpoint-ed per round to truncate lineage, the CC /
+    k-means posture.
+
+    Scale: per round ONE shuffle of the edge list keyed by src (join
+    ranks), one keyed agg on dst — the canonical distributed PageRank
+    step; out-degrees compute once.  Returns (node, rank) with rank
+    as DOUBLE of the final decimal."""
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .unionByName(e.select(F.col("dst").alias("node")))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    n_nodes = nodes.count()
+    deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("out_deg"))
+    # edges with degree attached — reused every round, materialize once
+    ed = (
+        e.join(deg, "src")
+        .select("src", "dst", "out_deg")
+        .localCheckpoint(eager=False)
+    )
+    # base/init via the SAME double-division→decimal-cast chain the SQL
+    # oracle uses (a Python round() here would apply banker's rounding
+    # while SQL round() is half-away — a tie on the 12th digit would
+    # silently diverge the engines)
+    base = (F.lit(1.0 - damping) / F.lit(float(n_nodes))).cast(_RANK_DEC)
+    init = (F.lit(1.0) / F.lit(float(n_nodes))).cast(_RANK_DEC)
+    ranks = nodes.select("node", init.alias("rank"))
+    for _ in range(rounds):
+        contrib = (
+            ed.join(ranks, ed.src == ranks.node)
+            .select(
+                "dst",
+                (F.col("rank").cast("double") / F.col("out_deg"))
+                .cast(_RANK_DEC)
+                .alias("c"),
+            )
+        )
+        ranks = (
+            contrib.groupBy(F.col("dst").alias("node"))
+            .agg(
+                (
+                    base
+                    + (F.lit(damping) * F.sum("c").cast("double")).cast(_RANK_DEC)
+                ).alias("rank")
+            )
+            .localCheckpoint(eager=False)
+        )
+    return ranks.select("node", F.col("rank").cast("double").alias("rank"))

@@ -681,3 +681,93 @@ def price_trend_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(slope, 6).alias("slope_per_day"),
         F.round((sy - slope * sx) / n, 4).alias("intercept"),
     ).orderBy("o_orderpriority")
+
+
+def _pagerank_oracle_sql(rounds: int = 3, damping: float = 0.85, topk: int = 30) -> str:
+    """Unrolled PageRank rounds as chained CTEs (same exact-decimal
+    chain as operators/graph.py:pagerank — see its docstring)."""
+    head = f"""
+    WITH pairs AS (
+      SELECT DISTINCT 'c' || o.o_custkey AS src, 's' || l.l_suppkey AS dst
+      FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+    ),
+    ed0 AS (
+      SELECT src, dst FROM pairs
+      UNION ALL
+      SELECT dst AS src, src AS dst FROM pairs
+    ),
+    deg AS (SELECT src, count(*) AS out_deg FROM ed0 GROUP BY src),
+    ed AS (SELECT e.src, e.dst, d.out_deg FROM ed0 e JOIN deg d USING (src)),
+    nodes AS (SELECT DISTINCT src AS node FROM ed0),
+    scal AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes),
+    r0 AS (
+      SELECT node, CAST(1.0 / s.n AS DECIMAL(20,12)) AS rank
+      FROM nodes, scal s
+    )"""
+    body = []
+    prev = "r0"
+    for i in range(1, rounds + 1):
+        body.append(f""",
+    r{i} AS (
+      SELECT x.dst AS node,
+             CAST((1.0 - {damping}) / s.n AS DECIMAL(20,12))
+               + CAST({damping} * CAST(sum(x.c) AS DOUBLE) AS DECIMAL(20,12))
+               AS rank
+      FROM (SELECT e.dst,
+                   CAST(CAST(r.rank AS DOUBLE) / e.out_deg AS DECIMAL(20,12))
+                     AS c
+            FROM ed e JOIN {prev} r ON r.node = e.src) x, scal s
+      GROUP BY x.dst, s.n
+    )""")
+        prev = f"r{i}"
+    tail = f"""
+    SELECT node, round(CAST(rank AS DOUBLE), 8) AS rank
+    FROM {prev}
+    ORDER BY rank DESC, node
+    LIMIT {topk}"""
+    return head + "".join(body) + tail
+
+
+@query(
+    "trade_graph_pagerank",
+    _pagerank_oracle_sql(rounds=3, damping=0.85, topk=30),
+    survey="G-pagerank",
+    tags=("graph",),
+)
+def trade_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank over the customer↔supplier TRADE GRAPH (distinct
+    who-bought-from-whom pairs, symmetrized so no node dangles),
+    certified value-exact after 3 unrolled rounds — the third member
+    of the certified-iterative family (connected components, Lloyd
+    k-means, now PageRank), possible only because every per-edge
+    contribution is one deterministic double-division→decimal cast
+    and every rank a constant-plus-exact-decimal-sum
+    (operators/graph.py).  Ranks surface the best-connected trading
+    parties — the entity-importance signal entity-resolution and
+    sampling tiers weight by.
+
+    Scale: the edge build is one distinct over the projected join;
+    each round is ONE edge shuffle keyed by src + one keyed agg on
+    dst (the canonical distributed PageRank step), rank/degree
+    frames localCheckpoint-ed.  Top-30 is a TakeOrderedAndProject."""
+    from ..operators.graph import pagerank
+
+    li = T(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    o = T(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    pairs = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .select(
+            F.concat(F.lit("c"), F.col("o_custkey")).alias("src"),
+            F.concat(F.lit("s"), F.col("l_suppkey")).alias("dst"),
+        )
+        .distinct()
+    )
+    edges = pairs.unionByName(
+        pairs.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    ranks = pagerank(edges, rounds=3, damping=0.85)
+    return (
+        ranks.select("node", F.round("rank", 8).alias("rank"))
+        .orderBy(F.desc("rank"), "node")
+        .limit(30)
+    )

@@ -544,3 +544,35 @@ def test_lloyd_kmeans_partitioning_invariance_and_shape(spark, sf_dir):
     assert sum(sizes.values()) == n_vecs
     assert set(dims.values()) == {64}
     assert len(sizes) == 4
+
+
+def test_pagerank_partitioning_invariance_and_mass(spark, sf_dir):
+    """pagerank is a pure function of the edge set: same ranks under a
+    different partitioning, total rank mass ~1 (the per-edge decimal
+    rounding bounds drift below 1e-6), every node present."""
+    from pyspark.sql import functions as F
+    from real_estate_etl_dev_spark.operators.graph import pagerank
+    from real_estate_etl_dev_spark.sources.readers import load_table
+
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    pairs = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .select(
+            F.concat(F.lit("c"), F.col("o_custkey")).alias("src"),
+            F.concat(F.lit("s"), F.col("l_suppkey")).alias("dst"),
+        )
+        .distinct()
+    )
+    edges = pairs.unionByName(
+        pairs.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    a = sorted(tuple(r) for r in pagerank(edges, rounds=2).collect())
+    b = sorted(
+        tuple(r) for r in pagerank(edges.repartition(13, "dst"), rounds=2).collect()
+    )
+    assert a == b
+    n = edges.select("src").distinct().count()
+    assert len(a) == n
+    mass = sum(r[1] for r in a)
+    assert abs(mass - 1.0) < 1e-6, mass
