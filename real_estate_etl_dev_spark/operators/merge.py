@@ -263,3 +263,79 @@ def apply_tombstones(
         .drop("__tomb_key")
     )
     return out
+
+
+def merge_scd2(
+    history: DataFrame,
+    updates: DataFrame,
+    key: str,
+    attrs: list[str],
+    effective: str,
+) -> DataFrame:
+    """Type-2 slowly-changing-dimension merge: ``history`` carries
+    validity intervals (``valid_from``, ``valid_to`` NULL-when-open,
+    ``is_current``); ``updates`` carries one new attribute tuple per
+    key with an ``effective`` timestamp column.  A changed key's open
+    row CLOSES (valid_to = effective, is_current = false) and a new
+    open row appends; an unchanged key passes through; a brand-new key
+    opens its first interval.  Closed history NEVER rewrites — the
+    append-plus-close discipline that keeps a 100 TB dimension's
+    history immutable (the SCD-1 engine in :func:`merge_listings`
+    overwrites in place; this is its audit-grade sibling).
+
+    Plan: closed rows pass through untouched (filter, no shuffle);
+    open rows full-outer-join the updates ONCE on the key, and each
+    joined row EXPLODES into its 1-or-2 output intervals via an inline
+    array — no second join, no window.  Change detection is null-safe
+    equality over ``attrs``.
+
+    PRECONDITION: ``updates`` unique per key (same contract as
+    merge_listings).  Returns the full new history."""
+    open_rows = history.filter(F.col("is_current"))
+    closed_rows = history.filter(~F.col("is_current"))
+
+    h = open_rows.alias("h")
+    u = updates.alias("u")
+    joined = h.join(u, F.col(f"h.{key}") == F.col(f"u.{key}"), "full_outer")
+
+    hk, uk = F.col(f"h.{key}"), F.col(f"u.{key}")
+    changed = F.coalesce(
+        ~F.struct(*[F.col(f"h.{a}") for a in attrs]).eqNullSafe(
+            F.struct(*[F.col(f"u.{a}") for a in attrs])
+        ),
+        F.lit(False),
+    )
+    is_new = hk.isNull()
+    has_update = uk.isNotNull()
+
+    def interval(key_col, attr_side, vfrom, vto, current):
+        return F.struct(
+            key_col.alias(key),
+            *[F.col(f"{attr_side}.{a}").alias(a) for a in attrs],
+            vfrom.alias("valid_from"),
+            vto.alias("valid_to"),
+            current.alias("is_current"),
+        )
+
+    old_closed = interval(
+        hk, "h", F.col("h.valid_from"), F.col(f"u.{effective}"), F.lit(False)
+    )
+    old_open = interval(
+        hk, "h", F.col("h.valid_from"), F.lit(None).cast("timestamp"), F.lit(True)
+    )
+    new_open = interval(
+        F.coalesce(hk, uk),
+        "u",
+        F.col(f"u.{effective}"),
+        F.lit(None).cast("timestamp"),
+        F.lit(True),
+    )
+    out_rows = (
+        F.when(is_new, F.array(new_open))
+        .when(has_update & changed, F.array(old_closed, new_open))
+        .otherwise(F.array(old_open))
+    )
+    exploded = joined.select(F.explode(out_rows).alias("r")).select("r.*")
+    return closed_rows.select(
+        key, *attrs, "valid_from", "valid_to", "is_current"
+    ).unionByName(exploded)

@@ -823,3 +823,129 @@ def incremental_agg_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         shutil.rmtree(workdir, ignore_errors=True)
     return spark.createDataFrame(rows, schema)
+
+
+@query(
+    "merge_scd2_intervals",
+    """
+    WITH hist AS (
+      SELECT c_custkey AS ck, c_mktsegment AS segment,
+             round(c_acctbal, 2) AS acctbal,
+             TIMESTAMP '2020-01-01' AS valid_from,
+             CAST(NULL AS TIMESTAMP) AS valid_to,
+             true AS is_current
+      FROM customer
+    ),
+    upd AS (
+      SELECT c_custkey AS ck,
+             CASE WHEN c_custkey % 7 = 0 THEN 'MACHINERY'
+                  ELSE c_mktsegment END AS segment,
+             CASE WHEN c_custkey % 5 = 0 THEN round(c_acctbal + 100, 2)
+                  ELSE round(c_acctbal, 2) END AS acctbal,
+             TIMESTAMP '2026-01-01' AS eff
+      FROM customer WHERE c_custkey % 3 = 0
+      UNION ALL
+      SELECT c_custkey + 1000000, c_mktsegment, round(c_acctbal, 2),
+             TIMESTAMP '2026-01-01'
+      FROM customer WHERE c_custkey % 100 = 0
+    ),
+    joined AS (
+      SELECT h.ck AS hck, u.ck AS uck,
+             h.segment AS hseg, h.acctbal AS hbal, h.valid_from AS hfrom,
+             u.segment AS useg, u.acctbal AS ubal, u.eff AS eff
+      FROM hist h FULL OUTER JOIN upd u ON h.ck = u.ck
+    )
+    SELECT ck,
+           segment,
+           acctbal,
+           strftime(valid_from, '%Y-%m-%d') AS valid_from,
+           strftime(valid_to, '%Y-%m-%d') AS valid_to,
+           is_current
+    FROM (
+      -- brand-new key: first open interval
+      SELECT uck AS ck, useg AS segment, ubal AS acctbal,
+             eff AS valid_from, CAST(NULL AS TIMESTAMP) AS valid_to,
+             true AS is_current
+      FROM joined WHERE hck IS NULL
+      UNION ALL
+      -- changed key: closed old interval
+      SELECT hck, hseg, hbal, hfrom, eff, false
+      FROM joined
+      WHERE hck IS NOT NULL AND uck IS NOT NULL
+        AND (hseg IS DISTINCT FROM useg OR hbal IS DISTINCT FROM ubal)
+      UNION ALL
+      -- changed key: new open interval
+      SELECT hck, useg, ubal, eff, CAST(NULL AS TIMESTAMP), true
+      FROM joined
+      WHERE hck IS NOT NULL AND uck IS NOT NULL
+        AND (hseg IS DISTINCT FROM useg OR hbal IS DISTINCT FROM ubal)
+      UNION ALL
+      -- unchanged / untouched key: open interval passes through
+      SELECT hck, hseg, hbal, hfrom, CAST(NULL AS TIMESTAMP), true
+      FROM joined
+      WHERE hck IS NOT NULL
+        AND (uck IS NULL OR (hseg IS NOT DISTINCT FROM useg
+                             AND hbal IS NOT DISTINCT FROM ubal))
+    )
+    ORDER BY ck, valid_from, is_current
+    """,
+    survey="J9-scd2,R4",
+)
+def merge_scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD TYPE-2 merge (operators/merge.py:merge_scd2) — the
+    audit-grade sibling of the reference's overwrite-in-place SCD-1
+    (models/listing.py:103-167): a changed key's open validity
+    interval CLOSES at the update's effective timestamp and a new open
+    interval appends; closed history never rewrites.  The fixture
+    derives updates from the customer dim itself (every 3rd key
+    staged, every 7th changes segment, every 5th changes balance,
+    every 100th arrives as a brand-new key), so both engines build
+    bit-identical inputs.
+
+    Scale: untouched closed history is a pass-through filter (no
+    shuffle); the open slice joins the updates ONCE full-outer on the
+    key and explodes each row into its 1-or-2 output intervals inline
+    — the whole merge is one keyed shuffle regardless of history
+    depth, and on a bucketed layout (merge_bucketed_scd1) even that
+    exchange disappears."""
+    from ..operators.merge import merge_scd2
+
+    c = load_table(spark, sf_dir, "customer")
+    hist = c.select(
+        F.col("c_custkey").alias("ck"),
+        F.col("c_mktsegment").alias("segment"),
+        F.round("c_acctbal", 2).alias("acctbal"),
+        F.lit("2020-01-01").cast("timestamp").alias("valid_from"),
+        F.lit(None).cast("timestamp").alias("valid_to"),
+        F.lit(True).alias("is_current"),
+    )
+    staged = c.filter(F.col("c_custkey") % 3 == 0).select(
+        F.col("c_custkey").alias("ck"),
+        F.when(F.col("c_custkey") % 7 == 0, F.lit("MACHINERY"))
+        .otherwise(F.col("c_mktsegment"))
+        .alias("segment"),
+        F.when(
+            F.col("c_custkey") % 5 == 0, F.round(F.col("c_acctbal") + 100, 2)
+        )
+        .otherwise(F.round("c_acctbal", 2))
+        .alias("acctbal"),
+        F.lit("2026-01-01").cast("timestamp").alias("eff"),
+    )
+    arrivals = c.filter(F.col("c_custkey") % 100 == 0).select(
+        (F.col("c_custkey") + 1_000_000).alias("ck"),
+        F.col("c_mktsegment").alias("segment"),
+        F.round("c_acctbal", 2).alias("acctbal"),
+        F.lit("2026-01-01").cast("timestamp").alias("eff"),
+    )
+    updates = staged.unionByName(arrivals)
+    merged = merge_scd2(
+        hist, updates, key="ck", attrs=["segment", "acctbal"], effective="eff"
+    )
+    return merged.select(
+        "ck",
+        "segment",
+        "acctbal",
+        F.date_format("valid_from", "yyyy-MM-dd").alias("valid_from"),
+        F.date_format("valid_to", "yyyy-MM-dd").alias("valid_to"),
+        "is_current",
+    ).orderBy("ck", "valid_from", "is_current")

@@ -167,3 +167,48 @@ def revenue_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("o_orderpriority").asc_nulls_first(),
         )
     )
+
+
+@query(
+    "revenue_cube_status_priority",
+    """
+    SELECT COALESCE(o_orderstatus, 'ALL') AS status,
+           COALESCE(o_orderpriority, 'ALL') AS priority,
+           CAST(GROUPING(o_orderstatus, o_orderpriority) AS BIGINT) AS grp_id,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           round(sum(o_totalprice), 2) AS revenue
+    FROM orders
+    GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    ORDER BY grp_id, status, priority
+    """,
+    survey="A-cube",
+    tags=("olap",),
+)
+def revenue_cube_status_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE — all four grains of the (status, priority) pair (detail,
+    each one-dimension margin, grand total) in ONE pass, completing
+    the multi-grain family next to rollup (hierarchical prefixes) and
+    grouping sets (arbitrary grains).  ``grouping_id`` separates a
+    real NULL key from a margin row.
+
+    Scale: same single Expand + hash-agg plan as the other grains —
+    one fact scan expanded ×4 with map-side partials; the shuffle
+    carries per-grain group cardinalities (≤ 5·5 + 5 + 5 + 1 rows
+    here), never fact rows."""
+    orders = T(spark, sf_dir, "orders")
+    return (
+        orders.cube("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.grouping_id().cast("long").alias("grp_id"),
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+        )
+        .select(
+            F.coalesce("o_orderstatus", F.lit("ALL")).alias("status"),
+            F.coalesce("o_orderpriority", F.lit("ALL")).alias("priority"),
+            "grp_id",
+            "n_orders",
+            "revenue",
+        )
+        .orderBy("grp_id", "status", "priority")
+    )

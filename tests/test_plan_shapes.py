@@ -534,3 +534,19 @@ def test_salted_join_shuffles_on_salted_key(spark, sf_dir):
         if "Exchange hashpartitioning" in ln and "__salt" in ln
     ]
     assert len(salted_exchanges) >= 2, plan
+
+
+def test_scd2_merge_is_one_join_plus_explode(spark, sf_dir):
+    """merge_scd2_intervals: exactly ONE shuffled join materializes the
+    merge (open slice vs updates), output intervals come from an
+    inline explode (Generate), and there is no second join or window
+    anywhere."""
+    plan = plan_of(spark, sf_dir, "merge_scd2_intervals")
+    n_joins = (
+        plan.count("SortMergeJoin")
+        + plan.count("ShuffledHashJoin")
+        + plan.count("BroadcastHashJoin")
+    )
+    assert n_joins == 1, plan
+    assert "Generate explode" in plan
+    assert "Window" not in plan
