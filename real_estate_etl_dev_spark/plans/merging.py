@@ -949,3 +949,109 @@ def merge_scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_format("valid_to", "yyyy-MM-dd").alias("valid_to"),
         "is_current",
     ).orderBy("ck", "valid_from", "is_current")
+
+
+@query(
+    "pit_segment_revenue",
+    """
+    WITH hist AS (
+      SELECT c_custkey AS ck, c_mktsegment AS segment,
+             TIMESTAMP '1990-01-01' AS valid_from,
+             CAST(NULL AS TIMESTAMP) AS valid_to
+      FROM customer
+    ),
+    upd AS (
+      SELECT c_custkey AS ck, 'MACHINERY' AS segment,
+             TIMESTAMP '1998-07-01' AS eff
+      FROM customer WHERE c_custkey % 7 = 0 AND c_mktsegment <> 'MACHINERY'
+    ),
+    versions AS (
+      SELECT h.ck, h.segment, h.valid_from,
+             CASE WHEN u.ck IS NOT NULL THEN u.eff ELSE h.valid_to END
+               AS valid_to
+      FROM hist h LEFT JOIN upd u ON u.ck = h.ck
+      UNION ALL
+      SELECT ck, segment, eff, CAST(NULL AS TIMESTAMP) FROM upd
+    )
+    SELECT v.segment AS segment_at_order_time,
+           count(*) AS n_orders,
+           CAST(sum(CAST(o.o_totalprice AS DECIMAL(20,8))) AS DOUBLE)
+             AS revenue
+    FROM orders o
+    JOIN versions v
+      ON v.ck = o.o_custkey
+     AND v.valid_from <= o.o_orderdate
+     AND (v.valid_to IS NULL OR o.o_orderdate < v.valid_to)
+    GROUP BY segment_at_order_time
+    ORDER BY segment_at_order_time
+    """,
+    survey="J-pit,J9-scd2",
+)
+def pit_segment_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """POINT-IN-TIME join against the SCD-2 history — the reason
+    type-2 intervals exist: each order joins the customer segment
+    version VALID AT ORDER TIME, not today's (training pipelines call
+    this the feature-store PIT lookup; without it, features leak the
+    future).  The fixture's history flips every 7th customer's segment
+    mid-1998, so orders before and after the flip provably land in
+    different versions.
+
+    Plan: the interval predicate rides the equi-join as a residual —
+    one hash join on the key, containment filtered in the same
+    operator, never a fan-out-then-window.  Per-key fan-out equals
+    that key's version count (≤2 here); at deep histories, sort the
+    versions and as-of join on valid_from instead (operators/asof.py
+    — same output, one keyed shuffle).  Revenue sums exact decimal."""
+    c = load_table(spark, sf_dir, "customer")
+    hist = c.select(
+        F.col("c_custkey").alias("ck"),
+        F.col("c_mktsegment").alias("segment"),
+        F.lit("1990-01-01").cast("timestamp").alias("valid_from"),
+        F.lit(None).cast("timestamp").alias("valid_to"),
+    )
+    upd = (
+        c.filter((F.col("c_custkey") % 7 == 0) & (F.col("c_mktsegment") != "MACHINERY"))
+        .select(
+            F.col("c_custkey").alias("ck"),
+            F.lit("MACHINERY").alias("segment"),
+            F.lit("1998-07-01").cast("timestamp").alias("eff"),
+        )
+    )
+    closed = (
+        hist.alias("h")
+        .join(upd.alias("u"), F.col("h.ck") == F.col("u.ck"), "left")
+        .select(
+            F.col("h.ck").alias("ck"),
+            F.col("h.segment").alias("segment"),
+            F.col("h.valid_from").alias("valid_from"),
+            F.when(F.col("u.ck").isNotNull(), F.col("u.eff"))
+            .otherwise(F.col("h.valid_to"))
+            .alias("valid_to"),
+        )
+    )
+    opened = upd.select(
+        "ck",
+        "segment",
+        F.col("eff").alias("valid_from"),
+        F.lit(None).cast("timestamp").alias("valid_to"),
+    )
+    versions = closed.unionByName(opened)
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderdate", "o_totalprice"
+    )
+    pit = o.join(
+        versions,
+        (F.col("ck") == F.col("o_custkey"))
+        & (F.col("valid_from") <= F.col("o_orderdate"))
+        & (F.col("valid_to").isNull() | (F.col("o_orderdate") < F.col("valid_to"))),
+    )
+    return (
+        pit.groupBy(F.col("segment").alias("segment_at_order_time"))
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(20,8)"))
+            .cast("double")
+            .alias("revenue"),
+        )
+        .orderBy("segment_at_order_time")
+    )
