@@ -2491,3 +2491,51 @@ def doc_lm_cross_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("cross_entropy_bits"), "doc_id")
         .limit(100)
     )
+
+
+@query(
+    "dedup_setsim_prefix",
+    "WITH " + _AUG_CTE + """
+    , toks AS (
+      SELECT doc_id AS id,
+             list_sort(list_distinct(string_split(text, ' '))) AS s
+      FROM corpus
+    )
+    SELECT a.id AS a, b.id AS b,
+           round(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+                 / len(list_distinct(list_concat(a.s, b.s))), 6) AS jaccard
+    FROM toks a JOIN toks b ON a.id < b.id
+    WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+          / len(list_distinct(list_concat(a.s, b.s))) >= 0.97
+    ORDER BY a, b
+    """,
+    survey="LLM-dedup",
+    tags=("llm-dedup",),
+)
+def dedup_setsim_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-threshold set-similarity near-dup join
+    (operators/dedup.py:setsim_join_prefix, the SSJoin/PPJoin prefix
+    principle) over the augmented corpus at Jaccard ≥ 0.97 (on this
+    bag-of-words fixture that threshold isolates the set-identical
+    pairs; the next-highest pair sits at 0.968) — the
+    deterministic RECALL-COMPLETE member of the near-dup family: the
+    MinHash tier's recall is probabilistic, the SimHash tier's radius
+    is in Hamming space; this one provably finds EVERY pair over the
+    threshold, because a qualifying pair must share a rarest-first
+    prefix token.
+
+    The ORACLE is the brute-force all-pairs join — so the
+    certification is literally the completeness proof on this corpus:
+    any pair the prefix filter missed would appear in the oracle's
+    output and break the hash.
+
+    Scale: candidates come from single-token equality on PREFIX
+    tokens only (~(1-t)·|set| per doc, biased to rare tokens whose
+    buckets are small); the brute-force oracle shape is O(n²) and
+    exists only on the oracle side."""
+    corpus = _augmented_docs(spark, sf_dir)
+    from ..operators.dedup import setsim_join_prefix
+
+    return setsim_join_prefix(
+        corpus, id_col="doc_id", text_col="text", threshold=0.97
+    )

@@ -550,3 +550,15 @@ def test_scd2_merge_is_one_join_plus_explode(spark, sf_dir):
     assert n_joins == 1, plan
     assert "Generate explode" in plan
     assert "Window" not in plan
+
+
+def test_setsim_prefix_no_allpairs_join(spark, sf_dir):
+    """dedup_setsim_prefix: candidates must come from prefix-token
+    EQUALITY (hash join), never an all-pairs product; the vocab
+    frequency table broadcasts; verification is JVM array math (no
+    Python)."""
+    plan = plan_of(spark, sf_dir, "dedup_setsim_prefix")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "Python" not in plan
+    assert "BroadcastHashJoin" in plan
