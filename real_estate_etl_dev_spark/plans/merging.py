@@ -1055,3 +1055,144 @@ def pit_segment_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("segment_at_order_time")
     )
+
+
+@query(
+    "streaming_merge_scd2",
+    """
+    WITH base AS (
+      SELECT c_custkey AS ck, c_mktsegment AS seg, round(c_acctbal, 2) AS bal,
+             c_custkey % 7 = 0 AND c_mktsegment <> 'MACHINERY' AS f1,
+             c_custkey % 5 = 0 AS f2
+      FROM customer
+    )
+    SELECT ck, segment, acctbal,
+           strftime(valid_from, '%Y-%m-%d') AS valid_from,
+           strftime(valid_to, '%Y-%m-%d') AS valid_to,
+           is_current
+    FROM (
+      -- original interval: closes at e1 if batch-1 changed it, else at
+      -- e2 if batch-2 changed it, else stays open
+      SELECT ck, seg AS segment, bal AS acctbal,
+             TIMESTAMP '1990-01-01' AS valid_from,
+             CASE WHEN f1 THEN TIMESTAMP '2026-01-01'
+                  WHEN f2 THEN TIMESTAMP '2026-06-01' END AS valid_to,
+             NOT (f1 OR f2) AS is_current
+      FROM base
+      UNION ALL
+      -- batch-1 interval (segment flip): closes at e2 when batch 2
+      -- also touches the key
+      SELECT ck, 'MACHINERY', bal, TIMESTAMP '2026-01-01',
+             CASE WHEN f2 THEN TIMESTAMP '2026-06-01' END,
+             NOT f2
+      FROM base WHERE f1
+      UNION ALL
+      -- batch-2 interval (balance bump on whatever batch 1 left)
+      SELECT ck, CASE WHEN f1 THEN 'MACHINERY' ELSE seg END,
+             round(bal + 100, 2), TIMESTAMP '2026-06-01', NULL, true
+      FROM base WHERE f2
+    )
+    ORDER BY ck, valid_from, is_current
+    """,
+    survey="§2.12,J9-scd2",
+)
+def streaming_merge_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD-2 under the STREAMING runtime: two update files arrive as
+    two ORDERED micro-batches (maxFilesPerTrigger=1), each
+    foreachBatch applies :func:`merge_scd2` against the history the
+    PREVIOUS batch published — so a key changed in both batches ends
+    with a 3-interval chain whose middle interval opens at batch 1's
+    effective time and closes at batch 2's.  That cross-batch chaining
+    is exactly what the oracle certifies: it CONSTRUCTS the expected
+    interval set directly from the change flags (an independent
+    derivation, not a re-run of the merge).
+
+    Scale: same one-join-per-micro-batch plan as the batch SCD-2;
+    versioned publishing (v{batch_id} dirs) keeps each batch's read
+    and write paths disjoint — the self-overwrite trap a naive
+    read-merge-overwrite sink springs at ANY scale."""
+    import shutil
+    import tempfile
+
+    from ..benchmeta import setup_span
+    from ..operators.merge import merge_scd2
+    from ..streaming.ingest import stream_source
+
+    c = load_table(spark, sf_dir, "customer")
+    hist0 = c.select(
+        F.col("c_custkey").alias("ck"),
+        F.col("c_mktsegment").alias("segment"),
+        F.round("c_acctbal", 2).alias("acctbal"),
+        F.lit("1990-01-01").cast("timestamp").alias("valid_from"),
+        F.lit(None).cast("timestamp").alias("valid_to"),
+        F.lit(True).alias("is_current"),
+    )
+    b1 = (
+        c.filter((F.col("c_custkey") % 7 == 0) & (F.col("c_mktsegment") != "MACHINERY"))
+        .select(
+            F.col("c_custkey").alias("ck"),
+            F.lit("MACHINERY").alias("segment"),
+            F.round("c_acctbal", 2).alias("acctbal"),
+            F.lit("2026-01-01").cast("timestamp").alias("eff"),
+        )
+    )
+    b2 = c.filter(F.col("c_custkey") % 5 == 0).select(
+        F.col("c_custkey").alias("ck"),
+        F.when(
+            (F.col("c_custkey") % 7 == 0) & (F.col("c_mktsegment") != "MACHINERY"),
+            F.lit("MACHINERY"),
+        )
+        .otherwise(F.col("c_mktsegment"))
+        .alias("segment"),
+        F.round(F.col("c_acctbal") + 100, 2).alias("acctbal"),
+        F.lit("2026-06-01").cast("timestamp").alias("eff"),
+    )
+
+    with setup_span("streaming_merge_scd2"):
+        workdir = tempfile.mkdtemp(prefix="stream_scd2_")
+        drop_dir = f"{workdir}/updates"
+        out_root = f"{workdir}/history"
+        checkpoint = f"{workdir}/checkpoint"
+        # write order fixes micro-batch order (file source processes
+        # oldest modification time first)
+        b1.coalesce(1).write.parquet(f"{drop_dir}/b1")
+        b2.coalesce(1).write.parquet(f"{drop_dir}/b2")
+
+    stream = stream_source(
+        spark, f"{drop_dir}/*", b1.schema, fmt="parquet", maxFilesPerTrigger=1
+    )
+    published: list[str] = []
+
+    def do_merge(batch_df: DataFrame, batch_id: int) -> None:
+        current = (
+            spark.read.parquet(published[-1]) if published else hist0
+        )
+        merged = merge_scd2(
+            current, batch_df, key="ck", attrs=["segment", "acctbal"], effective="eff"
+        )
+        path = f"{out_root}/v{batch_id}"
+        merged.write.mode("overwrite").parquet(path)
+        published.append(path)
+
+    try:
+        q = (
+            stream.writeStream.foreachBatch(do_merge)
+            .option("checkpointLocation", checkpoint)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        final = spark.read.parquet(published[-1])
+        out = final.select(
+            "ck",
+            "segment",
+            "acctbal",
+            F.date_format("valid_from", "yyyy-MM-dd").alias("valid_from"),
+            F.date_format("valid_to", "yyyy-MM-dd").alias("valid_to"),
+            "is_current",
+        ).orderBy("ck", "valid_from", "is_current")
+        rows = out.collect()
+        schema = out.schema
+    finally:
+        shutil.rmtree(workdir, ignore_errors=True)
+    return spark.createDataFrame(rows, schema)
