@@ -64,6 +64,10 @@ def pagerank(
     # oracle uses (a Python round() here would apply banker's rounding
     # while SQL round() is half-away — a tie on the 12th digit would
     # silently diverge the engines)
+    # NOTE: the oracle generator embeds repr(1.0 - damping) as an
+    # explicit DOUBLE literal, so both engines divide the SAME double
+    # (Python's 1.0-0.85 is 0.150000000000000002; DuckDB's exact
+    # decimal 1.0-0.85 cast to double is a DIFFERENT neighbor)
     base = (F.lit(1.0 - damping) / F.lit(float(n_nodes))).cast(_RANK_DEC)
     init = (F.lit(1.0) / F.lit(float(n_nodes))).cast(_RANK_DEC)
     ranks = nodes.select("node", init.alias("rank"))

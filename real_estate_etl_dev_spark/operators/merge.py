@@ -291,8 +291,13 @@ def merge_scd2(
 
     PRECONDITION: ``updates`` unique per key (same contract as
     merge_listings).  Returns the full new history."""
-    open_rows = history.filter(F.col("is_current"))
-    closed_rows = history.filter(~F.col("is_current"))
+    # NULL is_current counts as CLOSED (conservative pass-through) —
+    # a plain ~col filter would silently drop such rows from BOTH
+    # branches and violate the full-history contract
+    open_rows = history.filter(F.coalesce(F.col("is_current"), F.lit(False)))
+    closed_rows = history.filter(
+        ~F.coalesce(F.col("is_current"), F.lit(False))
+    )
 
     h = open_rows.alias("h")
     u = updates.alias("u")

@@ -176,7 +176,8 @@ def revenue_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
            COALESCE(o_orderpriority, 'ALL') AS priority,
            CAST(GROUPING(o_orderstatus, o_orderpriority) AS BIGINT) AS grp_id,
            CAST(count(*) AS BIGINT) AS n_orders,
-           round(sum(o_totalprice), 2) AS revenue
+           round(CAST(sum(CAST(o_totalprice AS DECIMAL(20,8))) AS DOUBLE), 2)
+             AS revenue
     FROM orders
     GROUP BY CUBE (o_orderstatus, o_orderpriority)
     ORDER BY grp_id, status, priority
@@ -201,7 +202,12 @@ def revenue_cube_status_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.grouping_id().cast("long").alias("grp_id"),
             F.count(F.lit(1)).alias("n_orders"),
-            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+            # exact-decimal sum (house rule): a raw double sum's last
+            # digits depend on partial-agg order and can flip the 2-dp
+            # rounding across engines on the wide grand-total groups
+            F.round(
+                F.sum(F.col("o_totalprice").cast("decimal(20,8)")).cast("double"), 2
+            ).alias("revenue"),
         )
         .select(
             F.coalesce("o_orderstatus", F.lit("ALL")).alias("status"),

@@ -1427,7 +1427,6 @@ def user_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT user_id,
              epoch_us(ts) AS us,
              event_type,
-             row_number() OVER w AS rn,
              lag(epoch_us(ts)) OVER w AS prev_us,
              first_value(event_type) OVER w AS first_type,
              last_value(event_type) OVER (
@@ -1486,7 +1485,12 @@ def event_gap_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("first_type").alias("first_type"),
             F.min("last_type").alias("last_type"),
             F.max(F.col("us") - F.col("prev_us")).cast("long").alias("max_gap_us"),
-            F.expr("sum(us - prev_us) div (count(1) - 1)")
+            # if-guarded: under ANSI mode a single-event user would
+            # raise DIVIDE_BY_ZERO inside the aggregate, before the
+            # n_events > 1 filter could drop the group
+            F.expr(
+                "if(count(1) > 1, sum(us - prev_us) div (count(1) - 1), null)"
+            )
             .cast("long")
             .alias("avg_gap_us"),
         )

@@ -707,11 +707,13 @@ def _pagerank_oracle_sql(rounds: int = 3, damping: float = 0.85, topk: int = 30)
     body = []
     prev = "r0"
     for i in range(1, rounds + 1):
+        residual = repr(1.0 - damping)
         body.append(f""",
     r{i} AS (
       SELECT x.dst AS node,
-             CAST((1.0 - {damping}) / s.n AS DECIMAL(20,12))
-               + CAST({damping} * CAST(sum(x.c) AS DOUBLE) AS DECIMAL(20,12))
+             CAST(CAST('{residual}' AS DOUBLE) / s.n AS DECIMAL(20,12))
+               + CAST(CAST('{damping!r}' AS DOUBLE) * CAST(sum(x.c) AS DOUBLE)
+                      AS DECIMAL(20,12))
                AS rank
       FROM (SELECT e.dst,
                    CAST(CAST(r.rank AS DOUBLE) / e.out_deg AS DECIMAL(20,12))

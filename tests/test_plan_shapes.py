@@ -526,8 +526,6 @@ def test_salted_join_shuffles_on_salted_key(spark, sf_dir):
     plan = plan_of(spark, sf_dir, "salted_skew_user_join")
     assert "ShuffledHashJoin" in plan or "SortMergeJoin" in plan
     assert "__salt" in plan
-    import re
-
     salted_exchanges = [
         ln
         for ln in plan.splitlines()
