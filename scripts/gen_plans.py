@@ -143,6 +143,41 @@ SHOWCASE = [
         "array_distinct) — map-only per doc, one bounded 5-key rollup, "
         "no UDF anywhere.",
     ),
+    (
+        "price_mad_outliers",
+        "ONE scan, ONE hash exchange: every window shares the group "
+        "partitioning and the median/MAD scalars propagate via "
+        "unbounded-frame window max — no self-join, no broadcast, no "
+        "re-scan (the naive three-frame form scans orders three times).",
+    ),
+    (
+        "dedup_setsim_prefix",
+        "Prefix-filter set-similarity: candidates come from single-token "
+        "equality on rarest-first prefix tokens with ids-only rows "
+        "(sizes + prefix token, never the token arrays), then sets "
+        "re-join by id for exact verification — no all-pairs product "
+        "anywhere.",
+    ),
+    (
+        "trade_graph_pagerank",
+        "Iterative PageRank as a DAG of per-round plans: one edge join "
+        "keyed by src + one keyed agg on dst per round, rank/degree "
+        "frames checkpointed so no round re-derives its predecessors; "
+        "top-30 is a TakeOrderedAndProject.",
+    ),
+    (
+        "merge_scd2_intervals",
+        "SCD-2: closed history is a pass-through filter with NO "
+        "exchange; the open slice joins the updates ONCE and each row "
+        "explodes inline (Generate) into its 1-or-2 output intervals.",
+    ),
+    (
+        "local_supplier_volume",
+        "TPC-H Q5: region restricts to ONE key and broadcasts through "
+        "nation into customer BEFORE the fact joins; the co-nation "
+        "equality rides inside the supplier join condition, never a "
+        "post-join filter.",
+    ),
 ]
 
 _TRIM = re.compile(r", \[plan_id=\d+\]| \[id=#\d+\]")
