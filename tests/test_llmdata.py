@@ -576,3 +576,23 @@ def test_pagerank_partitioning_invariance_and_mass(spark, sf_dir):
     assert len(a) == n
     mass = sum(r[1] for r in a)
     assert abs(mass - 1.0) < 1e-6, mass
+
+
+def test_setsim_threshold_is_on_raw_ratio(spark):
+    """A pair whose Jaccard sits just BELOW the threshold must be
+    excluded even though it rounds up to it — the filter operates on
+    the raw ratio, not the 6-dp projection (second-review fix)."""
+    from real_estate_etl_dev_spark.operators.dedup import setsim_join_prefix
+
+    # |A∩B|=9, |A∪B|=11 → J = 0.818181…; threshold 0.818182 rounds the
+    # ratio UP to itself at 6dp but the raw value is below it
+    common = " ".join(f"w{i}" for i in range(9))
+    docs = spark.createDataFrame(
+        [(1, common + " x1"), (2, common + " y1")], "doc_id long, text string"
+    )
+    out = setsim_join_prefix(docs, threshold=0.818182).collect()
+    assert out == []
+    # at a threshold the raw ratio meets, the pair appears with the
+    # rounded score
+    out2 = setsim_join_prefix(docs, threshold=0.818181).collect()
+    assert len(out2) == 1 and abs(out2[0].jaccard - 0.818182) < 1e-9

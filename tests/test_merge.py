@@ -304,3 +304,50 @@ def test_merge_staging_last_write_wins(spark):
     rows = out.collect()
     assert len(rows) == 1
     assert rows[0]["price"] == 222222
+
+
+def test_scd2_null_is_current_passes_through_as_closed(spark):
+    """A history row whose is_current is NULL must survive the merge
+    (as a closed pass-through), not vanish from both branches — the
+    silent-loss hazard the coalesce in merge_scd2 guards against."""
+    from real_estate_etl_dev_spark.operators.merge import merge_scd2
+
+    hist = spark.createDataFrame(
+        [
+            (1, "A", dt.datetime(2020, 1, 1), None, True),
+            (1, "Z", dt.datetime(2010, 1, 1), dt.datetime(2020, 1, 1), None),
+            (2, "B", dt.datetime(2020, 1, 1), None, True),
+        ],
+        "k int, attr string, valid_from timestamp, valid_to timestamp, is_current boolean",
+    )
+    upd = spark.createDataFrame(
+        [(1, "A2", dt.datetime(2026, 1, 1))],
+        "k int, attr string, eff timestamp",
+    )
+    out = merge_scd2(hist, upd, key="k", attrs=["attr"], effective="eff")
+    rows = {(r.k, r.attr, bool(r.is_current) if r.is_current is not None else None)
+            for r in out.collect()}
+    # the NULL-flag legacy row is retained
+    assert (1, "Z", False) in rows or (1, "Z", None) in rows
+    # key 1 closed its open A row and opened A2; key 2 untouched
+    assert (1, "A", False) in rows
+    assert (1, "A2", True) in rows
+    assert (2, "B", True) in rows
+    assert out.count() == 4
+
+
+def test_scd2_unchanged_update_is_passthrough(spark):
+    """An update identical to the open row's attributes must NOT close
+    or duplicate the interval."""
+    from real_estate_etl_dev_spark.operators.merge import merge_scd2
+
+    hist = spark.createDataFrame(
+        [(1, "A", dt.datetime(2020, 1, 1), None, True)],
+        "k int, attr string, valid_from timestamp, valid_to timestamp, is_current boolean",
+    )
+    upd = spark.createDataFrame(
+        [(1, "A", dt.datetime(2026, 1, 1))], "k int, attr string, eff timestamp"
+    )
+    out = merge_scd2(hist, upd, key="k", attrs=["attr"], effective="eff").collect()
+    assert len(out) == 1
+    assert out[0].is_current and out[0].valid_to is None
