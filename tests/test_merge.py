@@ -351,3 +351,56 @@ def test_scd2_unchanged_update_is_passthrough(spark):
     out = merge_scd2(hist, upd, key="k", attrs=["attr"], effective="eff").collect()
     assert len(out) == 1
     assert out[0].is_current and out[0].valid_to is None
+
+
+def test_pit_asof_formulation_matches_interval_join(spark):
+    """pit_segment_revenue's docstring promises the deep-history swap:
+    sort versions and AS-OF join on valid_from gives the SAME
+    attribution as the interval-containment join.  Prove it on the
+    query's own fixture at sf0.001."""
+    from pyspark.sql import functions as F
+    from real_estate_etl_dev_spark.operators.asof import asof_join
+    from real_estate_etl_dev_spark.plans.catalog import CATALOG
+    from real_estate_etl_dev_spark.sources.readers import load_table
+
+    sf = "/root/testdata/sf0.001"
+    interval = {
+        (r.segment_at_order_time, r.n_orders)
+        for r in CATALOG["pit_segment_revenue"].fn(spark, sf).collect()
+    }
+
+    c = load_table(spark, sf, "customer")
+    versions = (
+        c.select(
+            F.col("c_custkey").alias("ck"),
+            F.col("c_mktsegment").alias("segment"),
+            F.lit("1990-01-01").cast("timestamp").alias("valid_from"),
+        )
+        .unionByName(
+            c.filter(
+                (F.col("c_custkey") % 7 == 0)
+                & (F.col("c_mktsegment") != "MACHINERY")
+            ).select(
+                F.col("c_custkey").alias("ck"),
+                F.lit("MACHINERY").alias("segment"),
+                F.lit("1998-07-01").cast("timestamp").alias("valid_from"),
+            )
+        )
+    )
+    o = load_table(spark, sf, "orders").select(
+        F.col("o_custkey").alias("ck"),
+        F.col("o_orderdate").alias("ts"),
+    )
+    joined = asof_join(
+        o,
+        versions.withColumnRenamed("valid_from", "ts"),
+        on="ck",
+        payload=["segment"],
+    )
+    asof = {
+        (r.segment, r.n)
+        for r in joined.groupBy(F.col("r_segment").alias("segment"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert asof == {(s, n) for s, n in interval}
