@@ -1545,3 +1545,101 @@ def salted_skew_user_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("segment")
     )
+
+
+@query(
+    "order_price_percentile_position",
+    """
+    WITH ranked AS (
+      SELECT o_orderkey, o_orderpriority, o_totalprice,
+             percent_rank() OVER (PARTITION BY o_orderpriority
+                                  ORDER BY o_totalprice, o_orderkey) AS pr,
+             cume_dist() OVER (PARTITION BY o_orderpriority
+                               ORDER BY o_totalprice, o_orderkey) AS cd
+      FROM orders
+    )
+    SELECT o_orderkey, o_orderpriority,
+           round(o_totalprice, 2) AS price,
+           round(pr, 6) AS pct_rank,
+           round(cd, 6) AS cume_dist
+    FROM ranked
+    WHERE pr >= 0.999
+    ORDER BY o_orderpriority, o_orderkey
+    """,
+    survey="W-pctrank",
+    tags=("temporal",),
+)
+def order_price_percentile_position(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Relative standing within a group — ``percent_rank`` (rank-1)/(n-1)
+    and ``cume_dist`` rank/n for the top 0.1% of orders per priority:
+    the distribution-position window pair the catalog had not yet
+    exercised.  Both are exact RATIONALS of the tie-broken rank, so
+    round(…,6) is engine-stable (ties on price break on o_orderkey in
+    both engines).
+
+    Scale: one window shuffle on the 5-key group; the 0.999 filter
+    keeps the output at |groups|·0.1% of rows."""
+    orders = T(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority", "o_totalprice"
+    )
+    w = Window.partitionBy("o_orderpriority").orderBy("o_totalprice", "o_orderkey")
+    ranked = orders.select(
+        "o_orderkey",
+        "o_orderpriority",
+        "o_totalprice",
+        F.percent_rank().over(w).alias("pr"),
+        F.cume_dist().over(w).alias("cd"),
+    )
+    return (
+        ranked.filter(F.col("pr") >= 0.999)
+        .select(
+            "o_orderkey",
+            "o_orderpriority",
+            F.round("o_totalprice", 2).alias("price"),
+            F.round("pr", 6).alias("pct_rank"),
+            F.round("cd", 6).alias("cume_dist"),
+        )
+        .orderBy("o_orderpriority", "o_orderkey")
+    )
+
+
+@query(
+    "event_hour_heatmap",
+    """
+    SELECT CAST((date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) + 4) % 7
+                AS BIGINT) AS dow,
+           CAST(hour(ts) AS BIGINT) AS hour,
+           count(*) AS n_events,
+           round(CAST(sum(CAST(value AS DECIMAL(20,8))) AS DOUBLE), 2)
+             AS total_value
+    FROM events
+    GROUP BY dow, hour
+    ORDER BY dow, hour
+    """,
+    survey="A-heatmap",
+    tags=("temporal",),
+)
+def event_hour_heatmap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-of-week × hour activity grid — the traffic heatmap behind
+    every ops dashboard.  The weekday comes from INTEGER epoch-day
+    arithmetic (``(days_since_epoch + 4) % 7``, 0 = Monday) instead of
+    each engine's dayofweek builtin, whose numbering conventions
+    differ (Spark counts Sunday = 1, DuckDB Sunday = 0) — the classic
+    silent cross-engine off-by-one.
+
+    Scale: map-only key derivation + one ≤168-key hash-agg with
+    map-side partials; value sums exact decimal."""
+    ev = T(spark, sf_dir, "events")
+    dow = (
+        (F.datediff(F.to_date("ts"), F.lit("1970-01-01").cast("date")) + 4) % 7
+    ).cast("long")
+    return (
+        ev.groupBy(dow.alias("dow"), F.hour("ts").cast("long").alias("hour"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(
+                F.sum(F.col("value").cast("decimal(20,8)")).cast("double"), 2
+            ).alias("total_value"),
+        )
+        .orderBy("dow", "hour")
+    )
