@@ -596,3 +596,37 @@ def test_setsim_threshold_is_on_raw_ratio(spark):
     # rounded score
     out2 = setsim_join_prefix(docs, threshold=0.818181).collect()
     assert len(out2) == 1 and abs(out2[0].jaccard - 0.818182) < 1e-9
+
+
+def test_pagerank_two_node_toy_matches_hand_computation(spark):
+    """A 2-node symmetric graph has the closed-form fixed point
+    rank = 0.5 each; one round from uniform init must already land
+    there (contribution = 0.5/1, rank = 0.075 + 0.85*0.5 = 0.5)."""
+    from real_estate_etl_dev_spark.operators.graph import pagerank
+
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "a")], "src string, dst string"
+    )
+    out = {r.node: r.rank for r in pagerank(edges, rounds=1).collect()}
+    assert abs(out["a"] - 0.5) < 1e-9 and abs(out["b"] - 0.5) < 1e-9
+
+
+def test_kmeans_empty_cluster_drops_as_documented(spark):
+    """Seeds 0 and 1 are IDENTICAL vectors, so every point is
+    equidistant to both and the deterministic tie-break (min cluster
+    id) sends all of them to cluster 0 — cluster 1 empties and must
+    DROP from the output (the documented Lloyd degeneracy), never
+    resurface as a ghost row."""
+    from real_estate_etl_dev_spark.operators.similarity import lloyd_kmeans
+
+    rows = [(0, [0.0, 0.0]), (1, [0.0, 0.0])]
+    for i in range(10, 15):
+        rows.append((i, [100.0, 100.0]))
+    vecs = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = lloyd_kmeans(vecs, k=2, iterations=2).collect()
+    clusters = {r.cluster for r in out}
+    sizes = {}
+    for r in out:
+        sizes[r.cluster] = r.n_members
+    assert clusters == {0}  # cluster 1 emptied and dropped
+    assert sum(sizes.values()) == 7  # every vector still assigned
