@@ -57,7 +57,9 @@ HEADLINE = [
     "embedding_ann_ivf",           # IVF ANN scale path
     "multimodal_fake_features",    # multimodal plumbing
     "ml_region_prediction",        # ML pipeline
-    "salted_skew_event_sums",      # skew-safe agg
+    # salted_skew_event_sums rotated out r07 (family twin of
+    # salted_skew_user_join, still timed on stderr) to make stdout
+    # room for the machine-load stamp (VERDICT r06 item 4)
     "dedup_connected_components",  # dup-cluster graph resolution
     "dedup_semantic_keepers",      # semantic dedup end-to-end
     "doc_decontaminate",           # eval n-gram overlap screen
@@ -105,7 +107,12 @@ def run_catalog(spark, sf_dir: str, catalog) -> tuple[dict, dict, float]:
 
 
 def build_payload(
-    timings: dict, errors: dict, total: float, sf: float, setup: dict | None = None
+    timings: dict,
+    errors: dict,
+    total: float,
+    sf: float,
+    setup: dict | None = None,
+    load: list[float] | None = None,
 ) -> str:
     """The driver contract: ONE stdout JSON line, always parseable,
     always under the driver's 2000-char stdout tail."""
@@ -119,6 +126,12 @@ def build_payload(
         "n_queries": len(timings),
         "n_errors": len(errors),
     }
+    if load is not None:
+        # 1-min load average [before warm-up, after timed run] — the
+        # contamination observable (VERDICT r06 item 4: three rounds of
+        # loaded-box sweeps masqueraded as plan regressions).  Threshold
+        # and interpretation: BENCHNOTES.md "Machine-load stamp".
+        payload["load"] = load
     if setup:
         # Fixture-construction seconds INCLUDED in the timings above for
         # the queries that must build their input per invocation (the
@@ -162,6 +175,7 @@ def main() -> None:
     # ml_region_prediction is warmed too: its ML-stage codegen JIT is a
     # one-time session cost (~4s) that the rotated order would otherwise
     # charge to the timed run; steady-state plan cost is ~2s (BENCHNOTES).
+    load_start = round(os.getloadavg()[0], 2)
     warmups = [
         next(iter(CATALOG)),
         "revenue_by_nation",
@@ -179,6 +193,7 @@ def main() -> None:
     SETUP_SECONDS.clear()  # drop warm-up spans; keep only the timed run's
     timings, errors, total = run_catalog(spark, sf_dir, CATALOG)
     setup = {n: s for n, s in SETUP_SECONDS.items() if n in timings}
+    load = [load_start, round(os.getloadavg()[0], 2)]
 
     # Full per-query table → stderr (humans, BENCHNOTES).
     for name in sorted(timings, key=timings.get, reverse=True):
@@ -191,7 +206,8 @@ def main() -> None:
         file=sys.stderr,
     )
 
-    print(build_payload(timings, errors, total, sf, setup))
+    print(f"loadavg1m start={load[0]:.2f} end={load[1]:.2f}", file=sys.stderr)
+    print(build_payload(timings, errors, total, sf, setup, load))
     sys.stdout.flush()
 
 

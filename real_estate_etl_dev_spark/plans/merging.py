@@ -845,7 +845,9 @@ def incremental_agg_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
              TIMESTAMP '2026-01-01' AS eff
       FROM customer WHERE c_custkey % 3 = 0
       UNION ALL
-      SELECT c_custkey + 1000000, c_mktsegment, round(c_acctbal, 2),
+      SELECT c_custkey + (SELECT greatest(1000000, max(c_custkey) + 1)
+                          FROM customer),
+             c_mktsegment, round(c_acctbal, 2),
              TIMESTAMP '2026-01-01'
       FROM customer WHERE c_custkey % 100 = 0
     ),
@@ -931,11 +933,26 @@ def merge_scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("acctbal"),
         F.lit("2026-01-01").cast("timestamp").alias("eff"),
     )
-    arrivals = c.filter(F.col("c_custkey") % 100 == 0).select(
-        (F.col("c_custkey") + 1_000_000).alias("ck"),
-        F.col("c_mktsegment").alias("segment"),
-        F.round("c_acctbal", 2).alias("acctbal"),
-        F.lit("2026-01-01").cast("timestamp").alias("eff"),
+    # brand-new arrival keys live in a DATA-DERIVED disjoint namespace
+    # (ADVICE r06): offset = greatest(1e6, max(key)+1), so the synthetic
+    # keys can never collide with staged real keys at any scale factor
+    # (a fixed +1e6 collides once real keys reach ~1,000,003).  At the
+    # committed fixtures max(c_custkey) < 1e6, so the offset — and the
+    # certified output — is unchanged.  The offset rides a 1-row
+    # broadcast combine, no driver collect; the oracle computes the
+    # same scalar subquery.
+    off = c.agg(
+        F.greatest(F.lit(1_000_000), F.max("c_custkey") + 1).alias("_off")
+    )
+    arrivals = (
+        c.filter(F.col("c_custkey") % 100 == 0)
+        .crossJoin(F.broadcast(off))
+        .select(
+            (F.col("c_custkey") + F.col("_off")).alias("ck"),
+            F.col("c_mktsegment").alias("segment"),
+            F.round("c_acctbal", 2).alias("acctbal"),
+            F.lit("2026-01-01").cast("timestamp").alias("eff"),
+        )
     )
     updates = staged.unionByName(arrivals)
     merged = merge_scd2(
@@ -1111,8 +1128,10 @@ def streaming_merge_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
     versioned publishing (v{batch_id} dirs) keeps each batch's read
     and write paths disjoint — the self-overwrite trap a naive
     read-merge-overwrite sink springs at ANY scale."""
+    import os
     import shutil
     import tempfile
+    import time
 
     from ..benchmeta import setup_span
     from ..operators.merge import merge_scd2
@@ -1153,10 +1172,19 @@ def streaming_merge_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
         drop_dir = f"{workdir}/updates"
         out_root = f"{workdir}/history"
         checkpoint = f"{workdir}/checkpoint"
-        # write order fixes micro-batch order (file source processes
-        # oldest modification time first)
+        # micro-batch order = file modification time (file source
+        # processes oldest first) — but back-to-back writes can TIE on
+        # filesystems with coarse mtime granularity, and tied files
+        # have no guaranteed order (ADVICE r06).  Pin the order
+        # explicitly: stamp every b1 file strictly older than every
+        # b2 file.
         b1.coalesce(1).write.parquet(f"{drop_dir}/b1")
         b2.coalesce(1).write.parquet(f"{drop_dir}/b2")
+        now = time.time()
+        for sub, ts in (("b1", now - 120), ("b2", now - 60)):
+            for root_, _dirs, files in os.walk(f"{drop_dir}/{sub}"):
+                for fn in files:
+                    os.utime(os.path.join(root_, fn), (ts, ts))
 
     stream = stream_source(
         spark, f"{drop_dir}/*", b1.schema, fmt="parquet", maxFilesPerTrigger=1

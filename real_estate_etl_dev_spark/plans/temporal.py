@@ -1622,10 +1622,12 @@ def order_price_percentile_position(spark: SparkSession, sf_dir: str) -> DataFra
 def event_hour_heatmap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Day-of-week × hour activity grid — the traffic heatmap behind
     every ops dashboard.  The weekday comes from INTEGER epoch-day
-    arithmetic (``(days_since_epoch + 4) % 7``, 0 = Monday) instead of
-    each engine's dayofweek builtin, whose numbering conventions
-    differ (Spark counts Sunday = 1, DuckDB Sunday = 0) — the classic
-    silent cross-engine off-by-one.
+    arithmetic (``(days_since_epoch + 4) % 7``, **0 = Sunday**: epoch
+    day 0, 1970-01-01, was a Thursday, so the +4 shift lands Sunday —
+    three days later — on 0; ADVICE r06 docstring fix) instead of each
+    engine's dayofweek builtin, whose numbering conventions differ
+    (Spark counts Sunday = 1, DuckDB Sunday = 0) — the classic silent
+    cross-engine off-by-one.
 
     Scale: map-only key derivation + one ≤168-key hash-agg with
     map-side partials; value sums exact decimal."""

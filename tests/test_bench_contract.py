@@ -98,3 +98,15 @@ def test_front_window_live_covers_new_queries():
     w = set(front_window())
     missing = [n for n in CATALOG if n not in hist and n not in w]
     assert not missing, f"never-certified queries outside window: {missing}"
+
+
+def test_payload_carries_load_stamp_within_budget():
+    """The machine-load stamp (VERDICT r06 item 4) must render in the
+    stdout line — with a FULL headline timing set plus a worst-case
+    two-digit load — without breaching the 1900-char driver budget."""
+    timings = {n: 123.456 for n in bench.HEADLINE}
+    line = bench.build_payload(timings, {}, 999.9, 0.1, None, [31.25, 32.07])
+    assert "\n" not in line and len(line) < 1900
+    parsed = json.loads(line)
+    assert parsed["load"] == [31.25, 32.07]
+    assert len(parsed["queries"]) == len(bench.HEADLINE)
