@@ -153,10 +153,21 @@ SHOWCASE = [
     (
         "dedup_setsim_prefix",
         "Prefix-filter set-similarity: candidates come from single-token "
-        "equality on rarest-first prefix tokens with ids-only rows "
-        "(sizes + prefix token, never the token arrays), then sets "
-        "re-join by id for exact verification — no all-pairs product "
+        "equality on xxhash64-hashed rarest-first prefix tokens (8-byte "
+        "shuffle rows — sizes + hashed token, never the token arrays or "
+        "strings), pruned in-join by the exact-rational PPJoin "
+        "positional bound, then sets re-join by id for exact "
+        "verification; the ranked aggregation feeding all four plan "
+        "consumers is checkpoint-pinned once — no all-pairs product "
         "anywhere.",
+    ),
+    (
+        "setsim_bucket_audit",
+        "The PPJoin tier's occupancy observable: the SAME prefix "
+        "expansion as the join (shared helper, rational bound in-plan), "
+        "one groupBy(ptok) occupancy agg, corpus-constant totals "
+        "attached via a 1-row broadcast combine — no window over the "
+        "expansion, no second tokenization.",
     ),
     (
         "trade_graph_pagerank",

@@ -560,3 +560,27 @@ def test_setsim_prefix_no_allpairs_join(spark, sf_dir):
     assert "BroadcastNestedLoopJoin" not in plan
     assert "Python" not in plan
     assert "BroadcastHashJoin" in plan
+
+
+def test_setsim_candidate_shuffle_is_hashed_and_positional(spark, sf_dir):
+    """dedup_setsim_prefix's 100 TB posture, pinned in the plan: the
+    candidate self-join key is xxhash64(ptok) (8-byte shuffle rows,
+    r07), and the join condition carries the PPJoin positional bound
+    (the exact-rational ceil-div rendered as FLOOR over the 197 = 97
+    + 100 denominator) plus both rational length bounds — not the
+    double-ceil form ADVICE r06 flagged."""
+    plan = plan_of(spark, sf_dir, "dedup_setsim_prefix")
+    assert "xxhash64(ptok" in plan
+    assert "/ 197" in plan      # positional filter's ceil_div(97*(ma+mb), 197)
+    assert "/ 100" in plan      # rational length bound ceil_div(97*m, 100)
+    assert "CEIL" not in plan.upper().replace("CEILDIV", "")
+
+
+def test_setsim_audit_shares_prefix_expansion_and_broadcasts_totals(spark, sf_dir):
+    """setsim_bucket_audit measures the REAL expansion: same rational
+    prefix bound in-plan, and its corpus-constant totals ride a 1-row
+    BroadcastNestedLoopJoin, not a window over the expansion."""
+    plan = plan_of(spark, sf_dir, "setsim_bucket_audit")
+    assert "/ 100" in plan
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "Window" not in plan
