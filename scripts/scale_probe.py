@@ -29,6 +29,7 @@ from real_estate_etl_dev_spark.operators.dedup import (  # noqa: E402
     connected_components,
     dedup_exact_groups,
     dedup_minhash_pairs,
+    setsim_bucket_audit,
 )
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -53,8 +54,11 @@ def replicated(spark, k: int):
 def main() -> None:
     spark = get_spark("scale-probe")
     spark.sparkContext.setLogLevel("ERROR")
-    print("| docs | exact-dedup s | minhash-pairs s (pairs) | cc s (comps) |")
-    print("|---|---|---|---|")
+    print(
+        "| docs | exact-dedup s | minhash-pairs s (pairs) | cc s (comps) "
+        "| setsim-audit s (naive pairs / hot bucket) |"
+    )
+    print("|---|---|---|---|---|")
     for k in (1, 4, 16, 32):
         corpus = replicated(spark, k).localCheckpoint()  # time stages, not the fan-out
         n = corpus.count()
@@ -77,9 +81,25 @@ def main() -> None:
         ).distinct().count()
         t_cc = time.perf_counter() - t0
 
+        # The per-replica suffix word is a PLANTED hot prefix token —
+        # exactly the boilerplate-token failure mode that makes the
+        # uncapped PPJoin prefix filter blow up silently at corpus
+        # scale.  The audit must (a) stay cheap (one expansion + one
+        # agg, never the candidate join) and (b) make the blowup
+        # visible: naive-pair mass grows ~quadratically in replica
+        # size while the capped MinHash tier stays bounded.
+        t0 = time.perf_counter()
+        aud = (
+            setsim_bucket_audit(corpus, threshold=0.97, top_k=1)
+            .collect()
+        )
+        t_aud = time.perf_counter() - t0
+        naive = aud[0]["total_naive_pairs"] if aud else 0
+        hot = aud[0]["bucket_n"] if aud else 0
+
         print(
             f"| {n:,} | {t_exact:.1f} | {t_mh:.1f} ({n_pairs:,}) "
-            f"| {t_cc:.1f} ({n_comp:,}) |",
+            f"| {t_cc:.1f} ({n_comp:,}) | {t_aud:.1f} ({naive:,} / {hot:,}) |",
             flush=True,
         )
 
