@@ -116,7 +116,11 @@ def build_payload(
 ) -> str:
     """The driver contract: ONE stdout JSON line, always parseable,
     always under the driver's 2000-char stdout tail."""
-    headline = {n: round(timings[n], 3) for n in HEADLINE if n in timings}
+    # 2 decimals (10 ms): the r07 sweep measured the line at 1875 of
+    # the 1900-char budget at 3 dp — one char per query buys back ~40
+    # chars of margin, and 10 ms granularity is noise-level for these
+    # multi-hundred-ms queries (stderr keeps 3 dp for humans)
+    headline = {n: round(timings[n], 2) for n in HEADLINE if n in timings}
     payload = {
         "metric": "catalog_total_wall",
         "value": total,

@@ -229,3 +229,53 @@ def test_edit_distance_pairs_recall_complete(spark, strings):
         for r in edit_distance_pairs(df, field="t").collect()
     }
     assert got == want
+
+
+@given(data=st.data())
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
+)
+def test_setsim_prefix_recall_complete_on_random_corpora(spark, data):
+    """The PPJoin recall-completeness guarantee, exercised BEYOND the
+    committed fixture: on hypothesis-generated dense corpora (8-token
+    vocab, so token sets overlap heavily and the prefix filter is
+    under real pressure) the prefix-filtered join must return EXACTLY
+    the brute-force all-pairs answer at every threshold — including
+    the exact-multiple thresholds (0.2, 0.5, 0.75) where the r06
+    double-ceil hazard lived.  The Python oracle mirrors the engine's
+    comparison semantics (double ratio >= double threshold), the same
+    contract the DuckDB certification oracle uses."""
+    from real_estate_etl_dev_spark.operators.dedup import setsim_join_prefix
+
+    vocab = [f"w{i}" for i in range(8)]
+    n_docs = data.draw(st.integers(min_value=4, max_value=10), label="n_docs")
+    rows = []
+    for i in range(n_docs):
+        size = data.draw(st.integers(min_value=1, max_value=8), label=f"size{i}")
+        toks = data.draw(
+            st.lists(st.sampled_from(vocab), min_size=size, max_size=size),
+            label=f"toks{i}",
+        )
+        rows.append((i, " ".join(toks)))
+    threshold = data.draw(
+        st.sampled_from([0.2, 0.25, 0.5, 0.6, 0.75, 0.8, 0.9, 0.97]),
+        label="threshold",
+    )
+
+    sets = {i: set(t.split(" ")) for i, t in rows}
+    expect = set()
+    for a in range(n_docs):
+        for b in range(a + 1, n_docs):
+            inter = len(sets[a] & sets[b])
+            union = len(sets[a] | sets[b])
+            if inter / union >= threshold:  # the engines' double semantics
+                expect.add((a, b))
+
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        (r.a, r.b)
+        for r in setsim_join_prefix(docs, threshold=threshold).collect()
+    }
+    assert got == expect
