@@ -131,10 +131,14 @@ def build_payload(
         "n_errors": len(errors),
     }
     if load is not None:
-        # 1-min load average [before warm-up, after timed run] — the
-        # contamination observable (VERDICT r06 item 4: three rounds of
-        # loaded-box sweeps masqueraded as plan regressions).  Threshold
-        # and interpretation: BENCHNOTES.md "Machine-load stamp".
+        # [start_load1m, end_load1m, steal_pct] — the contamination
+        # observables (VERDICT r06 item 4: three rounds of loaded-box
+        # sweeps masqueraded as plan regressions).  steal_pct is the
+        # share of CPU time the HOST withheld during the run
+        # (/proc/stat steal delta): this box is a microVM, so host
+        # tenancy is invisible to loadavg — a quiet-guest sweep can
+        # still run 20% slow with zero guest load.  Thresholds:
+        # BENCHNOTES.md "Machine-load stamp".
         payload["load"] = load
     if setup:
         # Fixture-construction seconds INCLUDED in the timings above for
@@ -179,7 +183,17 @@ def main() -> None:
     # ml_region_prediction is warmed too: its ML-stage codegen JIT is a
     # one-time session cost (~4s) that the rotated order would otherwise
     # charge to the timed run; steady-state plan cost is ~2s (BENCHNOTES).
+    def _cpu_stat() -> tuple[int, int]:
+        """(steal_jiffies, total_jiffies) from /proc/stat line 1;
+        (0, 0) when unreadable so the stamp degrades, never crashes."""
+        try:
+            v = list(map(int, open("/proc/stat").readline().split()[1:]))
+            return (v[7] if len(v) > 7 else 0, sum(v))
+        except (OSError, ValueError, IndexError):
+            return (0, 0)
+
     load_start = round(os.getloadavg()[0], 2)
+    steal0, total0 = _cpu_stat()
     warmups = [
         next(iter(CATALOG)),
         "revenue_by_nation",
@@ -197,7 +211,13 @@ def main() -> None:
     SETUP_SECONDS.clear()  # drop warm-up spans; keep only the timed run's
     timings, errors, total = run_catalog(spark, sf_dir, CATALOG)
     setup = {n: s for n, s in SETUP_SECONDS.items() if n in timings}
-    load = [load_start, round(os.getloadavg()[0], 2)]
+    steal1, total1 = _cpu_stat()
+    steal_pct = (
+        round(100.0 * (steal1 - steal0) / (total1 - total0), 2)
+        if total1 > total0
+        else -1.0
+    )
+    load = [load_start, round(os.getloadavg()[0], 2), steal_pct]
 
     # Full per-query table → stderr (humans, BENCHNOTES).
     for name in sorted(timings, key=timings.get, reverse=True):
@@ -210,7 +230,10 @@ def main() -> None:
         file=sys.stderr,
     )
 
-    print(f"loadavg1m start={load[0]:.2f} end={load[1]:.2f}", file=sys.stderr)
+    print(
+        f"loadavg1m start={load[0]:.2f} end={load[1]:.2f} steal={load[2]:.2f}%",
+        file=sys.stderr,
+    )
     print(build_payload(timings, errors, total, sf, setup, load))
     sys.stdout.flush()
 

@@ -105,8 +105,10 @@ def test_payload_carries_load_stamp_within_budget():
     stdout line — with a FULL headline timing set plus a worst-case
     two-digit load — without breaching the 1900-char driver budget."""
     timings = {n: 123.456 for n in bench.HEADLINE}
-    line = bench.build_payload(timings, {}, 999.9, 0.1, None, [31.25, 32.07])
+    line = bench.build_payload(
+        timings, {}, 999.9, 0.1, None, [31.25, 32.07, 18.75]
+    )
     assert "\n" not in line and len(line) < 1900
     parsed = json.loads(line)
-    assert parsed["load"] == [31.25, 32.07]
+    assert parsed["load"] == [31.25, 32.07, 18.75]
     assert len(parsed["queries"]) == len(bench.HEADLINE)
