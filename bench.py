@@ -185,15 +185,17 @@ def main() -> None:
     # charge to the timed run; steady-state plan cost is ~2s (BENCHNOTES).
     def _cpu_stat() -> tuple[int, int]:
         """(steal_jiffies, total_jiffies) from /proc/stat line 1;
-        (0, 0) when unreadable so the stamp degrades, never crashes."""
+        (0, 0) when unreadable so the stamp degrades, never crashes.
+        Total sums the first 8 fields only — guest/guest_nice are
+        already accounted inside user/nice, and double-counting them
+        would understate steal_pct on a VM-hosting kernel."""
         try:
             v = list(map(int, open("/proc/stat").readline().split()[1:]))
-            return (v[7] if len(v) > 7 else 0, sum(v))
+            return (v[7] if len(v) > 7 else 0, sum(v[:8]))
         except (OSError, ValueError, IndexError):
             return (0, 0)
 
     load_start = round(os.getloadavg()[0], 2)
-    steal0, total0 = _cpu_stat()
     warmups = [
         next(iter(CATALOG)),
         "revenue_by_nation",
@@ -209,6 +211,11 @@ def main() -> None:
     from real_estate_etl_dev_spark.benchmeta import SETUP_SECONDS
 
     SETUP_SECONDS.clear()  # drop warm-up spans; keep only the timed run's
+    # steal window = EXACTLY the timed run (BENCHNOTES thresholds are
+    # calibrated for it): capturing before warm-up would let a steal
+    # episode confined to warm-up condemn a clean run, or a long quiet
+    # warm-up dilute a mid-run episode below threshold
+    steal0, total0 = _cpu_stat()
     timings, errors, total = run_catalog(spark, sf_dir, CATALOG)
     setup = {n: s for n, s in SETUP_SECONDS.items() if n in timings}
     steal1, total1 = _cpu_stat()

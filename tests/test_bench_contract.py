@@ -104,11 +104,23 @@ def test_payload_carries_load_stamp_within_budget():
     """The machine-load stamp (VERDICT r06 item 4) must render in the
     stdout line — with a FULL headline timing set plus a worst-case
     two-digit load — without breaching the 1900-char driver budget."""
-    timings = {n: 123.456 for n in bench.HEADLINE}
+    timings = {n: 99.99 for n in bench.HEADLINE}
+    # model the REAL payload: every sweep carries ~15 fixture-setup
+    # entries (streaming drops, bucketed writes, snapshot stores) —
+    # omitting them from the budget test would let the live line
+    # breach 1900 while the test stays green.  Names come from the
+    # committed scaling artifact (the actual setup-billed set);
+    # values at a uniform 99.99 are far beyond any real sweep (the
+    # whole 152-query catalog totals ~150s).
+    setup = dict.fromkeys(
+        json.load(open("SCALING_r07_sf0.1.json"))["setup"], 99.99
+    )
+    assert len(setup) >= 15
     line = bench.build_payload(
-        timings, {}, 999.9, 0.1, None, [31.25, 32.07, 18.75]
+        timings, {}, 9999.9, 0.1, setup, [31.25, 32.07, 18.75]
     )
     assert "\n" not in line and len(line) < 1900
     parsed = json.loads(line)
     assert parsed["load"] == [31.25, 32.07, 18.75]
     assert len(parsed["queries"]) == len(bench.HEADLINE)
+    assert len(parsed["setup"]) == len(setup)

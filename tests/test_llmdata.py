@@ -634,19 +634,27 @@ def test_kmeans_empty_cluster_drops_as_documented(spark):
 
 def test_setsim_rational_bounds(spark):
     """The prefix/length bounds must use EXACT rational arithmetic
-    (ADVICE r06): with threshold 0.2, doubles give ceil(0.2*5) = 2
-    (0.2 has no binary representation, so 0.2*5 lands one ulp above
-    1.0) — the length filter |x| >= ceil(t*|y|) then rejects the
-    qualifying pair ({a}, {a b c d e}) with J = 1/5 = 0.2 exactly.
-    The rational form ceil_div(1*5, 5) = 1 keeps it."""
+    (ADVICE r06), pinned at a (threshold, size) pair where doubles
+    GENUINELY diverge: 0.55*100 rounds to 55.000000000000007, so the
+    double form gives ceil = 56 while the true ceil(55/100·100) is
+    55 — the length filter |x| >= ceil(t*|y|) then rejects the
+    qualifying pair (|x|=55 ⊂ |y|=100, J = 55/100 = 0.55 exactly).
+    The platform divergence is asserted inline so this test can never
+    silently go vacuous (the first version used ceil(0.2*5), which
+    doubles get RIGHT — 0.2*5 rounds to exactly 1.0)."""
+    import math
+
     from real_estate_etl_dev_spark.operators.dedup import setsim_join_prefix
 
-    docs = spark.createDataFrame(
-        [(1, "a"), (2, "a b c d e")], "doc_id long, text string"
-    )
-    out = setsim_join_prefix(docs, threshold=0.2).collect()
+    # the hazard this test pins must exist on this platform's doubles
+    assert math.ceil(0.55 * 100) == 56 and (55 * 100 + 99) // 100 == 55
+
+    y = " ".join(f"w{i}" for i in range(100))
+    x = " ".join(f"w{i}" for i in range(55))
+    docs = spark.createDataFrame([(1, x), (2, y)], "doc_id long, text string")
+    out = setsim_join_prefix(docs, threshold=0.55).collect()
     assert len(out) == 1
-    assert (out[0].a, out[0].b) == (1, 2) and abs(out[0].jaccard - 0.2) < 1e-9
+    assert (out[0].a, out[0].b) == (1, 2) and abs(out[0].jaccard - 0.55) < 1e-9
 
 
 def test_setsim_hashed_equals_string(spark):

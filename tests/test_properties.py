@@ -243,8 +243,11 @@ def test_setsim_prefix_recall_complete_on_random_corpora(spark, data):
     vocab, so token sets overlap heavily and the prefix filter is
     under real pressure) the prefix-filtered join must return EXACTLY
     the brute-force all-pairs answer at every threshold — including
-    the exact-multiple thresholds (0.2, 0.5, 0.75) where the r06
-    double-ceil hazard lived.  The Python oracle mirrors the engine's
+    exact-multiple (threshold, size) combinations, the boundary class
+    where the r06 double-ceil hazard lived (its pinned divergence
+    case is test_llmdata.py::test_setsim_rational_bounds; these
+    small sizes exercise the boundaries, not the divergence itself).
+    The Python oracle mirrors the engine's
     comparison semantics (double ratio >= double threshold), the same
     contract the DuckDB certification oracle uses."""
     from real_estate_etl_dev_spark.operators.dedup import setsim_join_prefix
