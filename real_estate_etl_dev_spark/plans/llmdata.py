@@ -27,21 +27,43 @@ from ..sources.readers import load_table
 from .catalog import query
 
 
+def _id_offset(df: DataFrame, col: str, floor: int = 1_000_000) -> DataFrame:
+    """1-row ``(_off)`` frame: ``greatest(floor, max(col) + 1)`` — the
+    DATA-DERIVED disjoint-namespace offset for planted synthetic ids
+    (ADVICE r06, same fix as ``merge_scd2_intervals``): a fixed +1e6
+    collides with real ids once the table outgrows ~1M rows (sf≈2 for
+    ``documents``), silently corrupting every planted-dup invariant.
+    At the committed fixtures max(id) < floor, so the offset — and
+    every certified output — is unchanged.  Rides a 1-row broadcast
+    combine (no driver collect); oracles compute the same scalar
+    subquery."""
+    return df.agg(F.greatest(F.lit(floor), F.max(col) + 1).alias("_off"))
+
+
 def _augmented_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     dupes = (
         docs.filter(F.col("doc_id") % 7 == 0)
-        .withColumn("doc_id", F.col("doc_id") + F.lit(1_000_000))
+        .crossJoin(F.broadcast(_id_offset(docs, "doc_id")))
+        .withColumn("doc_id", F.col("doc_id") + F.col("_off"))
+        .drop("_off")
         .withColumn("source", F.lit("srcdup"))
     )
     return docs.unionByName(dupes)
 
 
-_AUG_CTE = """
+_DOC_OFF_SQL = "(SELECT greatest(1000000, max(doc_id) + 1) FROM documents)"
+
+# The fuzzy tier plants typo'd copies in a SECOND disjoint namespace
+# (must also clear the srcdup namespace above, hence the higher floor).
+_TYPO_OFF_SQL = "(SELECT greatest(5000000, max(doc_id) + 1) FROM documents)"
+
+_AUG_CTE = f"""
   corpus AS (
     SELECT * FROM documents
     UNION ALL
-    SELECT doc_id + 1000000 AS doc_id, text, lang, 'srcdup' AS source, n_chars
+    SELECT doc_id + {_DOC_OFF_SQL} AS doc_id,
+           text, lang, 'srcdup' AS source, n_chars
     FROM documents WHERE doc_id % 7 = 0
   )
 """
@@ -112,13 +134,19 @@ def dedup_exact_kept_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _injected_pair_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The ground-truth duplicate pairs planted by ``_augmented_docs``:
-    (doc_id, doc_id + 1,000,000) for every 7th doc, with the doc's
-    lang for the per-lang recall breakdown."""
+    (doc_id, doc_id + offset) for every 7th doc — offset derived by
+    the SAME ``_id_offset`` expression over the same base table, so
+    the gate and the fixture can never disagree — with the doc's lang
+    for the per-lang recall breakdown."""
     docs = load_table(spark, sf_dir, "documents")
-    return docs.filter(F.col("doc_id") % 7 == 0).select(
-        F.col("doc_id").alias("id_a"),
-        (F.col("doc_id") + F.lit(1_000_000)).alias("id_b"),
-        "lang",
+    return (
+        docs.filter(F.col("doc_id") % 7 == 0)
+        .crossJoin(F.broadcast(_id_offset(docs, "doc_id")))
+        .select(
+            F.col("doc_id").alias("id_a"),
+            (F.col("doc_id") + F.col("_off")).alias("id_b"),
+            "lang",
+        )
     )
 
 
@@ -343,7 +371,11 @@ def _planted_embeddings(
         F.transform("embedding", lambda x: x.cast("double")).alias("embedding"),
     )
     queries = emb.filter(F.col("vec_id") < 8)
-    dups = queries.withColumn("vec_id", F.col("vec_id") + F.lit(1_000_000))
+    dups = (
+        queries.crossJoin(F.broadcast(_id_offset(emb, "vec_id")))
+        .withColumn("vec_id", F.col("vec_id") + F.col("_off"))
+        .drop("_off")
+    )
     return emb.unionByName(dups), queries
 
 
@@ -359,9 +391,11 @@ def _rank1_gate(topk: DataFrame) -> DataFrame:
     )
 
 
-_RANK1_GATE_SQL = """
+_VEC_OFF_SQL = "(SELECT greatest(1000000, max(vec_id) + 1) FROM embeddings)"
+
+_RANK1_GATE_SQL = f"""
     SELECT vec_id AS query_id,
-           vec_id + 1000000 AS rank1_neighbor,
+           vec_id + {_VEC_OFF_SQL} AS rank1_neighbor,
            CAST(1.0 AS DOUBLE) AS rank1_cos
     FROM embeddings WHERE vec_id < 8 ORDER BY query_id
 """
@@ -723,10 +757,14 @@ def _near_dup_pair_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
         "label",
         F.transform("embedding", lambda x: x.cast("double")).alias("v"),
     )
-    perturbed = base.filter(F.col("vec_id") % 20 == 0).select(
-        (F.col("vec_id") + 1_000_000).alias("vec_id"),
-        "label",
-        F.transform("v", lambda x: x * 1.0 + 0.02).alias("v"),
+    perturbed = (
+        base.filter(F.col("vec_id") % 20 == 0)
+        .crossJoin(F.broadcast(_id_offset(base, "vec_id")))
+        .select(
+            (F.col("vec_id") + F.col("_off")).alias("vec_id"),
+            "label",
+            F.transform("v", lambda x: x * 1.0 + 0.02).alias("v"),
+        )
     )
     # Normalize ONCE map-side so the quadratic pair stage pays one dot
     # product, not dot + two norms (measured ~3x on the blocked join).
@@ -773,14 +811,14 @@ def _pairs(a: DataFrame, b: DataFrame) -> DataFrame:
 
 @query(
     "embedding_near_dup_pairs",
-    """
+    f"""
     WITH base AS (
       SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
     ),
     corpus AS (
       SELECT * FROM base
       UNION ALL
-      SELECT vec_id + 1000000 AS vec_id, label,
+      SELECT vec_id + {_VEC_OFF_SQL} AS vec_id, label,
              list_transform(v, x -> x * 1.0 + 0.02) AS v
       FROM base WHERE vec_id % 20 = 0
     )
@@ -1638,14 +1676,14 @@ def quality_threshold_by_quantile(spark: SparkSession, sf_dir: str) -> DataFrame
 
 @query(
     "dedup_semantic_keepers",
-    """
+    f"""
     WITH RECURSIVE base AS (
       SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
     ),
     corpus AS (
       SELECT * FROM base
       UNION ALL
-      SELECT vec_id + 1000000 AS vec_id, label,
+      SELECT vec_id + {_VEC_OFF_SQL} AS vec_id, label,
              list_transform(v, x -> x * 1.0 + 0.02) AS v
       FROM base WHERE vec_id % 20 = 0
     ),
@@ -1709,9 +1747,9 @@ def dedup_semantic_keepers(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     base = load_table(spark, sf_dir, "embeddings").select("vec_id", "label")
     corpus = base.unionByName(
-        base.filter(F.col("vec_id") % 20 == 0).select(
-            (F.col("vec_id") + 1_000_000).alias("vec_id"), "label"
-        )
+        base.filter(F.col("vec_id") % 20 == 0)
+        .crossJoin(F.broadcast(_id_offset(base, "vec_id")))
+        .select((F.col("vec_id") + F.col("_off")).alias("vec_id"), "label")
     )
     cstat = (
         comp.join(corpus, comp["node"] == corpus["vec_id"])
@@ -2083,7 +2121,7 @@ def embedding_centroids_summarizer(spark: SparkSession, sf_dir: str) -> DataFram
 
 @query(
     "fuzzy_title_pairs",
-    """
+    f"""
     WITH f AS (
       SELECT doc_id, substr(text, 1, 24) AS t
       FROM documents WHERE doc_id % 4 = 0
@@ -2091,7 +2129,7 @@ def embedding_centroids_summarizer(spark: SparkSession, sf_dir: str) -> DataFram
     corpus AS (
       SELECT * FROM f
       UNION ALL
-      SELECT doc_id + 5000000 AS doc_id,
+      SELECT doc_id + {_TYPO_OFF_SQL} AS doc_id,
              substr(t, 1, 2) || 'Z' || substr(t, 4) AS t
       FROM f WHERE doc_id % 24 = 0
     )
@@ -2126,11 +2164,15 @@ def fuzzy_title_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     f = docs.filter(F.col("doc_id") % 4 == 0).select(
         "doc_id", F.substring("text", 1, 24).alias("t")
     )
-    planted = f.filter(F.col("doc_id") % 24 == 0).select(
-        (F.col("doc_id") + 5_000_000).alias("doc_id"),
-        F.concat(
-            F.substring("t", 1, 2), F.lit("Z"), F.substring("t", 4, 21)
-        ).alias("t"),
+    planted = (
+        f.filter(F.col("doc_id") % 24 == 0)
+        .crossJoin(F.broadcast(_id_offset(docs, "doc_id", floor=5_000_000)))
+        .select(
+            (F.col("doc_id") + F.col("_off")).alias("doc_id"),
+            F.concat(
+                F.substring("t", 1, 2), F.lit("Z"), F.substring("t", 4, 21)
+            ).alias("t"),
+        )
     )
     corpus = f.unionByName(planted)
     return edit_distance_pairs(corpus, field="t").orderBy("id_a", "id_b")
@@ -2138,7 +2180,7 @@ def fuzzy_title_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "fuzzy_bucket_audit",
-    """
+    f"""
     WITH f AS (
       SELECT doc_id, substr(text, 1, 24) AS t
       FROM documents WHERE doc_id % 4 = 0
@@ -2146,7 +2188,7 @@ def fuzzy_title_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus AS (
       SELECT * FROM f
       UNION ALL
-      SELECT doc_id + 5000000 AS doc_id,
+      SELECT doc_id + {_TYPO_OFF_SQL} AS doc_id,
              substr(t, 1, 2) || 'Z' || substr(t, 4) AS t
       FROM f WHERE doc_id % 24 = 0
     ),
@@ -2192,11 +2234,15 @@ def fuzzy_bucket_audit_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     f = docs.filter(F.col("doc_id") % 4 == 0).select(
         "doc_id", F.substring("text", 1, 24).alias("t")
     )
-    planted = f.filter(F.col("doc_id") % 24 == 0).select(
-        (F.col("doc_id") + 5_000_000).alias("doc_id"),
-        F.concat(
-            F.substring("t", 1, 2), F.lit("Z"), F.substring("t", 4, 21)
-        ).alias("t"),
+    planted = (
+        f.filter(F.col("doc_id") % 24 == 0)
+        .crossJoin(F.broadcast(_id_offset(docs, "doc_id", floor=5_000_000)))
+        .select(
+            (F.col("doc_id") + F.col("_off")).alias("doc_id"),
+            F.concat(
+                F.substring("t", 1, 2), F.lit("Z"), F.substring("t", 4, 21)
+            ).alias("t"),
+        )
     )
     corpus = f.unionByName(planted)
     return deletion_bucket_audit(corpus, field="t", max_bucket=200)

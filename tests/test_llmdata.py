@@ -675,6 +675,25 @@ def test_setsim_hashed_equals_string(spark):
     assert hashed == strform and len(hashed) > 0
 
 
+def test_planted_id_offset_is_collision_proof(spark):
+    """Planted synthetic ids must occupy a namespace disjoint from the
+    real ids at ANY scale (ADVICE r06, extended from
+    merge_scd2_intervals to every llmdata fixture): the offset is
+    greatest(floor, max(id) + 1), so a table whose ids already exceed
+    the floor pushes the planted namespace past them instead of
+    colliding.  At the committed fixtures max(id) < floor, making the
+    conversion output-preserving — this test pins BOTH regimes."""
+    from real_estate_etl_dev_spark.plans.llmdata import _id_offset
+
+    small = spark.createDataFrame([(5,), (9,)], "doc_id long")
+    big = spark.createDataFrame([(3,), (2_000_000,)], "doc_id long")
+    assert _id_offset(small, "doc_id").collect()[0]._off == 1_000_000
+    assert _id_offset(big, "doc_id").collect()[0]._off == 2_000_001
+    assert (
+        _id_offset(big, "doc_id", floor=5_000_000).collect()[0]._off == 5_000_000
+    )
+
+
 def test_ngram_coverage_hashed_equals_string(spark, sf_dir):
     """dedup_ngram_coverage's gram shuffle carries xxhash64(g); its
     output must equal the raw-gram-string form on the real fixture
