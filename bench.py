@@ -46,7 +46,9 @@ HEADLINE = [
     "customers_without_orders",    # J6 anti-join
     "doc_embedding_enrichment",    # J3/J8 enrichment join
     "merge_scd1",                  # R4 SCD-1 merge engine
-    "merge_change_log",            # R4 change log
+    # merge_change_log rotated out r08 (R4 family twin of merge_scd1,
+    # still timed on stderr) to make stdout room for the hybrid
+    "dedup_setsim_hybrid",         # hot-token hybrid setsim join (r08)
     "streaming_merge_scd1",        # §2.12 streaming upsert path
     "tag_reconcile",               # R2 tag reconcile
     "dq_identify_issues",          # R2 13-rule DQ
@@ -219,9 +221,12 @@ def main() -> None:
     timings, errors, total = run_catalog(spark, sf_dir, CATALOG)
     setup = {n: s for n, s in SETUP_SECONDS.items() if n in timings}
     steal1, total1 = _cpu_stat()
+    # -1.0 sentinel when EITHER sample failed: a (0,0) first read with
+    # a good second one would otherwise report cumulative
+    # steal-since-boot as if it were the run delta (ADVICE r07)
     steal_pct = (
         round(100.0 * (steal1 - steal0) / (total1 - total0), 2)
-        if total1 > total0
+        if total0 and total1 > total0
         else -1.0
     )
     load = [load_start, round(os.getloadavg()[0], 2), steal_pct]

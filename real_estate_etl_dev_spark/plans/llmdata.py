@@ -2679,3 +2679,131 @@ def setsim_bucket_audit_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return setsim_bucket_audit(
         corpus, id_col="doc_id", text_col="text", threshold=0.97, top_k=20
     )
+
+
+def _salted_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The hybrid-setsim fixture corpus: documents with every token
+    SALTED by a per-doc group key, plus planted identical copies.
+
+    The raw fixture's 40-token vocabulary makes EVERY prefix bucket
+    pathologically dense (the worst case ``setsim_bucket_audit``
+    measures) — realistic corpora have wide vocabularies with a few
+    hot boilerplate tokens.  Salting builds exactly that shape from
+    the committed parquet, identically on both engines:
+
+    * docs with ``doc_id % 10 == 0`` get salt ``hot`` — one shared
+      40-token vocabulary across 10% of the corpus, the planted
+      boilerplate cluster whose prefix buckets exceed any sane cap;
+    * every other doc gets salt ``doc_id % 200`` — vocabulary
+      disjoint across groups, so prefix buckets stay group-sized
+      (cold) and cross-group Jaccard is 0;
+    * copies of every 7th doc (data-derived id offset, the
+      ``_augmented_docs`` pattern) plant exact-duplicate pairs in
+      BOTH tiers.
+
+    At threshold 0.97 every qualifying pair on this corpus is
+    set-identical (the raw fixture's next-highest pair sits at 0.968
+    and salting only removes cross-group overlap), so the hot tier's
+    MinHash recall is deterministic: J=1 ⇒ identical signatures ⇒
+    same band keys, always."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    grp = F.when(F.col("doc_id") % 10 == 0, F.lit("hot")).otherwise(
+        (F.col("doc_id") % 200).cast("string")
+    )
+    salted = docs.select(
+        "doc_id",
+        F.array_join(
+            F.transform(
+                F.split("text", " "), lambda t: F.concat(t, F.lit("_"), grp)
+            ),
+            " ",
+        ).alias("text"),
+    )
+    copies = (
+        salted.filter(F.col("doc_id") % 7 == 0)
+        .crossJoin(F.broadcast(_id_offset(docs, "doc_id")))
+        .withColumn("doc_id", F.col("doc_id") + F.col("_off"))
+        .drop("_off")
+    )
+    return salted.unionByName(copies)
+
+
+_SALT_CTE = f"""
+  salted AS (
+    SELECT doc_id,
+           array_to_string(
+             list_transform(string_split(text, ' '),
+               t -> t || '_' ||
+                 CASE WHEN doc_id % 10 = 0 THEN 'hot'
+                      ELSE CAST(doc_id % 200 AS VARCHAR) END),
+             ' ') AS text
+    FROM documents
+  ),
+  scorpus AS (
+    SELECT * FROM salted
+    UNION ALL
+    SELECT doc_id + {_DOC_OFF_SQL} AS doc_id, text
+    FROM salted WHERE doc_id % 7 = 0
+  )
+"""
+
+
+@query(
+    "dedup_setsim_hybrid",
+    "WITH " + _SALT_CTE + """
+    , toks AS (
+      SELECT doc_id AS id,
+             list_sort(list_distinct(string_split(text, ' '))) AS s
+      FROM scorpus
+    )
+    SELECT a.id AS a, b.id AS b,
+           round(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+                 / len(list_distinct(list_concat(a.s, b.s))), 6) AS jaccard
+    FROM toks a JOIN toks b ON a.id < b.id
+    WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+          / len(list_distinct(list_concat(a.s, b.s))) >= 0.97
+    ORDER BY a, b
+    """,
+    survey="LLM-dedup",
+    tags=("llm-dedup",),
+)
+def dedup_setsim_hybrid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hot-token HYBRID set-similarity join (VERDICT r07 item 3 —
+    ``setsim_bucket_audit``'s go/no-go turned into an executable
+    plan): exact PPJoin for cold prefix tokens, capped set-MinHash
+    banding for docs carrying a hot prefix token, one shared
+    exact-Jaccard verify (operators/dedup.py:setsim_join_hybrid).
+
+    Runs over the SALTED corpus (see ``_salted_docs``): a wide
+    per-group vocabulary keeps the cold tier's buckets small and
+    real, while the planted ``hot``-salted boilerplate cluster (10%
+    of docs sharing one 40-token vocabulary) exceeds the occupancy
+    cap and ROUTES to MinHash — both tiers provably execute at every
+    committed SF.  The ORACLE is the brute-force all-pairs join over
+    the same derived corpus, so certification covers the full
+    decomposition: any pair either tier lost would appear in the
+    oracle output and break the hash.  On this corpus every
+    qualifying pair is set-identical (J=1 ⇒ identical MinHash
+    signatures ⇒ deterministic hot-tier recall); the no-hot-bucket
+    equality with the exact join is pinned separately by
+    ``tests/test_llmdata.py::test_setsim_hybrid_equals_exact_when_no_hot``.
+
+    Scale: the hot-token table broadcasts (≤ prefix_rows/cap rows);
+    cold candidates shuffle on xxhash64(ptok) exactly like
+    ``dedup_setsim_prefix``; hot candidates shuffle on band values
+    whose buckets concentrate on genuine similarity, not shared
+    boilerplate — the quadratic hot mass the audit measures never
+    reaches a join.  Reference tie-in: the J4/J5 near-dup probes
+    (reid/pipelines/property.py:128-178) at corpus scale."""
+    from ..operators.dedup import setsim_join_hybrid
+
+    return setsim_join_hybrid(
+        _salted_docs(spark, sf_dir),
+        id_col="doc_id",
+        text_col="text",
+        threshold=0.97,
+        hot_bucket_cap=20,
+        num_hashes=16,
+        band_rows=2,
+        minhash_max_bucket=10_000,
+    )

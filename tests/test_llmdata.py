@@ -657,6 +657,90 @@ def test_setsim_rational_bounds(spark):
     assert (out[0].a, out[0].b) == (1, 2) and abs(out[0].jaccard - 0.55) < 1e-9
 
 
+def _hybrid_corpus(spark):
+    """120 docs in 30 disjoint-vocab cold groups + a 30-doc hot
+    boilerplate cluster + identical copies of every 7th doc — both
+    hybrid tiers provably execute at hot_bucket_cap=8."""
+    rows = []
+    for i in range(120):
+        g = i % 30
+        toks = [f"w{j}_g{g}" for j in range((i * 3) % 5, 8 + (i % 4))]
+        if i % 4 == 0:
+            toks = [f"h{j}" for j in range(10)] + toks[:1]
+        rows.append((i, " ".join(toks)))
+    rows += [(1000 + i, rows[i][1]) for i in range(0, 120, 7)]
+    return rows, spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_setsim_hybrid_equals_exact_when_no_hot(spark):
+    """The hybrid's completeness corollary (VERDICT r07 item 3): with
+    the occupancy cap above every bucket, the hot tier is EMPTY and
+    the hybrid output equals setsim_join_prefix verbatim — the
+    'hybrid == exact on a corpus with no hot buckets' certification
+    the catalog query's brute-force oracle extends to mixed corpora."""
+    from real_estate_etl_dev_spark.operators.dedup import (
+        setsim_join_hybrid,
+        setsim_join_prefix,
+    )
+
+    _, docs = _hybrid_corpus(spark)
+    key = lambda r: (r.a, r.b, r.jaccard)  # noqa: E731
+    exact = sorted(map(key, setsim_join_prefix(docs, threshold=0.9).collect()))
+    hybrid = sorted(
+        map(
+            key,
+            setsim_join_hybrid(
+                docs, threshold=0.9, hot_bucket_cap=10**6
+            ).collect(),
+        )
+    )
+    assert hybrid == exact and len(exact) > 0
+
+
+def test_setsim_hybrid_matches_bruteforce_with_hot_routing(spark):
+    """With cap=8 the boilerplate cluster ROUTES to the MinHash tier
+    (asserted non-vacuous via the audit) and the hybrid still equals
+    the brute-force all-pairs answer — recall survives the routing."""
+    from itertools import combinations
+
+    from real_estate_etl_dev_spark.operators.dedup import (
+        setsim_hybrid_hot_audit,
+        setsim_join_hybrid,
+    )
+
+    rows, docs = _hybrid_corpus(spark)
+    t = 0.9
+    hybrid = sorted(
+        (r.a, r.b, r.jaccard)
+        for r in setsim_join_hybrid(docs, threshold=t, hot_bucket_cap=8).collect()
+    )
+    sets = {i: set(s.split(" ")) for i, s in rows}
+    brute = sorted(
+        (a, b, round(len(sets[a] & sets[b]) / len(sets[a] | sets[b]), 6))
+        for a, b in combinations(sorted(sets), 2)
+        if len(sets[a] & sets[b]) / len(sets[a] | sets[b]) >= t
+    )
+    assert hybrid == brute and len(brute) > 0
+    audit = setsim_hybrid_hot_audit(docs, threshold=t, hot_bucket_cap=8).collect()
+    assert sum(r.rows_banded for r in audit) > 0  # hot tier non-vacuous
+    assert sum(r.pairs_skipped for r in audit) == 0  # cap never bit
+
+
+def test_frac_rejects_non_decimal_threshold():
+    """_frac must fail LOUDLY on a threshold that is not a short
+    decimal literal (ADVICE r07): 1/3 stringifies to 17 significant
+    digits → ~1e16 denominator → the <2^53 exactness argument behind
+    every rational bound silently dies.  Short decimals still parse."""
+    import pytest
+
+    from real_estate_etl_dev_spark.operators.dedup import _frac
+
+    assert _frac(0.97) == (97, 100)
+    assert _frac(0.5) == (1, 2)
+    with pytest.raises(ValueError, match="short decimal"):
+        _frac(1 / 3)
+
+
 def test_setsim_hashed_equals_string(spark):
     """The xxhash64 prefix-token shuffle key must be a pure
     representation change: pair output identical to the raw-string

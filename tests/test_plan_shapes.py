@@ -66,6 +66,19 @@ def test_keyset_page_pushes_seek_predicate(spark, sf_dir):
     assert "PushedFilters" in plan and "o_totalprice" in plan.split("PushedFilters")[1][:200]
 
 
+def test_offset_page_window_consumes_takeordered_slice(spark, sf_dir):
+    """orders_page3_by_price: the rn<=150 filter must push through the
+    global row_number (LimitPushDownThroughWindow) so the window's
+    input is a TakeOrderedAndProject(150) — per-partition heaps — and
+    the plan needs NO SinglePartition exchange.  This is the documented
+    reason the query sits on the global-window allowlist."""
+    plan = plan_of(spark, sf_dir, "orders_page3_by_price")
+    assert "TakeOrderedAndProject(limit=150" in plan
+    assert "SinglePartition" not in plan
+    # and the window really does sit ABOVE the bounded slice
+    assert plan.index("Window") < plan.index("TakeOrderedAndProject")
+
+
 def test_top1_avoids_global_sort(spark, sf_dir):
     plan = plan_of(spark, sf_dir, "top1_order_by_price")
     assert "TakeOrderedAndProject" in plan
@@ -143,6 +156,93 @@ def test_ann_gate_broadcasts_query_side(spark, sf_dir):
         assert "BroadcastHashJoin" in plan, name
 
 
+def _top_level_bracket_groups(s: str) -> list[str]:
+    """Top-level ``[...]`` group contents of an operator line's argument
+    tail (nested brackets inside expressions don't split)."""
+    depth = 0
+    groups: list[str] = []
+    buf: list[str] = []
+    for ch in s:
+        if ch == "[":
+            if depth == 0:
+                buf = []
+            else:
+                buf.append(ch)
+            depth += 1
+        elif ch == "]":
+            depth = max(0, depth - 1)
+            if depth == 0:
+                groups.append("".join(buf))
+            else:
+                buf.append(ch)
+        elif depth > 0:
+            buf.append(ch)
+    return groups
+
+
+def global_window_lines(plan: str) -> list[str]:
+    """Return the ``Window``/``WindowInPandas`` operator lines whose
+    partition spec is EMPTY — the true single-partition windows.
+
+    Spark prints the operator as ``Window [exprs], [partSpec],
+    [orderSpec]`` with empty specs OMITTED: partitioned+ordered → 3
+    top-level groups, partition-only → 2 (second group is bare column
+    refs), global-ordered → 2 (second group carries ``ASC``/``DESC``
+    sort directions), global-unordered → 1.  Matching the operator
+    line directly — instead of ANDing whole-plan substrings — means an
+    unrelated ``Exchange SinglePartition`` elsewhere in the tree (e.g.
+    a 1-row scalar aggregate) can't masquerade as a global window, the
+    r07 false positive.
+    """
+    hits = []
+    for raw in plan.splitlines():
+        ln = raw.lstrip(" +-:*()0123456789")
+        for op in ("Window ", "WindowInPandas "):
+            if ln.startswith(op):
+                groups = _top_level_bracket_groups(ln[len(op):])
+                if len(groups) >= 3:
+                    continue  # [exprs], [partSpec], [orderSpec]
+                if len(groups) == 2 and not (
+                    " ASC" in groups[1] or " DESC" in groups[1]
+                ):
+                    continue  # [exprs], [partSpec] — unordered frame
+                hits.append(raw.strip())
+    return hits
+
+
+def test_global_window_detector_distinguishes_specs(spark, sf_dir):
+    """Pin the detector itself: a deliberately global window is caught,
+    a partitioned one is not — even with an unrelated SinglePartition
+    exchange (1-row scalar agg crossJoin) in the same plan."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window as W
+
+    df = spark.range(100).withColumn("k", F.col("id") % 7)
+    scalar = df.agg(F.max("id").alias("_mx"))  # 1-row, SinglePartition agg
+
+    part = (
+        df.withColumn("r", F.row_number().over(W.partitionBy("k").orderBy("id")))
+        .crossJoin(F.broadcast(scalar))
+    )
+    plan_part = part._jdf.queryExecution().executedPlan().toString()
+    assert "SinglePartition" in plan_part  # the scalar agg's exchange IS there
+    assert global_window_lines(plan_part) == []
+
+    part_noord = df.withColumn("s", F.sum("id").over(W.partitionBy("k")))
+    assert global_window_lines(
+        part_noord._jdf.queryExecution().executedPlan().toString()
+    ) == []
+
+    glob = df.withColumn("r", F.row_number().over(W.orderBy("id")))
+    plan_glob = glob._jdf.queryExecution().executedPlan().toString()
+    assert len(global_window_lines(plan_glob)) == 1
+
+    glob_noord = df.withColumn("s", F.sum("id").over(W.partitionBy()))
+    assert len(global_window_lines(
+        glob_noord._jdf.queryExecution().executedPlan().toString()
+    )) == 1
+
+
 def test_catalog_wide_plan_invariants(spark, sf_dir):
     """Global physical-plan regression net over EVERY catalog query:
 
@@ -150,8 +250,11 @@ def test_catalog_wide_plan_invariants(spark, sf_dir):
       and plans as BroadcastNestedLoopJoin, which is fine there);
     * no BatchEvalPython — row-at-a-time Python UDFs are banned from
       all plans (Arrow paths show as ArrowEvalPython/MapInPandas);
-    * no global (SinglePartition) window except the documented
-      bounded-input rolling_7d_revenue.
+    * no global (empty-partition-spec) Window operator except the
+      documented bounded-input exceptions.  Detection parses the
+      ``Window`` operator lines themselves (see global_window_lines) —
+      a SinglePartition exchange belonging to some unrelated 1-row
+      scalar aggregate in the same plan does not trip it.
     """
     allowed_single_partition_window = {
         "rolling_7d_revenue",
@@ -159,6 +262,11 @@ def test_catalog_wide_plan_invariants(spark, sf_dir):
         "corpus_shuffle_order",
         # cumulative sum over ≤10 aggregated bucket rows
         "price_histogram",
+        # rank-limit pushdown (LimitPushDownThroughWindow) rewrites the
+        # rn<=150 global row_number into TakeOrderedAndProject(150) —
+        # the window consumes 150 rows, no SinglePartition exchange
+        # exists in the plan (asserted by the dedicated test below)
+        "orders_page3_by_price",
     }
     offenders = {"cartesian": [], "py_udf": [], "global_window": []}
     for name, q in CATALOG.items():
@@ -168,8 +276,7 @@ def test_catalog_wide_plan_invariants(spark, sf_dir):
         if "BatchEvalPython" in plan:
             offenders["py_udf"].append(name)
         if (
-            "Window" in plan
-            and "SinglePartition" in plan
+            global_window_lines(plan)
             and name not in allowed_single_partition_window
         ):
             offenders["global_window"].append(name)
