@@ -10,6 +10,10 @@ from .dedup import (
     dedup_simhash_pairs,
     minhash_signature,
     ngram_jaccard,
+    setsim_bucket_audit,
+    setsim_hybrid_hot_audit,
+    setsim_join_hybrid,
+    setsim_join_prefix,
     shingles,
     simhash64,
     simhash_frame,
@@ -34,11 +38,14 @@ from .rules import (
     missing_fields_audit,
 )
 from .similarity import (
+    ann_operating_curve,
     cosine,
     cosine_topk,
+    decimal_sq_dist,
     dot,
     ivf_topk,
     l2_norm,
+    lcg_rp_signature,
     lsh_topk,
     rp_signature,
 )

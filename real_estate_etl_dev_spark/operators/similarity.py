@@ -87,6 +87,17 @@ def rp_signature(vec: Column, n_planes: int = 8, seed: int = 7) -> Column:
         h = F.xxhash64(F.concat_ws(":", F.lit(seed), F.lit(p), i.cast("string")))
         return (F.pmod(h, F.lit(2000)).cast("double") - 1000.0) / 1000.0
 
+    def plane(p: int):
+        # a ONE-ARG closure: a two-parameter lambda (``lambda i, p=p``)
+        # is treated by F.transform as its (element, index) form, so
+        # the index column SHADOWS the default-bound plane id — every
+        # plane then computes the same projection and the signature
+        # degenerates to 2 buckets (found live by the r08 operating-
+        # curve audit: |corpus|/2 candidates per query instead of the
+        # promised |corpus|/2^p; pinned by
+        # tests/test_llmdata.py::test_rp_signature_planes_are_distinct)
+        return lambda i: comp(p, i)
+
     bits = [
         F.when(
             F.aggregate(
@@ -94,7 +105,7 @@ def rp_signature(vec: Column, n_planes: int = 8, seed: int = 7) -> Column:
                     vec,
                     F.transform(
                         F.sequence(F.lit(0), F.size(vec) - 1),
-                        lambda i, p=p: comp(p, i),
+                        plane(p),
                     ),
                     lambda x, c: x * c,
                 ),
@@ -177,15 +188,7 @@ def ivf_topk(
         .select("query_id", "__qvec", "__cell")
     )
 
-    scored = (
-        assigned.join(F.broadcast(probes), "__cell")
-        .filter(F.col("neighbor_id") != F.col("query_id"))
-        .select(
-            "query_id",
-            "neighbor_id",
-            F.round(cosine(F.col("__qvec"), F.col("__cvec")), 6).alias("cos_sim"),
-        )
-    )
+    scored = ivf_scored_from_cells(assigned, probes)
     w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
     return (
         scored.withColumn("rank", F.row_number().over(w).cast("long"))
@@ -209,17 +212,52 @@ def lsh_topk(
     equality — per-query work is bucket occupancy (~|corpus| / 2^p),
     not |corpus|.  Recall tunes with n_planes; increase tables by
     unioning signatures at different seeds."""
+    scored = lsh_scored(
+        corpus,
+        queries,
+        id_col,
+        vec_col,
+        lambda v: rp_signature(v, n_planes, seed),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def lsh_scored(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str,
+    vec_col: str,
+    signature,
+) -> DataFrame:
+    """The LSH candidate join + exact cosine scoring, pre-rank —
+    shared by :func:`lsh_topk` (production xxhash64 hyperplanes) and
+    the certifiable operating-curve audit (LCG hyperplanes a SQL
+    oracle can recompute).  ``signature`` maps a vector Column to a
+    bucket Column; candidates are bucket-equality rows with the self
+    match removed.  Returns (query_id, neighbor_id, cos_sim)."""
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("__cvec"),
-        rp_signature(F.col(vec_col), n_planes, seed).alias("__bucket"),
+        signature(F.col(vec_col)).alias("__bucket"),
     )
     q = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("__qvec"),
-        rp_signature(F.col(vec_col), n_planes, seed).alias("__bucket"),
+        signature(F.col(vec_col)).alias("__bucket"),
     )
-    scored = (
+    return _bucket_scored(c, q)
+
+
+def _bucket_scored(c: DataFrame, q: DataFrame) -> DataFrame:
+    """Bucket-equality candidate join + exact cosine, pre-rank: the
+    one join every LSH path (production signature or audit twin, live
+    or pre-signed frames) goes through.  ``c`` carries (neighbor_id,
+    __cvec, __bucket), ``q`` (query_id, __qvec, __bucket)."""
+    return (
         c.join(F.broadcast(q), "__bucket")
         .filter(F.col("neighbor_id") != F.col("query_id"))
         .select(
@@ -228,10 +266,310 @@ def lsh_topk(
             F.round(cosine(F.col("__qvec"), F.col("__cvec")), 6).alias("cos_sim"),
         )
     )
-    w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
+
+
+def lcg_rp_signature(vec: Column, n_planes: int = 10) -> Column:
+    """Sign-random-projection signature with a CROSS-ENGINE-EXACT
+    construction — the certifiable twin of :func:`rp_signature` for
+    the ANN operating-curve audit (VERDICT r07 item 4):
+
+    * plane components are TWO glibc-constant LCG steps over the
+      integer ``p * 4099 + i`` (plane, element index), taking the
+      second iterate's HIGH bits, mapped to [-1024, 1023] / 1024 —
+      pure 64-bit integer arithmetic both engines compute
+      identically (xxhash64 has no DuckDB twin).  The stride must be
+      ODD and the extraction high-bit: a 4096 stride vanishes mod
+      the low-bit window (4096 ≡ 0 mod 2048 under the 2^31 modulus),
+      collapsing every plane to the same component sequence — found
+      live: all sweep widths produced identical buckets.  Measured
+      on the committed fixture: per-plane sign balance 0.48–0.53,
+      bucket count 16→216 as width sweeps 4→10;
+    * each projection term ``v_i · c_pi`` is rounded to 6 dp and cast
+      to DECIMAL(24,6) BEFORE summing — decimal addition is
+      associative, so the projection's sign is identical no matter
+      the accumulation order (the doc_lm_cross_entropy recipe; a raw
+      double sum could flip sign under reordering exactly at the
+      bucket boundary);
+    * bit p is ``projection >= 0``; the signature packs bits 0..n-1,
+      so ``sig & (2^p - 1)`` is the p-plane signature — ONE
+      computation serves every sweep point.
+
+    Any deterministic sign function of the vector is a valid SRP
+    family; quantizing the projection changes WHICH family, not its
+    locality-sensitivity.  Identical vectors get identical decimal
+    projections, hence identical signatures at every width — the
+    planted-copy recall theorem the audit certifies."""
+    def comp(p: int, i: Column) -> Column:
+        # long arithmetic throughout: 1103515245 · (2^31-1) tops out
+        # near 2^61 — an INT product would overflow under ANSI
+        a = F.lit(1103515245).cast("long")
+        n1 = (a * (F.lit(p * 4099) + i).cast("long") + F.lit(12345)) % F.lit(
+            2**31
+        )
+        n2 = (a * n1 + F.lit(12345)) % F.lit(2**31)
+        # exact floor-div: n2 < 2^31 is double-exact and /2^16 is a
+        # pure exponent shift, so floor() sees no rounding noise
+        hi = F.floor(n2 / F.lit(65536)).cast("long")
+        return (hi % F.lit(2048) - F.lit(1024)).cast("double") / F.lit(1024.0)
+
+    def plane(p: int):
+        # one-arg closure, NOT ``lambda i, p=p`` — see rp_signature's
+        # plane() note: a 2-param lambda becomes the (element, index)
+        # form and the index shadows the plane id
+        return lambda i: comp(p, i)
+
+    def projection(p: int) -> Column:
+        terms = F.zip_with(
+            vec,
+            F.transform(F.sequence(F.lit(0), F.size(vec) - 1), plane(p)),
+            lambda x, c: F.round(x * c, 6).cast("decimal(24,6)"),
+        )
+        return F.aggregate(
+            terms,
+            F.lit(0).cast("decimal(24,6)"),
+            lambda acc, v: (acc + v).cast("decimal(24,6)"),
+        )
+
+    sig = F.lit(0)
+    for p in range(n_planes):
+        sig = sig + F.when(projection(p) >= 0, F.lit(1 << p)).otherwise(F.lit(0))
+    return sig.cast("long")
+
+
+def decimal_sq_dist(a: Column, b: Column) -> Column:
+    """Squared euclidean distance with per-term 6-dp DECIMAL rounding
+    — the order-independent metric of the audit's deterministic IVF
+    twin.  Same quantization argument as :func:`lcg_rp_signature`:
+    both engines sum identical decimals, so argmin cell assignments
+    can never drift across engines or partitionings."""
+    return F.aggregate(
+        F.zip_with(
+            a, b, lambda x, y: F.round((x - y) * (x - y), 6).cast("decimal(24,6)")
+        ),
+        F.lit(0).cast("decimal(24,6)"),
+        lambda acc, v: (acc + v).cast("decimal(24,6)"),
+    )
+
+
+def ivf_scored_from_cells(assigned: DataFrame, probes: DataFrame) -> DataFrame:
+    """The IVF probe join + exact cosine scoring, pre-rank — shared
+    candidate machinery of :func:`ivf_topk` (KMeans cells) and the
+    operating-curve audit (data-vector centroids + decimal metric).
+    ``assigned`` carries (neighbor_id, __cvec, __cell); ``probes``
+    carries (query_id, __qvec, __cell).  Returns
+    (query_id, neighbor_id, cos_sim)."""
     return (
-        scored.withColumn("rank", F.row_number().over(w).cast("long"))
-        .filter(F.col("rank") <= k)
+        assigned.join(F.broadcast(probes), "__cell")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(cosine(F.col("__qvec"), F.col("__cvec")), 6).alias("cos_sim"),
+        )
+    )
+
+
+def ann_operating_curve(
+    corpus: DataFrame,
+    queries: DataFrame,
+    planted: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    lsh_widths: tuple = (4, 6, 8, 10),
+    ivf_probes: tuple = (1, 2, 4),
+    k: int = 5,
+) -> DataFrame:
+    """Recall-vs-cost OPERATING CURVE for the ANN tier (VERDICT r07
+    item 4) — the bucket-audit analog for similarity search: one row
+    per operating point (LSH signature width / IVF probe count) with
+    the recall the point buys and the candidate volume it costs.
+
+    * ``planted``   — (query_id, planted_id) ground truth: an exact
+      copy of each query planted in the corpus.  ``planted_found``
+      counts queries whose copy surfaced as a candidate — the
+      theorem-backed recall floor (identical vector ⇒ identical
+      signature / same argmin cell at every sweep point).
+    * ``candidates_scanned`` — candidate rows the point's bucket/
+      probe join produced (post self-filter): the cost axis.
+    * ``hits_at5`` / ``recall_at5`` — overlap of the point's top-k
+      with the EXACT brute-force top-k (:func:`cosine_topk`): the
+      effectiveness axis.
+
+    Candidate generation runs through the SAME machinery as the
+    production tiers (:func:`lsh_scored`, :func:`ivf_scored_from_cells`)
+    but with the CROSS-ENGINE-EXACT hash family
+    (:func:`lcg_rp_signature`, :func:`decimal_sq_dist`, data-vector
+    ``centroids``) so a DuckDB oracle recomputes the ENTIRE curve —
+    signatures, assignments, probes, ranks, every count — cell for
+    cell; xxhash64 planes and KMeans cells have no SQL twin, and a
+    hash family swap changes WHICH LSH/IVF instance is audited, not
+    the operators under audit.
+
+    Scale: the corpus is signed/assigned ONCE (map-only decimal
+    passes, pinned by localCheckpoint); every sweep point derives its
+    buckets by masking the widest signature's low bits or filtering
+    the probe rank, so the whole curve is one tall
+    (tier, param, query, candidate) frame folded by ONE grouped
+    aggregation — a handful of linear passes, no per-point scalar
+    combines, no quadratic stage."""
+    from functools import reduce
+
+    nq = queries.agg(F.count(F.lit(1)).cast("long").alias("n_queries"))
+    # exact5 and the IVF assignment each have few cheap consumers —
+    # recomputing inside the one candidates job beats paying another
+    # fixed-cost local job per frame
+    exact5 = cosine_topk(corpus, queries, k, id_col, vec_col).select(
+        "query_id", "neighbor_id"
+    )
+
+    cent = F.broadcast(centroids.select("__cell", "__center"))
+    assigned = _argmin_cell(
+        corpus.select(
+            F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cvec")
+        ),
+        cent,
+        "neighbor_id",
+        "__cvec",
+    )
+    q_cells = (
+        queries.select(
+            F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qvec")
+        )
+        .crossJoin(cent)
+        .withColumn("__d", decimal_sq_dist(F.col("__qvec"), F.col("__center")))
+        .withColumn(
+            "__cr",
+            F.row_number().over(
+                Window.partitionBy("query_id").orderBy("__d", "__cell")
+            ),
+        )
+        .select("query_id", "__qvec", "__cell", "__cr")
+    )
+
+    # sign corpus ∪ queries ONCE at the widest signature, in ONE job,
+    # and pin; each sweep point derives its bucket by masking the low
+    # bits — 4 widths (and both join sides) cost a single signing
+    # pass, not eight (the decimal projection fold is the curve's
+    # dominant map cost, and every extra local job is ~0.5s of fixed
+    # scheduling + codegen)
+    wide = max(lsh_widths)
+    sig_all = (
+        corpus.select(
+            F.col(id_col).alias("__id"),
+            F.col(vec_col).alias("__vec"),
+            F.lit(False).alias("__is_q"),
+        )
+        .unionByName(
+            queries.select(
+                F.col(id_col).alias("__id"),
+                F.col(vec_col).alias("__vec"),
+                F.lit(True).alias("__is_q"),
+            )
+        )
+        .select(
+            "__id",
+            "__vec",
+            "__is_q",
+            lcg_rp_signature(F.col("__vec"), wide).alias("__sig"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    sig_c = sig_all.filter(~F.col("__is_q")).select(
+        F.col("__id").alias("neighbor_id"),
+        F.col("__vec").alias("__cvec"),
+        "__sig",
+    )
+    sig_q = sig_all.filter("__is_q").select(
+        F.col("__id").alias("query_id"),
+        F.col("__vec").alias("__qvec"),
+        "__sig",
+    )
+
+    def tagged(scored: DataFrame, tier: str, param: int) -> DataFrame:
+        return scored.select(
+            F.lit(tier).alias("tier"),
+            F.lit(param).cast("long").alias("param"),
+            "query_id",
+            "neighbor_id",
+            "cos_sim",
+        )
+
+    slices = []
+    for width in lsh_widths:
+        mask = F.lit((1 << width) - 1)
+        scored = _bucket_scored(
+            sig_c.withColumn("__bucket", F.col("__sig").bitwiseAND(mask)),
+            sig_q.withColumn("__bucket", F.col("__sig").bitwiseAND(mask)),
+        )
+        slices.append(tagged(scored, "lsh", width))
+    for n_probe in ivf_probes:
+        probes = q_cells.filter(F.col("__cr") <= n_probe).drop("__cr")
+        slices.append(
+            tagged(ivf_scored_from_cells(assigned, probes), "ivf", n_probe)
+        )
+
+    # ONE tall candidates frame; two consumers (stats + top-k) — pin
+    cand = reduce(lambda a, b: a.unionByName(b), slices).localCheckpoint(eager=True)
+    stats = cand.join(F.broadcast(planted), "query_id", "left").groupBy(
+        "tier", "param"
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("candidates_scanned"),
+        F.countDistinct(
+            F.when(F.col("neighbor_id") == F.col("planted_id"), F.col("query_id"))
+        ).cast("long").alias("planted_found"),
+    )
+    w = Window.partitionBy("tier", "param", "query_id").orderBy(
+        F.desc("cos_sim"), F.asc("neighbor_id")
+    )
+    ann5 = (
+        cand.withColumn("__r", F.row_number().over(w))
+        .filter(F.col("__r") <= k)
+        .select("tier", "param", "query_id", "neighbor_id")
+    )
+    hits = (
+        ann5.join(exact5, ["query_id", "neighbor_id"], "left_semi")
+        .groupBy("tier", "param")
+        .agg(F.count(F.lit(1)).cast("long").alias("hits_at5"))
+    )
+    guard = F.col("n_queries") > 0
+    return (
+        stats.join(hits, ["tier", "param"], "left")
+        .withColumn("hits_at5", F.coalesce(F.col("hits_at5"), F.lit(0)).cast("long"))
+        .crossJoin(F.broadcast(nq))
+        .select(
+            "tier",
+            "param",
+            "n_queries",
+            "planted_found",
+            F.when(
+                guard, F.round(F.col("planted_found") / F.col("n_queries"), 4)
+            ).alias("planted_recall"),
+            "candidates_scanned",
+            "hits_at5",
+            F.when(
+                guard,
+                F.round(F.col("hits_at5") / (F.lit(float(k)) * F.col("n_queries")), 4),
+            ).alias("recall_at5"),
+        )
+        .orderBy("tier", "param")
+    )
+
+
+def _argmin_cell(
+    rows: DataFrame, cent: DataFrame, id_name: str, vec_name: str
+) -> DataFrame:
+    """Assign each vector to its nearest centroid under
+    :func:`decimal_sq_dist` (ties by cell id) — the deterministic-IVF
+    twin's assignment, metrically IDENTICAL to its probe ranking so
+    a planted copy's cell is always its query's first probe."""
+    w = Window.partitionBy(id_name).orderBy("__d", "__cell")
+    return (
+        rows.crossJoin(cent)
+        .withColumn("__d", decimal_sq_dist(F.col(vec_name), F.col("__center")))
+        .withColumn("__r", F.row_number().over(w))
+        .filter(F.col("__r") == 1)
+        .select(id_name, vec_name, "__cell")
     )
 
 

@@ -2807,3 +2807,206 @@ def dedup_setsim_hybrid(spark: SparkSession, sf_dir: str) -> DataFrame:
         band_rows=2,
         minhash_max_bucket=10_000,
     )
+
+
+@query(
+    "embedding_ann_recall_cost",
+    f"""
+    WITH
+    c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    q AS (SELECT vec_id, v FROM c WHERE vec_id < 8),
+    corpus AS (
+      SELECT vec_id, v FROM c
+      UNION ALL
+      SELECT vec_id + {_VEC_OFF_SQL} AS vec_id, v FROM q
+    ),
+    elem AS (
+      SELECT vec_id, unnest(v) AS val,
+             unnest(generate_series(1, len(v))) AS idx
+      FROM corpus
+    ),
+    planes AS (SELECT unnest(generate_series(0, 9)) AS p),
+    comp AS (
+      SELECT vec_id, idx, p, val,
+        (((((1103515245::BIGINT
+              * ((1103515245::BIGINT * (p * 4099 + idx - 1) + 12345)
+                 % 2147483648)
+              + 12345) % 2147483648)
+           // 65536) % 2048) - 1024) / 1024.0 AS comp
+      FROM elem, planes
+    ),
+    proj AS (
+      SELECT vec_id, p,
+             sum(CAST(round(val * comp, 6) AS DECIMAL(24,6))) AS pr
+      FROM comp GROUP BY vec_id, p
+    ),
+    sig AS (
+      SELECT vec_id,
+             CAST(sum(CASE WHEN pr >= 0 THEN (1::BIGINT << p) ELSE 0 END)
+                  AS BIGINT) AS sig
+      FROM proj GROUP BY vec_id
+    ),
+    exact5 AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT qq.vec_id AS query_id, cc.vec_id AS neighbor_id,
+               row_number() OVER (
+                 PARTITION BY qq.vec_id
+                 ORDER BY round(list_cosine_similarity(qq.v, cc.v), 6) DESC,
+                          cc.vec_id) AS rk
+        FROM q qq JOIN corpus cc ON cc.vec_id <> qq.vec_id
+      ) WHERE rk <= 5
+    ),
+    widths AS (SELECT unnest([4, 6, 8, 10]) AS w),
+    cand_lsh AS (
+      SELECT wd.w AS param, qq.vec_id AS query_id, cc.vec_id AS neighbor_id,
+             round(list_cosine_similarity(qv.v, cv.v), 6) AS cos_sim
+      FROM widths wd
+      CROSS JOIN sig qq
+      JOIN sig cc ON (qq.sig % (1::BIGINT << wd.w))
+                     = (cc.sig % (1::BIGINT << wd.w))
+                 AND cc.vec_id <> qq.vec_id
+      JOIN corpus qv ON qv.vec_id = qq.vec_id
+      JOIN corpus cv ON cv.vec_id = cc.vec_id
+      WHERE qq.vec_id < 8
+    ),
+    cents AS (
+      SELECT vec_id - 100 AS cell, v FROM c
+      WHERE vec_id BETWEEN 100 AND 107
+    ),
+    cdist AS (
+      SELECT s.vec_id, ct.cell,
+             sum(CAST(round((s.sv - ct.cv) * (s.sv - ct.cv), 6)
+                      AS DECIMAL(24,6))) AS d
+      FROM (SELECT vec_id, unnest(v) AS sv,
+                   unnest(generate_series(1, len(v))) AS i FROM corpus) s
+      JOIN (SELECT cell, unnest(v) AS cv,
+                   unnest(generate_series(1, len(v))) AS i FROM cents) ct
+        ON s.i = ct.i
+      GROUP BY s.vec_id, ct.cell
+    ),
+    assign AS (
+      SELECT vec_id, cell FROM (
+        SELECT vec_id, cell,
+               row_number() OVER (PARTITION BY vec_id ORDER BY d, cell) AS rk
+        FROM cdist
+      ) WHERE rk = 1
+    ),
+    qprobe AS (
+      SELECT vec_id AS query_id, cell,
+             row_number() OVER (PARTITION BY vec_id ORDER BY d, cell) AS cr
+      FROM cdist WHERE vec_id < 8
+    ),
+    probe_pts AS (SELECT unnest([1, 2, 4]) AS np),
+    cand_ivf AS (
+      SELECT pl.np AS param, qp.query_id, a.vec_id AS neighbor_id,
+             round(list_cosine_similarity(qv.v, cv.v), 6) AS cos_sim
+      FROM probe_pts pl
+      JOIN qprobe qp ON qp.cr <= pl.np
+      JOIN assign a ON a.cell = qp.cell AND a.vec_id <> qp.query_id
+      JOIN corpus qv ON qv.vec_id = qp.query_id
+      JOIN corpus cv ON cv.vec_id = a.vec_id
+    ),
+    stats AS (
+      SELECT 'lsh' AS tier, CAST(param AS BIGINT) AS param,
+             CAST(count(*) AS BIGINT) AS candidates_scanned,
+             CAST(count(DISTINCT CASE
+               WHEN neighbor_id = query_id + {_VEC_OFF_SQL}
+               THEN query_id END) AS BIGINT) AS planted_found
+      FROM cand_lsh GROUP BY param
+      UNION ALL
+      SELECT 'ivf', CAST(param AS BIGINT),
+             CAST(count(*) AS BIGINT),
+             CAST(count(DISTINCT CASE
+               WHEN neighbor_id = query_id + {_VEC_OFF_SQL}
+               THEN query_id END) AS BIGINT)
+      FROM cand_ivf GROUP BY param
+    ),
+    ann5 AS (
+      SELECT tier, param, query_id, neighbor_id FROM (
+        SELECT 'lsh' AS tier, CAST(param AS BIGINT) AS param,
+               query_id, neighbor_id,
+               row_number() OVER (PARTITION BY param, query_id
+                 ORDER BY cos_sim DESC, neighbor_id) AS rk
+        FROM cand_lsh
+        UNION ALL
+        SELECT 'ivf', CAST(param AS BIGINT), query_id, neighbor_id,
+               row_number() OVER (PARTITION BY param, query_id
+                 ORDER BY cos_sim DESC, neighbor_id) AS rk
+        FROM cand_ivf
+      ) WHERE rk <= 5
+    ),
+    hits AS (
+      SELECT tier, param, CAST(count(*) AS BIGINT) AS hits_at5
+      FROM ann5 JOIN exact5 USING (query_id, neighbor_id)
+      GROUP BY tier, param
+    ),
+    nq AS (SELECT CAST(count(*) AS BIGINT) AS n FROM embeddings WHERE vec_id < 8)
+    SELECT s.tier, s.param, nq.n AS n_queries, s.planted_found,
+           round(CAST(s.planted_found AS DOUBLE) / nq.n, 4) AS planted_recall,
+           s.candidates_scanned,
+           coalesce(h.hits_at5, 0) AS hits_at5,
+           round(CAST(coalesce(h.hits_at5, 0) AS DOUBLE) / (5.0 * nq.n), 4)
+             AS recall_at5
+    FROM stats s LEFT JOIN hits h USING (tier, param)
+    CROSS JOIN nq
+    ORDER BY tier, param
+    """,
+    survey="llm-ann-audit",
+    tags=("similarity",),
+)
+def embedding_ann_recall_cost(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN recall-vs-cost OPERATING CURVE (VERDICT r07 item 4 — the
+    bucket-audit analog for the ANN tier): one row per operating
+    point — LSH signature widths 4/6/8/10 and IVF probe counts
+    1/2/4 — with the planted-copy recall (theorem floor), the
+    candidate volume (cost axis) and the top-5 overlap with the exact
+    brute-force answer (effectiveness axis).  See
+    operators/similarity.py:ann_operating_curve.
+
+    The candidate machinery is the production tiers' own
+    (lsh_scored / ivf_scored_from_cells); the hash family is the
+    CROSS-ENGINE-EXACT twin (LCG hyperplanes with decimal-rounded
+    projections, data-vector centroids with decimal distances), so
+    the ORACLE recomputes the ENTIRE curve in DuckDB — signatures,
+    cell assignments, probe ranks, candidate counts, top-5 overlaps —
+    cell for cell, the setsim_bucket_audit standard.  xxhash64 planes
+    and KMeans cells have no SQL twin; swapping the hash family
+    changes WHICH LSH/IVF instance is audited, not the operators
+    under audit.
+
+    Finding this audit already paid for: its first run showed every
+    LSH width producing IDENTICAL candidate counts — the production
+    rp_signature's planes had collapsed to one projection via the
+    (element, index) lambda-shadowing bug, a 2-bucket degenerate
+    index scanning |corpus|/2 per query.  Fixed in r08, pinned by
+    ``tests/test_llmdata.py::test_rp_signature_planes_are_distinct``.
+
+    Scale: each point is one map-only signature/assignment pass over
+    the corpus plus a bucket-equality join against 8 broadcast
+    queries; stats combine as 1-row broadcast aggregates.  The curve
+    is how a 100 TB deployment picks its operating point BEFORE
+    committing to an index build."""
+    from ..operators.similarity import ann_operating_curve
+
+    corpus, queries = _planted_embeddings(spark, sf_dir)
+    emb = load_table(spark, sf_dir, "embeddings")
+    planted = (
+        queries.select(F.col("vec_id").alias("query_id"))
+        .crossJoin(F.broadcast(_id_offset(emb, "vec_id")))
+        .select(
+            "query_id", (F.col("query_id") + F.col("_off")).alias("planted_id")
+        )
+    )
+    cents = corpus.filter(F.col("vec_id").between(100, 107)).select(
+        (F.col("vec_id") - 100).cast("int").alias("__cell"),
+        F.col("embedding").alias("__center"),
+    )
+    return ann_operating_curve(
+        corpus,
+        queries,
+        planted,
+        cents,
+        lsh_widths=(4, 6, 8, 10),
+        ivf_probes=(1, 2, 4),
+        k=5,
+    )

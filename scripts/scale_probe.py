@@ -30,6 +30,8 @@ from real_estate_etl_dev_spark.operators.dedup import (  # noqa: E402
     dedup_exact_groups,
     dedup_minhash_pairs,
     setsim_bucket_audit,
+    setsim_join_hybrid,
+    setsim_join_prefix,
 )
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -100,6 +102,129 @@ def main() -> None:
         print(
             f"| {n:,} | {t_exact:.1f} | {t_mh:.1f} ({n_pairs:,}) "
             f"| {t_cc:.1f} ({n_comp:,}) | {t_aud:.1f} ({naive:,} / {hot:,}) |",
+            flush=True,
+        )
+
+    hybrid_vs_exact(spark)
+    streaming_probe(spark)
+
+
+def hybrid_vs_exact(spark) -> None:
+    """VERDICT r07 item 3's scale column, with the trade-off made
+    EXPLICIT: on this corpus EVERY doc shares the 40-word vocabulary,
+    so the hot mass is genuinely mutually similar — the inherently
+    quadratic case where no pair-enumeration is cheap (a 160k-doc
+    corpus of near-identical pages has ~quadratically many REAL
+    near-dup pairs).  The hybrid's cap bounds cost anyway (flat-ish
+    column) and its audit REPORTS what the cap skipped
+    (pairs_skipped): bounded work, measured recall loss.  The
+    complementary fixture — hot boilerplate tokens across otherwise
+    DISSIMILAR docs, where the hybrid wins on BOTH axes (skips ≈ 0,
+    recall certified) — is the catalog's `dedup_setsim_hybrid`
+    salted corpus with its brute-force oracle.  Here the exact join
+    is run at every k as the control; its growth tracks the audit's
+    naive-pair mass."""
+    from real_estate_etl_dev_spark.operators.dedup import (
+        setsim_hybrid_hot_audit,
+    )
+
+    print()
+    print(
+        "| docs | exact setsim s (pairs) "
+        "| hybrid setsim s (pairs / cap-skipped pair mass) |"
+    )
+    print("|---|---|---|")
+    for k in (1, 4, 16):
+        corpus = replicated(spark, k).localCheckpoint()
+        n = corpus.count()
+        t0 = time.perf_counter()
+        n_ex = setsim_join_prefix(corpus, threshold=0.97).count()
+        ex = f"{time.perf_counter() - t0:.1f} ({n_ex:,})"
+        t0 = time.perf_counter()
+        params = dict(
+            threshold=0.97,
+            hot_bucket_cap=64,
+            num_hashes=8,
+            band_rows=2,
+            minhash_max_bucket=1000,
+        )
+        n_hy = setsim_join_hybrid(corpus, **params).count()
+        t_hy = time.perf_counter() - t0
+        skipped = sum(
+            r.pairs_skipped
+            for r in setsim_hybrid_hot_audit(corpus, **params).collect()
+        )
+        print(
+            f"| {n:,} | {ex} | {t_hy:.1f} ({n_hy:,} / {skipped:,}) |",
+            flush=True,
+        )
+
+
+def streaming_probe(spark) -> None:
+    """VERDICT r07 item 5: measure the streaming tier's constant-vs-
+    linear split instead of arguing it.  k replicas of the staging
+    fixture (disjoint url namespaces) land as k files; availableNow +
+    maxFilesPerTrigger=1 forces k micro-batches through the SAME
+    foreachBatch merge engine as streaming_merge_scd1.  Wall clock
+    should be ~(fixed session cost) + k · (per-batch merge + trigger
+    overhead) — a superlinear bend would mean state or the current
+    table re-scan grows with batch COUNT, which the merge design
+    forbids."""
+    import shutil
+    import tempfile
+
+    from real_estate_etl_dev_spark.plans.merging import (
+        RUN_DATE,
+        current_fixture,
+        staging_fixture,
+    )
+    from real_estate_etl_dev_spark.streaming.ingest import (
+        run_merge_sink,
+        stream_source,
+    )
+
+    print()
+    print("| micro-batches | staged rows | stream-merge wall s | s/batch |")
+    print("|---|---|---|---|")
+    cur = current_fixture(spark, SF_DIR).localCheckpoint()
+    stg = staging_fixture(spark, SF_DIR).localCheckpoint()
+    for k in (1, 4, 16):
+        reps = spark.range(k).select(F.col("id").alias("rep"))
+        staged = (
+            stg.crossJoin(reps)
+            .withColumn("url", F.concat_ws("#", "url", "rep"))
+            .drop("rep")
+        )
+        n_rows = staged.count()
+        workdir = tempfile.mkdtemp(prefix=f"stream_probe_{k}_")
+        staged.repartition(k).write.parquet(f"{workdir}/staging")
+
+        t0 = time.perf_counter()
+        stream = stream_source(
+            spark,
+            f"{workdir}/staging",
+            staged.schema,
+            fmt="parquet",
+            maxFilesPerTrigger=1,
+        )
+
+        def publish(df, batch_id, out=f"{workdir}/merged"):
+            df.write.mode("overwrite").parquet(out)
+
+        q = run_merge_sink(
+            stream,
+            lambda: cur,
+            publish,
+            run_date=RUN_DATE,
+            checkpoint=f"{workdir}/checkpoint",
+        ).start()
+        q.awaitTermination()
+        wall = time.perf_counter() - t0
+        n_batches = len(q.recentProgress)
+        shutil.rmtree(workdir, ignore_errors=True)
+        print(
+            f"| {n_batches} | {n_rows:,} | {wall:.1f} "
+            f"| {wall / max(n_batches, 1):.2f} |",
             flush=True,
         )
 

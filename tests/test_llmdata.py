@@ -92,13 +92,23 @@ def test_cosine_topk(spark):
 
 
 def test_lsh_topk_finds_identical_bucket(spark):
-    emb = vec_df(spark)
+    # an EXACT copy of the query must share its bucket at any plane
+    # count (identical vector ⇒ identical signature) and re-rank to
+    # the top.  The test originally asserted this for the merely
+    # NEAR-identical vec 4 — not a theorem, and it only held because
+    # the pre-r08 rp_signature was degenerate (2 buckets; see
+    # test_rp_signature_planes_are_distinct); one healthy plane of
+    # four does split a 2.9° angle.
+    emb = vec_df(spark).unionByName(
+        vec_df(spark)
+        .filter(F.col("vec_id") == 0)
+        .select(F.lit(100).cast("long").alias("vec_id"), "embedding")
+    )
     queries = emb.filter(F.col("vec_id") == 0)
     got = lsh_topk(emb, queries, k=3, n_planes=4).collect()
-    # near-identical vectors must share the query's bucket
-    assert 4 in {r["neighbor_id"] for r in got}
+    assert 100 in {r["neighbor_id"] for r in got}
     top = min(got, key=lambda r: r["rank"])
-    assert top["neighbor_id"] == 4
+    assert top["neighbor_id"] == 100 and abs(top["cos_sim"] - 1.0) < 1e-9
 
 
 def test_multimodal_plumbing(spark):
@@ -670,6 +680,39 @@ def _hybrid_corpus(spark):
         rows.append((i, " ".join(toks)))
     rows += [(1000 + i, rows[i][1]) for i in range(0, 120, 7)]
     return rows, spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_rp_signature_planes_are_distinct(spark):
+    """r08 regression pin: rp_signature's planes must be DISTINCT
+    hyperplanes.  The original ``lambda i, p=p`` transform lambda was
+    silently treated as the (element, index) two-arg form, the index
+    shadowed the plane id, every plane computed the same projection,
+    and the 8-plane signature collapsed to 2 buckets (|corpus|/2
+    candidates per query instead of |corpus|/2^p — found by the ANN
+    operating-curve audit).  A healthy 8-plane signature over the
+    500-vector fixture must occupy far more than 2 buckets, with no
+    half-corpus bucket."""
+    from collections import Counter
+
+    from pyspark.sql import functions as F
+
+    from real_estate_etl_dev_spark.operators.similarity import (
+        lcg_rp_signature,
+        rp_signature,
+    )
+    from real_estate_etl_dev_spark.sources.readers import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings").select(
+        F.transform("embedding", lambda x: x.cast("double")).alias("v")
+    )
+    for sig_fn in (
+        lambda v: rp_signature(v, 8, 7),
+        lambda v: lcg_rp_signature(v, 8),
+    ):
+        sigs = [r.s for r in emb.select(sig_fn(F.col("v")).alias("s")).collect()]
+        cnt = Counter(sigs)
+        assert len(cnt) > 50, f"degenerate signature: {len(cnt)} buckets"
+        assert max(cnt.values()) < len(sigs) // 4
 
 
 def test_setsim_hybrid_equals_exact_when_no_hot(spark):
