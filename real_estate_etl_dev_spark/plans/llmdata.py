@@ -3010,3 +3010,328 @@ def embedding_ann_recall_cost(spark: SparkSession, sf_dir: str) -> DataFrame:
         ivf_probes=(1, 2, 4),
         k=5,
     )
+
+
+@query(
+    "embedding_matryoshka_recall",
+    """
+    WITH
+    c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    q AS (SELECT vec_id, v FROM c WHERE vec_id < 8),
+    dims AS (SELECT unnest([8, 16, 32, 64]) AS dim),
+    full5 AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT qq.vec_id AS query_id, cc.vec_id AS neighbor_id,
+               row_number() OVER (PARTITION BY qq.vec_id
+                 ORDER BY round(list_cosine_similarity(qq.v, cc.v), 6) DESC,
+                          cc.vec_id) AS rk
+        FROM q qq JOIN c cc ON cc.vec_id <> qq.vec_id
+      ) WHERE rk <= 5
+    ),
+    trunc_ranked AS (
+      SELECT d.dim, qq.vec_id AS query_id, cc.vec_id AS neighbor_id,
+             row_number() OVER (PARTITION BY d.dim, qq.vec_id
+               ORDER BY round(list_cosine_similarity(
+                           qq.v[1:d.dim], cc.v[1:d.dim]), 6) DESC,
+                        cc.vec_id) AS rk
+      FROM dims d
+      CROSS JOIN q qq
+      JOIN c cc ON cc.vec_id <> qq.vec_id
+    ),
+    direct AS (
+      SELECT dim, CAST(count(*) AS BIGINT) AS direct_hits_at5
+      FROM trunc_ranked t JOIN full5 USING (query_id, neighbor_id)
+      WHERE t.rk <= 5 GROUP BY dim
+    ),
+    funnel50 AS (SELECT dim, query_id, neighbor_id FROM trunc_ranked WHERE rk <= 50),
+    rerank AS (
+      SELECT f.dim, f.query_id, f.neighbor_id,
+             row_number() OVER (PARTITION BY f.dim, f.query_id
+               ORDER BY round(list_cosine_similarity(qq.v, cc.v), 6) DESC,
+                        f.neighbor_id) AS rk
+      FROM funnel50 f
+      JOIN q qq ON qq.vec_id = f.query_id
+      JOIN c cc ON cc.vec_id = f.neighbor_id
+    ),
+    funnel AS (
+      SELECT dim, CAST(count(*) AS BIGINT) AS funnel_hits_at5
+      FROM rerank r JOIN full5 USING (query_id, neighbor_id)
+      WHERE r.rk <= 5 GROUP BY dim
+    ),
+    nq AS (SELECT CAST(count(*) AS BIGINT) AS n FROM embeddings WHERE vec_id < 8)
+    SELECT d.dim, nq.n AS n_queries,
+           coalesce(dr.direct_hits_at5, 0) AS direct_hits_at5,
+           round(CAST(coalesce(dr.direct_hits_at5, 0) AS DOUBLE)
+                 / (5.0 * nq.n), 4) AS direct_recall_at5,
+           coalesce(fn.funnel_hits_at5, 0) AS funnel_hits_at5,
+           round(CAST(coalesce(fn.funnel_hits_at5, 0) AS DOUBLE)
+                 / (5.0 * nq.n), 4) AS funnel_recall_at5
+    FROM dims d
+    LEFT JOIN direct dr ON dr.dim = d.dim
+    LEFT JOIN funnel fn ON fn.dim = d.dim
+    CROSS JOIN nq
+    ORDER BY d.dim
+    """,
+    survey="llm-ann-audit",
+    tags=("similarity",),
+)
+def embedding_matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka-style DIMENSION-TRUNCATION retrieval audit: for
+    prefix dimensionalities 8/16/32/64, (a) DIRECT — top-5 by cosine
+    over the truncated prefix alone — and (b) FUNNEL — truncated
+    top-50 candidates re-ranked at full dimension, then top-5 — each
+    scored by overlap with the full-dimension exact top-5.
+
+    This is the memory-bandwidth half of the ANN cost story
+    (``embedding_ann_recall_cost`` is the candidate-count half): at
+    100 TB the first-pass scan reads d/64 of the vector bytes, and
+    the funnel re-ranks only 50 candidates per query at full width —
+    the standard two-stage retrieval layout.  The audit certifies how
+    much recall each truncation actually costs ON THIS CORPUS, and
+    that the funnel recovers it (funnel ≥ direct at every dim;
+    dim=64 is the exact join by construction, recall 1.0 — an
+    in-query self-check the oracle enforces).
+
+    All arithmetic is exact-rank over 6dp-rounded cosines (the
+    certified embedding recipe), so the DuckDB oracle recomputes both
+    stages cell for cell.  Plan: one corpus scan per stage, the
+    8-query side broadcast, window ranks partitioned by (dim,
+    query) — no self-join of the corpus anywhere."""
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("v"),
+    )
+    queries = emb.filter(F.col("vec_id") < 8)
+    from ..operators.similarity import cosine
+
+    q = queries.select(F.col("vec_id").alias("query_id"), F.col("v").alias("qv"))
+    c = emb.select(F.col("vec_id").alias("neighbor_id"), F.col("v").alias("cv"))
+    nq = queries.agg(F.count(F.lit(1)).cast("long").alias("n_queries"))
+
+    pairs = c.join(
+        F.broadcast(q), F.col("neighbor_id") != F.col("query_id")
+    ).localCheckpoint(eager=True)
+
+    w_full = Window.partitionBy("query_id").orderBy(
+        F.desc("cos_full"), F.asc("neighbor_id")
+    )
+    full5 = (
+        pairs.select(
+            "query_id",
+            "neighbor_id",
+            F.round(cosine(F.col("qv"), F.col("cv")), 6).alias("cos_full"),
+        )
+        .withColumn("__r", F.row_number().over(w_full))
+        .filter(F.col("__r") <= 5)
+        .select("query_id", "neighbor_id")
+        .localCheckpoint(eager=True)
+    )
+
+    dims = [8, 16, 32, 64]
+    # one tall (dim, query, neighbor) frame: truncated cosine + rank
+    tall = None
+    for d in dims:
+        sl = pairs.select(
+            F.lit(d).cast("long").alias("dim"),
+            "query_id",
+            "neighbor_id",
+            "qv",
+            "cv",
+            F.round(
+                cosine(F.slice("qv", 1, d), F.slice("cv", 1, d)), 6
+            ).alias("cos_trunc"),
+        )
+        tall = sl if tall is None else tall.unionByName(sl)
+    w_t = Window.partitionBy("dim", "query_id").orderBy(
+        F.desc("cos_trunc"), F.asc("neighbor_id")
+    )
+    ranked = tall.withColumn("__r", F.row_number().over(w_t)).localCheckpoint(
+        eager=True
+    )
+
+    direct = (
+        ranked.filter(F.col("__r") <= 5)
+        .join(full5, ["query_id", "neighbor_id"], "left_semi")
+        .groupBy("dim")
+        .agg(F.count(F.lit(1)).cast("long").alias("direct_hits_at5"))
+    )
+    w_re = Window.partitionBy("dim", "query_id").orderBy(
+        F.desc("cos_full"), F.asc("neighbor_id")
+    )
+    funnel = (
+        ranked.filter(F.col("__r") <= 50)
+        .withColumn(
+            "cos_full", F.round(cosine(F.col("qv"), F.col("cv")), 6)
+        )
+        .withColumn("__rr", F.row_number().over(w_re))
+        .filter(F.col("__rr") <= 5)
+        .join(full5, ["query_id", "neighbor_id"], "left_semi")
+        .groupBy("dim")
+        .agg(F.count(F.lit(1)).cast("long").alias("funnel_hits_at5"))
+    )
+    dims_df = spark.createDataFrame([(d,) for d in dims], "dim long")
+    guard = F.col("n_queries") > 0
+    return (
+        dims_df.join(direct, "dim", "left")
+        .join(funnel, "dim", "left")
+        .crossJoin(F.broadcast(nq))
+        .select(
+            "dim",
+            "n_queries",
+            F.coalesce("direct_hits_at5", F.lit(0)).cast("long").alias(
+                "direct_hits_at5"
+            ),
+            F.when(
+                guard,
+                F.round(
+                    F.coalesce("direct_hits_at5", F.lit(0))
+                    / (F.lit(5.0) * F.col("n_queries")),
+                    4,
+                ),
+            ).alias("direct_recall_at5"),
+            F.coalesce("funnel_hits_at5", F.lit(0)).cast("long").alias(
+                "funnel_hits_at5"
+            ),
+            F.when(
+                guard,
+                F.round(
+                    F.coalesce("funnel_hits_at5", F.lit(0))
+                    / (F.lit(5.0) * F.col("n_queries")),
+                    4,
+                ),
+            ).alias("funnel_recall_at5"),
+        )
+        .orderBy("dim")
+    )
+
+
+@query(
+    "embedding_int8_quantization_error",
+    """
+    WITH
+    c AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
+          FROM embeddings),
+    scaled AS (
+      SELECT vec_id, label, v,
+             list_max(list_transform(v, x -> abs(x))) / 127.0 AS s
+      FROM c
+    ),
+    errs AS (
+      SELECT vec_id, label,
+             round(
+               sqrt(list_sum(list_transform(v, x ->
+                 pow(x - greatest(least(floor(x / s + 0.5), 127), -127) * s,
+                     2))))
+               / sqrt(list_sum(list_transform(v, x -> x * x))),
+               6) AS rel_l2,
+             round(
+               list_sum(list_transform(v, x ->
+                 x * greatest(least(floor(x / s + 0.5), 127), -127) * s))
+               / (sqrt(list_sum(list_transform(v, x -> x * x)))
+                  * sqrt(list_sum(list_transform(v, x ->
+                      pow(greatest(least(floor(x / s + 0.5), 127), -127) * s,
+                          2))))),
+               6) AS cos_dq
+      FROM scaled WHERE s > 0
+    )
+    SELECT label, CAST(count(*) AS BIGINT) AS n_vecs,
+           round(CAST(sum(CAST(rel_l2 AS DECIMAL(18,6))) AS DOUBLE)
+                 / count(*), 4) AS mean_rel_l2,
+           round(CAST(max(rel_l2) AS DOUBLE), 6) AS worst_rel_l2,
+           round(CAST(sum(CAST(cos_dq AS DECIMAL(18,6))) AS DOUBLE)
+                 / count(*), 4) AS mean_cos,
+           round(CAST(min(cos_dq) AS DOUBLE), 6) AS worst_cos
+    FROM errs GROUP BY label ORDER BY label
+    """,
+    survey="llm-ann-audit",
+    tags=("similarity",),
+)
+def embedding_int8_quantization_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INT8 symmetric per-vector quantization audit — the memory-
+    compression leg of the embedding-tier cost story (matryoshka
+    truncates dimensions, this shrinks bytes-per-dimension 4×): each
+    vector quantizes to ``q_i = clamp(floor(v_i/s + 0.5), ±127)``
+    with per-vector scale ``s = max|v|/127``, and the audit reports
+    per label the mean/worst relative L2 reconstruction error and the
+    mean/worst cosine between original and dequantized vector — the
+    decision inputs for running the ANN tier's first pass on int8.
+
+    Determinism recipe: ``floor(x + 0.5)`` instead of round() so both
+    engines share ONE explicit tie rule on identical doubles;
+    per-vector errors rounded to 6dp then summed as DECIMAL
+    (associative) before the final double division rounded to 4
+    (the doc_lm_cross_entropy pattern); worst-case columns are
+    max/min — order-free by nature.  The zero-vector guard (s > 0)
+    mirrors in both engines.
+
+    Scale: map-only per vector — quantization is a transform of each
+    row in isolation; the rollup shuffles 10 label keys with map-side
+    partials.  At 100 TB this runs as part of the corpus-write
+    pipeline and the audit table IS the go/no-go for int8-first
+    retrieval."""
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        "label",
+        F.transform("embedding", lambda x: x.cast("double")).alias("v"),
+    )
+    from ..functions.core import let_
+
+    def dq(x: Column, s: Column) -> Column:
+        return (
+            F.greatest(
+                F.least(F.floor(x / s + F.lit(0.5)), F.lit(127)), F.lit(-127)
+            ).cast("double")
+            * s
+        )
+
+    def body(s: Column) -> Column:
+        err2 = F.aggregate(
+            F.transform("v", lambda x: F.pow(x - dq(x, s), F.lit(2.0))),
+            F.lit(0.0),
+            lambda a, e: a + e,
+        )
+        norm2 = F.aggregate(
+            F.transform("v", lambda x: x * x), F.lit(0.0), lambda a, e: a + e
+        )
+        dot_dq = F.aggregate(
+            F.transform("v", lambda x: x * dq(x, s)),
+            F.lit(0.0),
+            lambda a, e: a + e,
+        )
+        dq_norm2 = F.aggregate(
+            F.transform("v", lambda x: F.pow(dq(x, s), F.lit(2.0))),
+            F.lit(0.0),
+            lambda a, e: a + e,
+        )
+        return F.struct(
+            F.round(F.sqrt(err2) / F.sqrt(norm2), 6).alias("rel_l2"),
+            F.round(dot_dq / (F.sqrt(norm2) * F.sqrt(dq_norm2)), 6).alias(
+                "cos_dq"
+            ),
+        )
+
+    scale = (
+        F.array_max(F.transform("v", lambda x: F.abs(x))) / F.lit(127.0)
+    ).alias("s")
+    errs = (
+        emb.select("vec_id", "label", "v", scale)
+        .filter(F.col("s") > 0)
+        .select("vec_id", "label", let_(F.col("s"), body).alias("e"))
+        .select("label", F.col("e.rel_l2").alias("rel_l2"), F.col("e.cos_dq").alias("cos_dq"))
+    )
+    n = F.count(F.lit(1))
+    return (
+        errs.groupBy("label")
+        .agg(
+            n.cast("long").alias("n_vecs"),
+            F.round(
+                F.sum(F.col("rel_l2").cast("decimal(18,6)")).cast("double") / n, 4
+            ).alias("mean_rel_l2"),
+            F.round(F.max("rel_l2").cast("double"), 6).alias("worst_rel_l2"),
+            F.round(
+                F.sum(F.col("cos_dq").cast("decimal(18,6)")).cast("double") / n, 4
+            ).alias("mean_cos"),
+            F.round(F.min("cos_dq").cast("double"), 6).alias("worst_cos"),
+        )
+        .orderBy("label")
+    )

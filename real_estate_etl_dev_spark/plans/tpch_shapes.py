@@ -773,3 +773,148 @@ def trade_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("rank"), "node")
         .limit(30)
     )
+
+
+@query(
+    "nation_trade_volume_q7",
+    """
+    SELECT supp_nation, cust_nation, l_year,
+           CAST(sum(volume) AS DOUBLE) AS revenue
+    FROM (
+      SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+             CAST(strftime(l.l_shipdate, '%Y') AS BIGINT) AS l_year,
+             CAST(l.l_extendedprice * (1 - l.l_discount)
+                  AS DECIMAL(20,8)) AS volume
+      FROM supplier s
+      JOIN lineitem l ON s.s_suppkey = l.l_suppkey
+      JOIN orders o ON o.o_orderkey = l.l_orderkey
+      JOIN customer c ON c.c_custkey = o.o_custkey
+      JOIN nation n1 ON n1.n_nationkey = s.s_nationkey
+      JOIN nation n2 ON n2.n_nationkey = c.c_nationkey
+      WHERE ((n1.n_name = 'NATION_3' AND n2.n_name = 'NATION_7')
+          OR (n1.n_name = 'NATION_7' AND n2.n_name = 'NATION_3'))
+        AND l.l_shipdate >= TIMESTAMP '1996-01-01'
+        AND l.l_shipdate <  TIMESTAMP '1998-01-01'
+    )
+    GROUP BY supp_nation, cust_nation, l_year
+    ORDER BY supp_nation, cust_nation, l_year
+    """,
+    survey="tpch-q7",
+    tags=("tpch",),
+)
+def nation_trade_volume_q7(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape (volume shipping): revenue flowing BETWEEN two
+    named nations in both directions, split by ship year — the
+    directed-pair variant of the Q5 co-location join.
+
+    Plan/scale: both nation lookups are 25-row broadcasts; the
+    disjunctive nation-pair predicate collapses each side to ONE key
+    BEFORE the fact joins, so supplier and customer each shrink to
+    ~1/25 and broadcast into the lineitem∕orders chain; the ship-date
+    range is pushed to the lineitem scan (the only SF-scaling input
+    actually read in full).  The year key derives from l_shipdate
+    (utc-pinned year()), revenue sums as exact DECIMAL per the house
+    rule, and the 2×2-ish group key set keeps the final agg a
+    broadcast-sized rollup."""
+    n = T(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    pair = F.col("n_name").isin("NATION_3", "NATION_7")
+    n1 = n.filter(pair).select(
+        F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = n.filter(pair).select(
+        F.col("n_nationkey").alias("cn_key"), F.col("n_name").alias("cust_nation")
+    )
+    s = (
+        T(spark, sf_dir, "supplier")
+        .select("s_suppkey", "s_nationkey")
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("sn_key"))
+        .select("s_suppkey", "supp_nation")
+    )
+    c = (
+        T(spark, sf_dir, "customer")
+        .select("c_custkey", "c_nationkey")
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("cn_key"))
+        .select("c_custkey", "cust_nation")
+    )
+    li = (
+        T(spark, sf_dir, "lineitem")
+        .filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+        )
+        .select("l_orderkey", "l_suppkey", "l_shipdate",
+                "l_extendedprice", "l_discount")
+    )
+    o = T(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    vol = (F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount"))).cast(
+        "decimal(20,8)"
+    )
+    return (
+        li.join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+        .filter(F.col("supp_nation") != F.col("cust_nation"))
+        .select(
+            "supp_nation",
+            "cust_nation",
+            F.year(F.to_utc_timestamp("l_shipdate", "UTC")).cast("long").alias(
+                "l_year"
+            ),
+            vol.alias("volume"),
+        )
+        .groupBy("supp_nation", "cust_nation", "l_year")
+        .agg(F.sum("volume").cast("double").alias("revenue"))
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    )
+
+
+@query(
+    "customer_order_distribution_q13",
+    """
+    SELECT c_count, CAST(count(*) AS BIGINT) AS custdist
+    FROM (
+      SELECT c.c_custkey,
+             CAST(count(o.o_orderkey) AS BIGINT) AS c_count
+      FROM customer c
+      LEFT JOIN orders o
+        ON o.o_custkey = c.c_custkey
+       AND o.o_orderpriority <> '1-URGENT'
+      GROUP BY c.c_custkey
+    )
+    GROUP BY c_count
+    ORDER BY custdist DESC, c_count DESC
+    """,
+    survey="tpch-q13",
+    tags=("tpch",),
+)
+def customer_order_distribution_q13(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape (customer distribution): histogram of
+    customers by how many NON-urgent orders they placed — the
+    left-outer-join + double-aggregation pattern (zero-order
+    customers must appear in the 0 bucket, which an inner join would
+    silently drop; the fixture gives every customer ≥1 order overall,
+    so the exclusion predicate is what creates the zero class).
+
+    Plan/scale: the exclusion predicate prunes orders AT THE SCAN
+    (pushed filter), the outer join shuffles both sides on custkey
+    once, the per-customer count is a map-side-combinable agg on the
+    join's own partitioning (no extra exchange), and the second agg
+    collapses to ≤ a few dozen count-classes — broadcast-sized.
+    count(o_orderkey) counts MATCHED rows only (nulls from the outer
+    join don't count) in both engines."""
+    c = T(spark, sf_dir, "customer").select("c_custkey")
+    o = (
+        T(spark, sf_dir, "orders")
+        .filter(F.col("o_orderpriority") != "1-URGENT")
+        .select("o_custkey", "o_orderkey")
+    )
+    per_cust = (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").cast("long").alias("c_count"))
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count(F.lit(1)).cast("long").alias("custdist"))
+        .orderBy(F.desc("custdist"), F.desc("c_count"))
+    )

@@ -691,3 +691,52 @@ def test_setsim_audit_shares_prefix_expansion_and_broadcasts_totals(spark, sf_di
     assert "/ 100" in plan
     assert "BroadcastNestedLoopJoin" in plan
     assert "Window" not in plan
+
+
+def test_setsim_hybrid_routes_and_stays_jvm(spark, sf_dir):
+    """dedup_setsim_hybrid: no cartesian/Python anywhere; the hot-token
+    table and the planted/offset scalars ride broadcasts; the cold
+    tier's candidate shuffle carries the hashed prefix key exactly like
+    the pure exact join (same helper, pinned here so the routing split
+    can't silently fork the key encoding)."""
+    plan = plan_of(spark, sf_dir, "dedup_setsim_hybrid")
+    assert "CartesianProduct" not in plan
+    assert "Python" not in plan
+    assert "BroadcastHashJoin" in plan
+    assert "xxhash64(ptok" in plan  # cold tier, 8-byte candidate keys
+
+
+def test_ann_recall_cost_no_python_no_cartesian(spark, sf_dir):
+    """embedding_ann_recall_cost: the whole 7-point sweep is JVM
+    column math (decimal folds), query sides broadcast, and the only
+    nested-loop join is the 1-row n_queries scalar combine."""
+    plan = plan_of(spark, sf_dir, "embedding_ann_recall_cost")
+    assert "Python" not in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan
+
+
+def test_q7_broadcasts_dims_and_pushes_shipdate(spark, sf_dir):
+    """nation_trade_volume_q7: supplier/customer collapse behind the
+    nation-pair filter and BROADCAST into the fact chain; the ship-date
+    range reaches the lineitem scan."""
+    plan = plan_of(spark, sf_dir, "nation_trade_volume_q7")
+    assert plan.count("BroadcastHashJoin") >= 2
+    fmt = formatted(spark, sf_dir, "nation_trade_volume_q7")
+    assert "IsNotNull(l_shipdate)" in fmt
+    assert "Python" not in plan
+
+
+def test_q13_single_custkey_shuffle_and_pushed_exclusion(spark, sf_dir):
+    """customer_order_distribution_q13: the exclusion predicate is
+    pushed to the orders scan; the per-customer count REUSES the outer
+    join's custkey partitioning (no third custkey exchange)."""
+    import re
+
+    plan = plan_of(spark, sf_dir, "customer_order_distribution_q13")
+    fmt = formatted(spark, sf_dir, "customer_order_distribution_q13")
+    assert "o_orderpriority" in fmt.split("PushedFilters")[1][:400]
+    cust_exchanges = re.findall(
+        r"Exchange hashpartitioning\((?:o_custkey|c_custkey)", plan
+    )
+    assert len(cust_exchanges) <= 2, plan
