@@ -282,3 +282,65 @@ def test_setsim_prefix_recall_complete_on_random_corpora(spark, data):
         for r in setsim_join_prefix(docs, threshold=threshold).collect()
     }
     assert got == expect
+
+
+@given(data=st.data())
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
+)
+def test_setsim_hybrid_sound_on_random_corpora(spark, data):
+    """The hybrid's two UNCONDITIONAL guarantees on hypothesis corpora
+    with hot routing forced (tiny cap ⇒ most tokens hot):
+
+    * precision is EXACT — every returned pair passes the shared
+      verify, so output ⊆ brute force at any threshold;
+    * set-IDENTICAL pairs are always found — identical token sets ⇒
+      identical MinHash signatures ⇒ same bucket in every band (the
+      planted-copy theorem), regardless of routing.
+
+    Full recall for J < 1 hot-routed pairs is PROBABILISTIC by design
+    (miss ≈ (1-J^r)^b, non-negligible at the low thresholds drawn
+    here) — asserting it would flake, so it is certified instead at
+    t=0.97 by the catalog oracle and pinned exactly for the no-hot
+    case by test_setsim_hybrid_equals_exact_when_no_hot."""
+    from real_estate_etl_dev_spark.operators.dedup import setsim_join_hybrid
+
+    vocab = [f"w{i}" for i in range(8)]
+    n_docs = data.draw(st.integers(min_value=4, max_value=10), label="n_docs")
+    rows = []
+    for i in range(n_docs):
+        size = data.draw(st.integers(min_value=1, max_value=8), label=f"size{i}")
+        toks = data.draw(
+            st.lists(st.sampled_from(vocab), min_size=size, max_size=size),
+            label=f"toks{i}",
+        )
+        rows.append((i, " ".join(toks)))
+    threshold = data.draw(
+        st.sampled_from([0.5, 0.75, 0.9, 0.97]), label="threshold"
+    )
+    cap = data.draw(st.sampled_from([1, 2, 10**6]), label="cap")
+
+    sets = {i: set(t.split(" ")) for i, t in rows}
+    brute, identical = set(), set()
+    for a in range(n_docs):
+        for b in range(a + 1, n_docs):
+            inter = len(sets[a] & sets[b])
+            union = len(sets[a] | sets[b])
+            if inter / union >= threshold:
+                brute.add((a, b))
+            if sets[a] == sets[b]:
+                identical.add((a, b))
+
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        (r.a, r.b)
+        for r in setsim_join_hybrid(
+            docs, threshold=threshold, hot_bucket_cap=cap
+        ).collect()
+    }
+    assert got <= brute          # exact precision
+    assert identical <= got      # identical-set recall theorem
+    if cap == 10**6:
+        assert got == brute      # no hot bucket ⇒ equals exact join
