@@ -189,6 +189,31 @@ SHOWCASE = [
         "equality rides inside the supplier join condition, never a "
         "post-join filter.",
     ),
+    (
+        "dedup_setsim_hybrid",
+        "Hot-token hybrid (r08): the occupancy-filtered hot-token table "
+        "broadcasts into an anti-join (cold prefix rows keep the exact "
+        "PPJoin with its hashed 8-byte candidate keys) and a semi-join "
+        "(hot docs route to capped set-MinHash banding); both tiers' "
+        "candidates union into ONE shared exact-Jaccard verify — the "
+        "quadratic hot mass never reaches a join.",
+    ),
+    (
+        "embedding_ann_recall_cost",
+        "ANN operating curve (r08): corpus∪queries signed ONCE at the "
+        "widest signature (checkpoint-pinned decimal folds), each sweep "
+        "point derives its bucket by bit-masking; all 7 points union "
+        "into one tall candidates frame folded by a single grouped "
+        "aggregation — |points| linear passes, no per-point scalar "
+        "combines.",
+    ),
+    (
+        "customer_order_distribution_q13",
+        "TPC-H Q13 (r08): exclusion predicate pushed to the orders "
+        "scan; ONE custkey shuffle feeds both the outer join and the "
+        "per-customer count (partitioning reuse); the histogram agg "
+        "collapses to a few dozen count-classes.",
+    ),
 ]
 
 _TRIM = re.compile(r", \[plan_id=\d+\]| \[id=#\d+\]")

@@ -740,3 +740,17 @@ def test_q13_single_custkey_shuffle_and_pushed_exclusion(spark, sf_dir):
         r"Exchange hashpartitioning\((?:o_custkey|c_custkey)", plan
     )
     assert len(cust_exchanges) <= 2, plan
+
+
+def test_text_audits_are_mapside_jvm(spark, sf_dir):
+    """The r08 text-audit trio must stay JVM map-side shapes: no
+    Python worker, no join of the corpus (pii/diversity have no join
+    at all; zipf's only join is the tiny per-lang moment combine),
+    no cartesian."""
+    for name in ("doc_pii_scrub_audit", "corpus_ngram_diversity"):
+        plan = plan_of(spark, sf_dir, name)
+        assert "Python" not in plan, name
+        assert "Join" not in plan, name
+    zipf = plan_of(spark, sf_dir, "corpus_zipf_fit")
+    assert "Python" not in zipf
+    assert "CartesianProduct" not in zipf
