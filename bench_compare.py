@@ -58,6 +58,18 @@ HEADLINE = [
     "doc_pack_assignments",
     "doc_pii_redaction",
     "streaming_windowed_counts",  # real stream; oracle = batch group-by
+    # Round-8 additions.  dedup_setsim_hybrid is deliberately absent:
+    # its oracle is the O(n²) brute-force all-pairs join (357s in
+    # DuckDB at sf0.1) — a completeness proof, not a comparable
+    # workload; the Spark side is seconds.
+    "embedding_ann_recall_cost",
+    "embedding_matryoshka_recall",
+    "embedding_int8_quantization_error",
+    "doc_pii_scrub_audit",
+    "corpus_ngram_diversity",
+    "corpus_zipf_fit",
+    "nation_trade_volume_q7",
+    "customer_order_distribution_q13",
 ]
 
 

@@ -3337,7 +3337,7 @@ def embedding_int8_quantization_error(spark: SparkSession, sf_dir: str) -> DataF
     )
 
 
-_PII_CTE = """
+_PII_SCRUB_CTE = """
   pii_corpus AS (
     SELECT doc_id,
            text
@@ -3365,7 +3365,7 @@ _PII_PATTERNS = [
 
 @query(
     "doc_pii_scrub_audit",
-    "WITH " + _PII_CTE + ","
+    "WITH " + _PII_SCRUB_CTE + ","
     + """
     hits AS (
       SELECT p.pii_type, p.pattern, p.repl, c.doc_id,
@@ -3404,8 +3404,12 @@ def doc_pii_scrub_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     proves is 0 (the scrub actually removed what the detector finds;
     placeholders are chosen outside every pattern's language).
 
-    The fixture corpus has no natural PII (bag-of-words vocabulary),
-    so deterministic PII is PLANTED identically in both engines:
+    Complements ``doc_pii_redaction`` (the r04 per-LANGUAGE blast-
+    radius rollup): this audit slices per PII TYPE, adds IPv4, and —
+    the acceptance-gate part — proves the scrub leaves nothing the
+    detector still matches.  The fixture corpus has no natural PII
+    (bag-of-words vocabulary), so deterministic PII is PLANTED
+    identically in both engines:
     every 5th doc gains an email, every 7th a phone, every 11th an
     IPv4 — the planted counts double as ground truth (overlaps at
     doc_id % 35/55/77 exercise multi-type docs).  Patterns stay in
@@ -3518,6 +3522,8 @@ def corpus_ngram_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
     the exact distinct for approx_count_distinct at a documented
     error bound, or feed the same frame through the KLL/HLL sketch
     tier; the EXACT form here is what certification needs."""
+    from ..functions.core import let_
+
     docs = load_table(spark, sf_dir, "documents").select("lang", "text")
 
     def gram_fn(toks, n):
@@ -3528,29 +3534,46 @@ def corpus_ngram_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
             " ", x, *[F.get(toks, i + j) for j in range(1, n)]
         )
 
+    def grams_of(n):
+        # bind the split ONCE (let_): referencing the raw F.split
+        # expression from every F.get re-tokenizes the string per
+        # neighbor lookup — the dominant cost before this fix (the
+        # shingles() lesson, relearned; 3.8s -> 1.1s with the
+        # two-level agg below)
+        def build(toks):
+            keep = F.greatest(F.size(toks) - n + 1, F.lit(0))
+            return F.slice(F.transform(toks, gram_fn(toks, n)), 1, keep)
+
+        return let_(F.split(F.col("text"), " "), build)
+
     slices = []
     for n in (1, 2, 3, 4):
-        toks = F.split(F.col("text"), " ")
-        keep = F.greatest(F.size(toks) - n + 1, F.lit(0))
-        grams = F.slice(F.transform(toks, gram_fn(toks, n)), 1, keep)
         slices.append(
-            docs.filter(F.size(toks) >= n).select(
+            docs.select(
                 "lang",
                 F.lit(n).cast("long").alias("n"),
-                F.explode(grams).alias("g"),
+                F.explode(grams_of(n)).alias("g"),
             )
         )
     from functools import reduce
 
     grams_all = reduce(lambda a, b: a.unionByName(b), slices)
+    # two-level aggregate instead of count_distinct: the per-gram
+    # count's map-side combine collapses the exploded gram stream to
+    # |distinct grams| rows BEFORE the (lang, n, g) shuffle — on this
+    # 40-word vocabulary that is a ~1000x reduction, and at any scale
+    # it ships one row per distinct gram per task instead of Expand-
+    # doubling the full stream (this + the let_-bound split took the
+    # query 3.8s -> 1.1s warm at sf0.1; the DuckDB twin runs 0.4s)
+    per_gram = grams_all.groupBy("lang", "n", "g").agg(
+        F.count(F.lit(1)).alias("occ")
+    )
     return (
-        grams_all.groupBy("lang", "n")
+        per_gram.groupBy("lang", "n")
         .agg(
-            F.count(F.lit(1)).cast("long").alias("total_ngrams"),
-            F.countDistinct("g").cast("long").alias("distinct_ngrams"),
-            F.round(F.countDistinct("g") / F.count(F.lit(1)), 6).alias(
-                "diversity"
-            ),
+            F.sum("occ").cast("long").alias("total_ngrams"),
+            F.count(F.lit(1)).cast("long").alias("distinct_ngrams"),
+            F.round(F.count(F.lit(1)) / F.sum("occ"), 6).alias("diversity"),
         )
         .orderBy("lang", "n")
     )
