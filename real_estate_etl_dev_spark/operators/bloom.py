@@ -1,0 +1,101 @@
+"""Partitioned Bloom filter over integer keys, with an exact
+cross-engine hash family so the filter — and its measured
+false-positive rate — is oracle-certifiable.
+
+Reference tie-in: the incremental anti-join seed scan
+(reid/pipelines/property.py seen-URL check, SURVEY §2 S8/S9) is the
+workload a Bloom filter replaces at scale: instead of shuffling the
+full seen-set against every new batch, ship a fixed-size bit set and
+anti-join only the filter-positive remainder.  The FP audit here is
+the acceptance gate for that swap — it measures, per (m, k)
+configuration, exactly how much spurious re-fetch traffic the filter
+would admit.
+
+Hash family: h_i(key) = ((a_i * (key mod 2^31) + c_i) mod 2^31) mod m
+with LCG-derived odd multipliers a_i and offsets c_i.  Every term is
+< 2^62, so int64 arithmetic is exact in both Spark and DuckDB and the
+bit positions — hence every audited count — match bit-for-bit.
+xxhash64 would be the production choice but has no DuckDB twin; the
+LCG keeps the certification honest (same trade as the rp_signature
+plane family in plans/llmdata.py).
+
+Scale posture: the bit set for a config is at most m rows (bounded by
+the CONSTANT m, not the data), so the probe join broadcasts the
+filter — the entire structure is one distinct-aggregate over an
+exploded hash column followed by a broadcast semi-probe.  No step
+shuffles more than k rows per input key.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+_M31 = 2**31
+_M30 = 2**30
+
+
+def lcg_params(i: int) -> tuple[int, int]:
+    """Deterministic (a_i, c_i) per hash index: a_i odd (full period
+    mod 2^31 is not needed — only cross-engine determinism and
+    distinctness of the k hash functions)."""
+    a = 2 * ((1103515245 * (i + 1) + 12345) % _M30) + 1
+    c = (1013904223 * (i + 1)) % _M31
+    return a, c
+
+
+def bit_position(key, i: int, m: int):
+    """Column: h_i(key) in [0, m).  ``key`` must be integral; lits are
+    cast to long up front (INT32-literal ANSI overflow trap)."""
+    a, c = lcg_params(i)
+    return (
+        (
+            F.lit(a).cast("long") * (key.cast("long") % F.lit(_M31).cast("long"))
+            + F.lit(c).cast("long")
+        )
+        % F.lit(_M31).cast("long")
+    ) % F.lit(m).cast("long")
+
+
+def bloom_bits(members: DataFrame, key: str, m: int, k: int) -> DataFrame:
+    """The filter: distinct (bitpos) rows — at most m of them, so the
+    result is broadcast-sized by construction regardless of |members|.
+    Build cost is one map-side explode (k positions per key) plus one
+    distinct aggregate on bitpos (map-side combine collapses to ≤ m
+    rows per task before the shuffle)."""
+    kc = F.col(key)
+    return (
+        members.select(
+            F.explode(F.array(*[bit_position(kc, i, m) for i in range(k)])).alias(
+                "bitpos"
+            )
+        )
+        .distinct()
+    )
+
+
+def bloom_probe(probes: DataFrame, key: str, bits: DataFrame, m: int, k: int) -> DataFrame:
+    """Probe verdicts: input columns + ``bloom_positive`` (true iff
+    every one of the key's k bit positions is set).  Collisions among
+    a key's own k hashes are handled by counting DISTINCT positions:
+    positive iff matched-distinct == probed-distinct.
+
+    The join against ``bits`` is broadcast (≤ m rows); the per-key
+    verdict agg rides the explode's own key, so the only exchange is
+    one hash partition on the probe key."""
+    kc = F.col(key)
+    exploded = probes.select(
+        "*",
+        F.explode(F.array(*[bit_position(kc, i, m) for i in range(k)])).alias(
+            "bitpos"
+        ),
+    ).dropDuplicates([key, "bitpos"])
+    hit = F.broadcast(bits.withColumn("_hit", F.lit(1)))
+    other = [c for c in probes.columns if c != key]
+    return (
+        exploded.join(hit, "bitpos", "left")
+        .groupBy(key, *other)
+        .agg(
+            (F.count(F.lit(1)) == F.count("_hit")).alias("bloom_positive"),
+        )
+    )

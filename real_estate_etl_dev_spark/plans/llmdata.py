@@ -3694,3 +3694,410 @@ def corpus_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         ).alias("zipf_intercept"),
     ).orderBy("lang")
+
+
+# ---------------------------------------------------------------------------
+# RAG-style chunking — overlapping token windows per document
+# ---------------------------------------------------------------------------
+
+_CHUNK_W = 32  # window length in tokens
+_CHUNK_S = 24  # stride in tokens (8-token overlap)
+
+
+@query(
+    "doc_chunk_windows",
+    f"""
+    SELECT doc_id,
+           CAST(k AS BIGINT) AS chunk_idx,
+           CAST(1 + {_CHUNK_S} * k AS BIGINT) AS chunk_start,
+           CAST(least({_CHUNK_W}, n_tokens - {_CHUNK_S} * k) AS BIGINT)
+             AS chunk_tokens,
+           chunk_text,
+           md5(chunk_text) AS chunk_md5
+    FROM (
+      SELECT doc_id, n_tokens, k,
+             array_to_string(
+               list_slice(toks, 1 + {_CHUNK_S} * k,
+                          least({_CHUNK_S} * k + {_CHUNK_W}, n_tokens)),
+               ' ') AS chunk_text
+      FROM (
+        SELECT doc_id, toks, n_tokens,
+               unnest(generate_series(0,
+                 CASE WHEN n_tokens <= {_CHUNK_W} THEN 0
+                      ELSE (n_tokens - {_CHUNK_W} + {_CHUNK_S} - 1)
+                           // {_CHUNK_S}
+                 END)) AS k
+        FROM (
+          SELECT doc_id,
+                 string_split(text, ' ') AS toks,
+                 len(string_split(text, ' ')) AS n_tokens
+          FROM documents
+        )
+      )
+    )
+    ORDER BY doc_id, chunk_idx
+    """,
+    survey="llm-chunking",
+    tags=("text-analysis",),
+)
+def doc_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAG-style chunker: split every document into overlapping
+    32-token windows at stride 24 (8-token overlap), emitting per
+    chunk its token offset, length, text, and an md5 content address
+    (the downstream join key for chunk-level dedup / embedding
+    lookup).  Chunk count per doc is 1 + ceil((n-W)/S) — the final
+    window is allowed to run short rather than re-anchoring to the
+    tail, so chunk starts form an arithmetic sequence and a chunk's
+    provenance is recoverable from (doc_id, chunk_idx) alone.
+
+    Plan/scale: pure map-side — tokenize once (let_-bound split, the
+    corpus_ngram_diversity lesson), build all chunk structs with one
+    array transform, explode; NO shuffle except the output sort.  At
+    100 TB this is the shape you want: chunking is embarrassingly
+    parallel, the 1.33x token amplification from overlap is paid in
+    the same pass, and the md5 gives the downstream exact-dedup tier
+    a pre-computed key.  Integer chunk arithmetic: ceil via
+    (n-W+S-1) floor-div S; the double-division detour inside F.floor
+    is exact below 2^53 (n_tokens is bounded by document length).
+    """
+    from ..functions.core import let_
+
+    W, S = _CHUNK_W, _CHUNK_S
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+
+    def build(tk):
+        n = F.size(tk)
+        last = (
+            F.when(n <= W, F.lit(0))
+            .otherwise(F.floor((n - W + S - 1) / F.lit(S)))
+            .cast("int")
+        )
+
+        def chunk(k):
+            return F.struct(
+                k.cast("long").alias("chunk_idx"),
+                (F.lit(1) + F.lit(S) * k).cast("long").alias("chunk_start"),
+                F.least(F.lit(W), n - F.lit(S) * k)
+                .cast("long")
+                .alias("chunk_tokens"),
+                F.array_join(
+                    F.slice(tk, F.lit(1) + F.lit(S) * k, F.lit(W)), " "
+                ).alias("chunk_text"),
+            )
+
+        return F.transform(F.sequence(F.lit(0), last), chunk)
+
+    return (
+        docs.select("doc_id", F.explode(let_(F.split(F.col("text"), " "), build)).alias("c"))
+        .select(
+            "doc_id",
+            F.col("c.chunk_idx").alias("chunk_idx"),
+            F.col("c.chunk_start").alias("chunk_start"),
+            F.col("c.chunk_tokens").alias("chunk_tokens"),
+            F.col("c.chunk_text").alias("chunk_text"),
+            F.md5(F.col("c.chunk_text")).alias("chunk_md5"),
+        )
+        .orderBy("doc_id", "chunk_idx")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Bloom-filter false-positive audit (operators/bloom.py)
+# ---------------------------------------------------------------------------
+
+_BLOOM_CONFIGS = [(16384, 2), (16384, 4), (65536, 2), (65536, 4)]
+
+
+@query(
+    "bloom_filter_fp_audit",
+    """
+    WITH configs(m, k) AS (
+      VALUES (16384, 2), (16384, 4), (65536, 2), (65536, 4)
+    ),
+    params AS (
+      SELECT m, k, i,
+             2 * ((CAST(1103515245 AS BIGINT) * (i + 1) + 12345)
+                  % 1073741824) + 1 AS a,
+             (CAST(1013904223 AS BIGINT) * (i + 1)) % 2147483648 AS c
+      FROM (SELECT m, k, unnest(generate_series(0, k - 1)) AS i
+            FROM configs)
+    ),
+    members AS (
+      SELECT o_orderkey AS key FROM orders
+      WHERE o_orderpriority = '1-URGENT'
+    ),
+    probes AS (
+      SELECT o_orderkey AS key,
+             o_orderpriority = '1-URGENT' AS is_member
+      FROM orders
+    ),
+    bits AS (
+      SELECT DISTINCT p.m, p.k,
+             ((p.a * (mm.key % 2147483648) + p.c) % 2147483648) % p.m
+               AS bitpos
+      FROM params p CROSS JOIN members mm
+    ),
+    probe_bits AS (
+      SELECT DISTINCT p.m, p.k, pr.key, pr.is_member,
+             ((p.a * (pr.key % 2147483648) + p.c) % 2147483648) % p.m
+               AS bitpos
+      FROM params p CROSS JOIN probes pr
+    ),
+    probe_verdicts AS (
+      SELECT pb.m, pb.k, pb.key, pb.is_member,
+             count(*) = count(b.bitpos) AS positive
+      FROM probe_bits pb
+      LEFT JOIN bits b
+        ON b.m = pb.m AND b.k = pb.k AND b.bitpos = pb.bitpos
+      GROUP BY pb.m, pb.k, pb.key, pb.is_member
+    ),
+    bitcounts AS (
+      SELECT m, k, CAST(count(*) AS BIGINT) AS bits_set
+      FROM bits GROUP BY m, k
+    ),
+    stats AS (
+      SELECT m, k,
+             CAST(count(*) FILTER (WHERE is_member) AS BIGINT)
+               AS n_members,
+             CAST(count(*) AS BIGINT) AS n_probes,
+             CAST(count(*) FILTER (WHERE is_member AND positive)
+                  AS BIGINT) AS true_pos,
+             CAST(count(*) FILTER (WHERE NOT is_member AND positive)
+                  AS BIGINT) AS false_pos,
+             CAST(count(*) FILTER (WHERE is_member AND NOT positive)
+                  AS BIGINT) AS false_neg
+      FROM probe_verdicts GROUP BY m, k
+    )
+    SELECT CAST(s.m AS BIGINT) AS m, CAST(s.k AS BIGINT) AS k,
+           s.n_members, b.bits_set,
+           round(CAST(b.bits_set AS DOUBLE) / s.m, 6) AS fill_ratio,
+           s.n_probes, s.true_pos, s.false_pos, s.false_neg,
+           CASE WHEN s.n_probes - s.n_members > 0
+                THEN round(CAST(s.false_pos AS DOUBLE)
+                           / (s.n_probes - s.n_members), 6)
+           END AS fp_rate
+    FROM stats s JOIN bitcounts b ON b.m = s.m AND b.k = s.k
+    ORDER BY m, k
+    """,
+    survey="llm-bloom-filter,S8",
+    tags=("dedup", "sketch"),
+)
+def bloom_filter_fp_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter acceptance gate: build the filter over the urgent
+    orders' keys at four (m, k) operating points, probe EVERY order
+    key, and measure — exactly, against membership ground truth — the
+    fill ratio, false-positive rate, and (the no-go condition) the
+    false-negative count, which a correct Bloom filter must hold at 0.
+
+    This is the S8 incremental-seed workload's scale path: the seen-
+    set anti-join (operators/dedup.py incremental tier) replaced by a
+    broadcast bit set whose admitted re-fetch traffic this audit
+    quantifies per configuration — the same audit-before-trust
+    pattern as setsim_bucket_audit and embedding_ann_recall_cost.
+
+    Plan/scale: per config, the filter is ONE distinct agg over a
+    map-side k-way explode, bounded at m rows — broadcast-sized by
+    the CONSTANT m however large the member set grows; the probe is
+    that broadcast join plus one per-key verdict agg.  Nothing in the
+    plan shuffles more than k rows per input key, and the four
+    configs are independent union branches.  Hash determinism: LCG
+    family in exact int64 (operators/bloom.py:lcg_params) — every bit
+    position, hence every audited count, is integer-identical across
+    engines; the only floats are the two final ratio divisions
+    (round 6).  Production note: at 100 TB you'd localCheckpoint/
+    persist ``bits`` (it is the shippable artifact); here the tiny
+    double evaluation keeps the audit one self-contained action."""
+    from ..operators.bloom import bloom_bits, bloom_probe
+
+    orders = load_table(spark, sf_dir, "orders")
+    members = (
+        orders.filter(F.col("o_orderpriority") == "1-URGENT")
+        .select(F.col("o_orderkey").alias("key"))
+    )
+    probes = orders.select(
+        F.col("o_orderkey").alias("key"),
+        (F.col("o_orderpriority") == "1-URGENT").alias("is_member"),
+    )
+    parts = []
+    for m, k in _BLOOM_CONFIGS:
+        bits = bloom_bits(members, "key", m, k)
+        bits_set = bits.agg(F.count(F.lit(1)).cast("long").alias("bits_set"))
+        verdicts = bloom_probe(probes, "key", bits, m, k)
+        mem = F.col("is_member")
+        pos = F.col("bloom_positive")
+        stats = verdicts.agg(
+            F.sum(F.when(mem, 1).otherwise(0)).cast("long").alias("n_members"),
+            F.count(F.lit(1)).cast("long").alias("n_probes"),
+            F.sum(F.when(mem & pos, 1).otherwise(0))
+            .cast("long")
+            .alias("true_pos"),
+            F.sum(F.when(~mem & pos, 1).otherwise(0))
+            .cast("long")
+            .alias("false_pos"),
+            F.sum(F.when(mem & ~pos, 1).otherwise(0))
+            .cast("long")
+            .alias("false_neg"),
+        )
+        parts.append(
+            stats.crossJoin(F.broadcast(bits_set)).select(
+                F.lit(m).cast("long").alias("m"),
+                F.lit(k).cast("long").alias("k"),
+                "n_members",
+                "bits_set",
+                F.round(
+                    F.col("bits_set").cast("double") / F.lit(m).cast("long"), 6
+                ).alias("fill_ratio"),
+                "n_probes",
+                "true_pos",
+                "false_pos",
+                "false_neg",
+                F.when(
+                    (F.col("n_probes") - F.col("n_members")) > 0,
+                    F.round(
+                        F.col("false_pos").cast("double")
+                        / (F.col("n_probes") - F.col("n_members")),
+                        6,
+                    ),
+                ).alias("fp_rate"),
+            )
+        )
+    from functools import reduce
+
+    return reduce(lambda a, b: a.unionByName(b), parts).orderBy("m", "k")
+
+
+# ---------------------------------------------------------------------------
+# Exact substring containment (token-aligned) — fingerprint-blocked
+# ---------------------------------------------------------------------------
+
+_CONTAIN_CTE = f"""
+  contain_corpus AS (
+    SELECT doc_id, text FROM documents
+    UNION ALL
+    SELECT d1.doc_id + {_DOC_OFF_SQL} AS doc_id,
+           d1.text || ' ' || d2.text AS text
+    FROM documents d1
+    JOIN documents d2 ON d2.doc_id = d1.doc_id + 1
+    WHERE d1.doc_id % 10 = 0
+  )
+"""
+
+
+@query(
+    "doc_containment_pairs",
+    "WITH " + _CONTAIN_CTE + """,
+    sized AS (
+      SELECT doc_id, text,
+             len(string_split(text, ' ')) AS n_tokens
+      FROM contain_corpus
+    )
+    SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+           CAST(a.n_tokens AS BIGINT) AS a_tokens,
+           CAST(b.n_tokens AS BIGINT) AS b_tokens,
+           CASE WHEN a.text = b.text THEN 'equal' ELSE 'proper' END
+             AS relation
+    FROM sized a
+    JOIN sized b
+      ON a.doc_id <> b.doc_id
+     AND a.n_tokens >= 8
+     AND contains(' ' || b.text || ' ', ' ' || a.text || ' ')
+    ORDER BY a_id, b_id
+    """,
+    survey="llm-exact-substr,J4",
+    tags=("dedup",),
+)
+def doc_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whole-document containment detection: every (a, b) pair where
+    document a's full token sequence appears token-aligned inside
+    document b — the 'document swallowed by a larger scrape' case of
+    the J4/J5 near-dup family (a crawl that re-serves page A embedded
+    in listing-hub page B; reference reid/pipelines/property.py
+    dedups only exact url/text matches and misses these).
+
+    The base corpus can't contain such pairs (54-token bag-of-words
+    docs are never substrings of each other), so composites are
+    PLANTED identically in both engines: every 10th doc concatenated
+    with its successor, ids in the data-derived disjoint namespace —
+    each composite must then contain exactly its two constituents.
+
+    Blocking is A's FIRST token-aligned 8-gram probed against B's
+    full positional 8-gram set, shuffled on xxhash64 of the gram (the
+    dedup_ngram_coverage key discipline).  LOSSLESS by construction:
+    a token-aligned occurrence of a (with |a| >= 8, enforced on both
+    engines' needle side) forces a's first 8 tokens to be contiguous
+    token-aligned in b, i.e. one of b's grams — and the space-padded
+    ``contains(' '||b||' ', ' '||a||' ')`` verify rejects every
+    mid-token or partial-token candidate, so hash collisions cost
+    only a wasted verify, never a lost pair.  The driver's oracle is
+    the O(n²) brute-force contains() join — certification IS the
+    completeness proof (the setsim pattern).
+
+    Plan/scale: one map-side gram explode (~n grams per doc, ONE
+    needle gram per doc on the probe side), one equality shuffle on
+    the gram hash, verify on candidates only.  Hot-gram exposure is
+    bounded by the needle side carrying a single gram per doc; on an
+    adversarial corpus the setsim_bucket_audit pattern applies
+    unchanged to this join's gram key."""
+    from ..functions.core import let_
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    off = _id_offset(docs, "doc_id")
+    d1 = docs.filter(F.col("doc_id") % 10 == 0).select(
+        F.col("doc_id").alias("id1"), F.col("text").alias("t1")
+    )
+    d2 = docs.select(F.col("doc_id").alias("id2"), F.col("text").alias("t2"))
+    composites = (
+        d1.join(d2, F.col("id2") == F.col("id1") + 1)
+        .crossJoin(F.broadcast(off))
+        .select(
+            (F.col("id1") + F.col("_off")).alias("doc_id"),
+            F.concat_ws(" ", "t1", "t2").alias("text"),
+        )
+    )
+    corpus = docs.unionByName(composites).withColumn(
+        "n_tokens", F.size(F.split("text", " ")).cast("long")
+    )
+
+    def gram8(toks):
+        g = F.transform(
+            toks,
+            lambda x, i: F.concat_ws(
+                " ", x, *[F.get(toks, i + j) for j in range(1, 8)]
+            ),
+        )
+        keep = F.greatest(F.size(toks) - 7, F.lit(0))
+        return F.slice(g, 1, keep)
+
+    needles = corpus.filter(F.col("n_tokens") >= 8).select(
+        F.col("doc_id").alias("a_id"),
+        F.col("text").alias("a_text"),
+        F.col("n_tokens").alias("a_tokens"),
+        F.xxhash64(F.array_join(F.slice(F.split("text", " "), 1, 8), " ")).alias(
+            "gh"
+        ),
+    )
+    hay = corpus.select(
+        F.col("doc_id").alias("b_id"),
+        F.col("text").alias("b_text"),
+        F.col("n_tokens").alias("b_tokens"),
+        F.explode(let_(F.split(F.col("text"), " "), gram8)).alias("g"),
+    ).select("b_id", "b_text", "b_tokens", F.xxhash64("g").alias("gh"))
+    candidates = (
+        needles.join(hay.dropDuplicates(["b_id", "gh"]), "gh")
+        .filter(F.col("a_id") != F.col("b_id"))
+    )
+    verified = candidates.filter(
+        F.contains(
+            F.concat(F.lit(" "), F.col("b_text"), F.lit(" ")),
+            F.concat(F.lit(" "), F.col("a_text"), F.lit(" ")),
+        )
+    )
+    return verified.select(
+        "a_id",
+        "b_id",
+        "a_tokens",
+        "b_tokens",
+        F.when(F.col("a_text") == F.col("b_text"), "equal")
+        .otherwise("proper")
+        .alias("relation"),
+    ).orderBy("a_id", "b_id")

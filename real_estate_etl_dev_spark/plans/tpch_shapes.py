@@ -918,3 +918,139 @@ def customer_order_distribution_q13(spark: SparkSession, sf_dir: str) -> DataFra
         .agg(F.count(F.lit(1)).cast("long").alias("custdist"))
         .orderBy(F.desc("custdist"), F.desc("c_count"))
     )
+
+
+@query(
+    "market_share_q8",
+    """
+    SELECT o_year,
+           CAST(sum(CASE WHEN nation = 'NATION_12' THEN volume
+                         ELSE CAST(0 AS DECIMAL(20,8)) END) AS DOUBLE)
+             AS nation_volume,
+           CAST(sum(volume) AS DOUBLE) AS total_volume,
+           round(
+             CAST(sum(CASE WHEN nation = 'NATION_12' THEN volume
+                           ELSE CAST(0 AS DECIMAL(20,8)) END) AS DOUBLE)
+             / CAST(sum(volume) AS DOUBLE), 6) AS mkt_share
+    FROM (
+      SELECT CAST(strftime(o.o_orderdate, '%Y') AS BIGINT) AS o_year,
+             CAST(l.l_extendedprice * (1 - l.l_discount)
+                  AS DECIMAL(20,8)) AS volume,
+             n2.n_name AS nation
+      FROM part p
+      JOIN lineitem l ON p.p_partkey = l.l_partkey
+      JOIN supplier s ON s.s_suppkey = l.l_suppkey
+      JOIN orders o ON o.o_orderkey = l.l_orderkey
+      JOIN customer c ON c.c_custkey = o.o_custkey
+      JOIN nation n1 ON n1.n_nationkey = c.c_nationkey
+      JOIN region r ON r.r_regionkey = n1.n_regionkey
+      JOIN nation n2 ON n2.n_nationkey = s.s_nationkey
+      WHERE r.r_name = 'ASIA'
+        AND o.o_orderdate >= TIMESTAMP '1995-01-01'
+        AND o.o_orderdate <  TIMESTAMP '1997-01-01'
+        AND p.p_type = 'PROMO'
+    )
+    GROUP BY o_year
+    ORDER BY o_year
+    """,
+    survey="tpch-q8",
+    tags=("tpch",),
+)
+def market_share_q8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 shape (national market share): of all PROMO-part
+    revenue sold to ASIA customers in 1995-1996, the fraction supplied
+    by NATION_12, per order year — the eight-table join with a
+    conditional-sum ratio on top (the widest join composition in the
+    catalog; the reference's API tier would need four chained routes
+    to approximate it, api/routers/analytics_routes.py composes two).
+
+    Plan/scale: region (5 rows) and both nation lookups (25 rows)
+    broadcast; the ASIA filter collapses region→nation to 5 customer
+    nation keys before touching the fact chain, and p_type='PROMO'
+    prunes part to ~1/6 BEFORE its join, so the only full-size inputs
+    are lineitem (date-range NOT applicable — the range lives on
+    o_orderdate) and orders (range pushed to its scan).  Join order:
+    lineitem ⋈ broadcast(promo parts) ⋈ broadcast(supplier+nation)
+    first — both shrink the fact stream map-side with zero shuffle —
+    then ONE shuffle join against the date-pruned orders on orderkey,
+    then customer.  The customer side is broadcast here (it prunes to
+    1/5 of customers; Q7 precedent); at 100 TB the hint comes off and
+    AQE picks a shuffle join on custkey — the plan is otherwise
+    unchanged.  Numeric determinism: volume is exact DECIMAL(20,8)
+    per the house rule, both the conditional and total sums stay
+    decimal until the single double division, rounded to 6dp; the
+    ELSE 0 keeps years with zero NATION_12 supply at share 0.0 (not
+    NULL) in both engines.  Total volume is strictly positive for
+    every emitted year (prices > 0, discounts < 1), so the ANSI
+    division cannot hit zero."""
+    n = T(spark, sf_dir, "nation")
+    r = T(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    cust_nations = (
+        n.join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .select(F.col("n_nationkey").alias("cn_key"))
+    )
+    c = (
+        T(spark, sf_dir, "customer")
+        .select("c_custkey", "c_nationkey")
+        .join(F.broadcast(cust_nations), F.col("c_nationkey") == F.col("cn_key"))
+        .select("c_custkey")
+    )
+    s = (
+        T(spark, sf_dir, "supplier")
+        .select("s_suppkey", "s_nationkey")
+        .join(
+            F.broadcast(n.select("n_nationkey", "n_name")),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .select("s_suppkey", F.col("n_name").alias("nation"))
+    )
+    p = (
+        T(spark, sf_dir, "part")
+        .filter(F.col("p_type") == "PROMO")
+        .select("p_partkey")
+    )
+    o = (
+        T(spark, sf_dir, "orders")
+        .filter(
+            (F.col("o_orderdate") >= F.lit("1995-01-01").cast("timestamp"))
+            & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+        )
+        .select("o_orderkey", "o_custkey", "o_orderdate")
+    )
+    li = T(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_suppkey", "l_extendedprice", "l_discount"
+    )
+    vol = (F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount"))).cast(_DEC)
+    nation_vol = (
+        F.when(F.col("nation") == "NATION_12", vol)
+        .otherwise(F.lit(0).cast(_DEC))
+    )
+    joined = (
+        li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+    )
+    return (
+        joined.select(
+            F.year(F.to_utc_timestamp("o_orderdate", "UTC"))
+            .cast("long")
+            .alias("o_year"),
+            vol.alias("volume"),
+            nation_vol.alias("nation_volume_term"),
+        )
+        .groupBy("o_year")
+        .agg(
+            F.sum("nation_volume_term").cast("double").alias("nation_volume"),
+            F.sum("volume").cast("double").alias("total_volume"),
+        )
+        .select(
+            "o_year",
+            "nation_volume",
+            "total_volume",
+            F.round(F.col("nation_volume") / F.col("total_volume"), 6).alias(
+                "mkt_share"
+            ),
+        )
+        .orderBy("o_year")
+    )

@@ -833,3 +833,132 @@ def test_ngram_coverage_hashed_equals_string(spark, sf_dir):
         map(key, _ngram_coverage(spark, sf_dir, hash_grams=False).collect())
     )
     assert hashed == strform and len(hashed) > 0
+
+
+# ---------------------------------------------------------------------------
+# Bloom filter (operators/bloom.py)
+# ---------------------------------------------------------------------------
+
+
+def test_bloom_no_false_negatives_and_fp_bounded(spark):
+    """A Bloom filter NEVER loses a member (the structural invariant
+    the fp-audit query certifies at fixture scale), and distinct
+    hash functions actually produce distinct positions for most keys
+    (the rp_signature-degeneracy lesson: verify families, don't
+    assume them)."""
+    from real_estate_etl_dev_spark.operators.bloom import (
+        bit_position,
+        bloom_bits,
+        bloom_probe,
+        lcg_params,
+    )
+
+    # the k param tuples must be pairwise distinct or the family is
+    # degenerate (k identical hashes = a 1-hash filter)
+    params = [lcg_params(i) for i in range(4)]
+    assert len(set(params)) == 4
+
+    members = spark.range(0, 200).selectExpr("id * 7 as key")
+    probes = spark.range(0, 1400).selectExpr(
+        "id as key", "id % 7 = 0 as is_member"
+    )
+    m, k = 4096, 3
+    bits = bloom_bits(members, "key", m, k)
+    verdicts = bloom_probe(probes, "key", bits, m, k).collect()
+    fn = [r for r in verdicts if r["is_member"] and not r["bloom_positive"]]
+    assert fn == []
+    fp = [r for r in verdicts if not r["is_member"] and r["bloom_positive"]]
+    # 200 members * 3 hashes in 4096 bits -> fill ~0.136, fp ~0.25%;
+    # 50x headroom so the bound never flakes while still proving the
+    # filter rejects the overwhelming majority of non-members
+    assert len(fp) < 150
+
+    # positions for one key differ across hash indices (family sanity)
+    row = members.select(
+        *[bit_position(F.col("key"), i, m).alias(f"h{i}") for i in range(3)]
+    ).first()
+    assert len({row[f"h{i}"] for i in range(3)}) > 1
+
+
+# ---------------------------------------------------------------------------
+# Chunking + containment (plans/llmdata.py)
+# ---------------------------------------------------------------------------
+
+
+def test_chunk_windows_cover_and_reconstruct(spark, sf_dir):
+    """Every token of every doc is covered by some chunk, stride
+    arithmetic holds, and concatenating each chunk's non-overlapped
+    head reconstructs the document exactly."""
+    from real_estate_etl_dev_spark.plans.llmdata import (
+        _CHUNK_S,
+        _CHUNK_W,
+        doc_chunk_windows,
+    )
+
+    rows = (
+        doc_chunk_windows(spark, sf_dir)
+        .filter(F.col("doc_id") < 50)
+        .collect()
+    )
+    assert rows
+    from real_estate_etl_dev_spark.sources.readers import load_table
+
+    texts = {
+        r["doc_id"]: r["text"]
+        for r in load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 50)
+        .collect()
+    }
+    by_doc: dict[int, list] = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    assert set(by_doc) == set(texts)
+    for doc_id, chunks in by_doc.items():
+        chunks.sort(key=lambda r: r["chunk_idx"])
+        toks = texts[doc_id].split(" ")
+        n = len(toks)
+        for i, c in enumerate(chunks):
+            assert c["chunk_idx"] == i
+            assert c["chunk_start"] == 1 + _CHUNK_S * i
+            got = c["chunk_text"].split(" ")
+            want = toks[_CHUNK_S * i : _CHUNK_S * i + _CHUNK_W]
+            assert got == want
+            assert c["chunk_tokens"] == len(want)
+        # full coverage: last chunk reaches the final token
+        last = chunks[-1]
+        assert last["chunk_start"] + last["chunk_tokens"] - 1 == n
+        # reconstruction from stride-sized heads + the last chunk
+        rebuilt = []
+        for c in chunks[:-1]:
+            rebuilt += c["chunk_text"].split(" ")[:_CHUNK_S]
+        rebuilt += chunks[-1]["chunk_text"].split(" ")
+        assert rebuilt == toks
+
+
+def test_containment_finds_planted_composites(spark, sf_dir):
+    """Each planted composite contains exactly its two constituents
+    (modulo extra pairs the brute-force oracle also reports, e.g.
+    duplicate-text needles — those must point at the same composite
+    set)."""
+    from real_estate_etl_dev_spark.plans.llmdata import doc_containment_pairs
+    from real_estate_etl_dev_spark.sources.readers import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    max_id = docs.agg(F.max("doc_id")).first()[0]
+    off = max(1_000_000, max_id + 1)
+    base_ids = {r["doc_id"] for r in docs.select("doc_id").collect()}
+    planted = {
+        (i, i + off)
+        for i in base_ids
+        if i % 10 == 0 and (i + 1) in base_ids
+    } | {
+        (i + 1, i + off)
+        for i in base_ids
+        if i % 10 == 0 and (i + 1) in base_ids
+    }
+    got = {
+        (r["a_id"], r["b_id"])
+        for r in doc_containment_pairs(spark, sf_dir).collect()
+    }
+    missing = planted - got
+    assert not missing, f"planted containments lost: {sorted(missing)[:5]}"
