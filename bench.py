@@ -66,12 +66,20 @@ HEADLINE = [
     "dedup_semantic_keepers",      # semantic dedup end-to-end
     "doc_decontaminate",           # eval n-gram overlap screen
     "streaming_queue_status",      # stateful streaming queue
-    "streaming_incremental_dedup",  # crawl-shape streaming dedup
+    # streaming_incremental_dedup rotated out r08 (streaming-dedup
+    # family twin of streaming_watermark_dedup, still on stderr) to
+    # make stdout room for the streaming ANN enrichment path
+    "streaming_ann_enrichment",    # per-micro-batch ANN top-k (r08)
     "fuzzy_title_pairs",           # edit-distance entity resolution
     "zorder_bucket_stats",         # Morton 2-D layout key
     "shipping_priority_topn",      # TPC-H Q3 composite
-    "returned_item_losses",        # TPC-H Q10 composite
-    "kll_quantile_sketch_prices",  # mergeable quantile sketches
+    # returned_item_losses rotated out r08 (TPC-H composite twin of
+    # shipping_priority_topn, still on stderr) for the containment join
+    "doc_containment_pairs",       # blocked exact-substr containment (r08)
+    # kll_quantile_sketch_prices rotated out r08 (mergeable-sketch
+    # family twin of cms_heavy_hitters_users, still on stderr) for the
+    # bloom-filter audit — the sketch slot stays a sketch
+    "bloom_filter_fp_audit",       # bloom filter FP/fill audit (r08)
     "streaming_watermark_dedup",   # engine-native streaming dedup
     "streaming_session_windows",   # native streaming sessionization
     "streaming_static_enrichment",  # stream-static broadcast join
@@ -125,7 +133,7 @@ def build_payload(
     headline = {n: round(timings[n], 2) for n in HEADLINE if n in timings}
     payload = {
         "metric": "catalog_total_wall",
-        "value": total,
+        "value": round(total, 2),
         "unit": "sec",
         "queries": headline,
         "sf": sf,
@@ -147,7 +155,9 @@ def build_payload(
         # the queries that must build their input per invocation (the
         # streaming drops + checkpoint dirs, the bucketed-table writes).
         # total/queries are unchanged — this is the split, not a rebate.
-        payload["setup"] = {n: round(s, 3) for n, s in sorted(setup.items())}
+        # 2 dp: the r08 line hit 1877/1900 chars when the setup dict
+        # grew — 10 ms split granularity is plenty for a cost SPLIT
+        payload["setup"] = {n: round(s, 2) for n, s in sorted(setup.items())}
     if errors:
         # Names only — full messages are on stderr; the stdout line must
         # stay under the driver's 2000-char tail.

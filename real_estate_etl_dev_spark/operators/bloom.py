@@ -99,3 +99,14 @@ def bloom_probe(probes: DataFrame, key: str, bits: DataFrame, m: int, k: int) ->
             (F.count(F.lit(1)) == F.count("_hit")).alias("bloom_positive"),
         )
     )
+
+
+def md5_key(text) -> F.Column:
+    """Content key: first 15 hex digits of md5 as int64 (60 bits —
+    exact in BIGINT).  Cross-engine twin:
+    DuckDB ``('0x' || substr(md5(text), 1, 15))::BIGINT`` parses the
+    same digits to the same integer, so Bloom bit positions derived
+    from this key certify across engines (unlike xxhash64, which has
+    no DuckDB implementation)."""
+    c = F.col(text) if isinstance(text, str) else text
+    return F.conv(F.substring(F.md5(c), 1, 15), 16, 10).cast("long")

@@ -4101,3 +4101,224 @@ def doc_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("proper")
         .alias("relation"),
     ).orderBy("a_id", "b_id")
+
+
+# ---------------------------------------------------------------------------
+# Streaming ANN enrichment — per-micro-batch exact top-k vs static corpus
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "streaming_ann_enrichment",
+    """
+    WITH c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+               FROM embeddings WHERE vec_id % 5 <> 0),
+         q AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+               FROM embeddings WHERE vec_id % 5 = 0),
+         scored AS (
+           SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                  round(list_cosine_similarity(q.v, c.v), 6) AS cos_sim
+           FROM q CROSS JOIN c
+         )
+    SELECT query_id, neighbor_id, cos_sim, rank FROM (
+      SELECT *, CAST(row_number() OVER (
+               PARTITION BY query_id
+               ORDER BY cos_sim DESC, neighbor_id) AS BIGINT) AS rank
+      FROM scored
+    ) WHERE rank <= 3 ORDER BY query_id, rank
+    """,
+    survey="§2.12,llm-ann-exact",
+    tags=("similarity", "streaming"),
+)
+def streaming_ann_enrichment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.12 × ANN: a STREAM of query embeddings (documents arriving
+    from a crawl, batched by file) is enriched per micro-batch with
+    its exact top-3 cosine neighbors from the STATIC corpus — the
+    embedding analog of ``streaming_static_enrichment`` and the online
+    half of the retrieval tier (the batch half is
+    ``embedding_cosine_topk``; dedup-on-arrival is
+    ``streaming_incremental_dedup``).
+
+    One code path for both modes: ``foreachBatch`` invokes the SAME
+    ``cosine_topk`` operator the batch query certifies, appending each
+    batch's verdicts to the sink.  Because each query vector arrives
+    exactly once and the corpus is static, the union of micro-batch
+    outputs MUST equal the one-shot batch answer whatever the file
+    batching — which is exactly what the batch SQL oracle checks; the
+    checkpoint gives exactly-once append on retry.
+
+    Scale: per micro-batch the plan is broadcast(batch queries) ⋈
+    corpus scan + one rank window on query_id — batch-size bytes over
+    the network, corpus never shuffled.  At 100 TB the corpus scan per
+    trigger is the cost driver; the IVF variant
+    (``embedding_ann_ivf``) slots into the same foreachBatch unchanged
+    and prunes the scan to matching cells, at the recall measured by
+    ``embedding_ann_recall_cost``."""
+    import shutil
+    import tempfile
+
+    from ..benchmeta import setup_span
+    from ..streaming.ingest import stream_source
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("embedding"),
+    )
+    corpus = emb.filter(F.col("vec_id") % 5 != 0)
+    queries = emb.filter(F.col("vec_id") % 5 == 0)
+
+    with setup_span("streaming_ann_enrichment"):
+        workdir = tempfile.mkdtemp(prefix="stream_ann_")
+        drop_dir = f"{workdir}/queries"
+        out_dir = f"{workdir}/topk"
+        checkpoint = f"{workdir}/checkpoint"
+        # 4 files at 2 files/trigger => multiple real micro-batches
+        queries.repartition(4).write.parquet(drop_dir)
+
+    stream = stream_source(
+        spark, drop_dir, queries.schema, fmt="parquet", maxFilesPerTrigger=2
+    )
+
+    def publish(batch_df: DataFrame, batch_id: int) -> None:
+        cosine_topk(corpus, batch_df, k=3).write.mode("append").parquet(out_dir)
+
+    q = (
+        stream.writeStream.foreachBatch(publish)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    out = spark.read.parquet(out_dir).select(
+        "query_id", "neighbor_id", "cos_sim", "rank"
+    ).orderBy("query_id", "rank")
+    rows = out.collect()
+    schema = out.schema
+    shutil.rmtree(workdir, ignore_errors=True)
+    return spark.createDataFrame(rows, schema)
+
+
+# ---------------------------------------------------------------------------
+# Bloom-gated incremental dedup — the S8 seen-set at 100 TB
+# ---------------------------------------------------------------------------
+
+_BLOOM_DEDUP_M = 65536
+_BLOOM_DEDUP_K = 4
+
+
+@query(
+    "dedup_bloom_prefilter",
+    f"""
+    WITH params AS (
+      SELECT i,
+             2 * ((CAST(1103515245 AS BIGINT) * (i + 1) + 12345)
+                  % 1073741824) + 1 AS a,
+             (CAST(1013904223 AS BIGINT) * (i + 1)) % 2147483648 AS c
+      FROM (SELECT unnest(generate_series(0, {_BLOOM_DEDUP_K - 1})) AS i)
+    ),
+    seen AS (
+      SELECT DISTINCT ('0x' || substr(md5(text), 1, 15))::BIGINT AS key
+      FROM documents
+    ),
+    incoming AS (
+      SELECT doc_id, text FROM documents WHERE doc_id % 7 = 0
+      UNION ALL
+      SELECT doc_id, text || ' novel' AS text
+      FROM documents WHERE doc_id % 7 = 3
+    ),
+    inkeys AS (
+      SELECT doc_id,
+             ('0x' || substr(md5(text), 1, 15))::BIGINT AS key
+      FROM incoming
+    ),
+    bits AS (
+      SELECT DISTINCT
+             ((p.a * (s.key % 2147483648) + p.c) % 2147483648)
+               % {_BLOOM_DEDUP_M} AS bitpos
+      FROM params p CROSS JOIN seen s
+    ),
+    probe_bits AS (
+      SELECT DISTINCT ik.doc_id, ik.key,
+             ((p.a * (ik.key % 2147483648) + p.c) % 2147483648)
+               % {_BLOOM_DEDUP_M} AS bitpos
+      FROM params p CROSS JOIN inkeys ik
+    ),
+    verdicts AS (
+      SELECT pb.doc_id, pb.key,
+             count(*) = count(b.bitpos) AS bloom_positive
+      FROM probe_bits pb
+      LEFT JOIN bits b ON b.bitpos = pb.bitpos
+      GROUP BY pb.doc_id, pb.key
+    )
+    SELECT v.doc_id, v.bloom_positive,
+           v.key IN (SELECT key FROM seen) AS is_dup,
+           NOT v.key IN (SELECT key FROM seen) AS kept
+    FROM verdicts v
+    ORDER BY doc_id
+    """,
+    survey="llm-bloom-filter,S8,dedup-incremental",
+    tags=("dedup", "sketch"),
+)
+def dedup_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-GATED incremental dedup — the executable 100 TB form of
+    the S8 seen-set check: incoming scrape batch (planted: every 7th
+    doc is an exact re-scrape, every 7k+3rd is genuinely novel text)
+    is probed against a Bloom filter built over the seen corpus'
+    content keys; only BLOOM-POSITIVE rows pay the exact seen-set
+    join, bloom-negatives are admitted outright on the filter's
+    no-false-negative guarantee.
+
+    End-to-end EXACTNESS is what certification proves: the verify
+    join scrubs every false positive, and a false negative anywhere
+    would surface as an is_dup mismatch against the oracle's direct
+    membership check — so the green row is a data-level proof of the
+    no-FN invariant that ``bloom_filter_fp_audit`` measures
+    configuration-wide.  Content keys are md5-hex→int64
+    (operators/bloom.py:md5_key), the certifiable twin of the
+    production xxhash64 key.
+
+    Plan/scale: filter build is one distinct agg bounded at m rows;
+    the probe is the broadcast bit-set join; the EXACT join's left
+    side shrinks from |incoming| to |dups| + |false positives| —
+    at the audited fp_rate ≈ 0.0007 for (65536, 4), that is the
+    difference between shuffling the whole batch against a 100 TB
+    seen-set index and shuffling ~nothing but the true re-scrapes."""
+    from ..operators.bloom import bloom_bits, bloom_probe, md5_key
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    seen = docs.select(md5_key("text").alias("key")).distinct()
+    incoming = (
+        docs.filter(F.col("doc_id") % 7 == 0)
+        .select("doc_id", "text")
+        .unionByName(
+            docs.filter(F.col("doc_id") % 7 == 3).select(
+                "doc_id", F.concat(F.col("text"), F.lit(" novel")).alias("text")
+            )
+        )
+    )
+    inkeys = incoming.select("doc_id", md5_key("text").alias("key"))
+    bits = bloom_bits(seen, "key", _BLOOM_DEDUP_M, _BLOOM_DEDUP_K)
+    verdicts = bloom_probe(
+        inkeys, "key", bits, _BLOOM_DEDUP_M, _BLOOM_DEDUP_K
+    )
+    pos = verdicts.filter(F.col("bloom_positive"))
+    neg = verdicts.filter(~F.col("bloom_positive")).withColumn(
+        "is_dup", F.lit(False)
+    )
+    seen_marked = seen.withColumn("_seen", F.lit(1))
+    pos_checked = (
+        pos.join(seen_marked, "key", "left")
+        .withColumn("is_dup", F.col("_seen").isNotNull())
+        .drop("_seen")
+    )
+    return (
+        pos_checked.unionByName(neg)
+        .select(
+            "doc_id",
+            "bloom_positive",
+            "is_dup",
+            (~F.col("is_dup")).alias("kept"),
+        )
+        .orderBy("doc_id")
+    )
