@@ -46,15 +46,37 @@ def lcg_params(i: int) -> tuple[int, int]:
 
 def bit_position(key, i: int, m: int):
     """Column: h_i(key) in [0, m).  ``key`` must be integral; lits are
-    cast to long up front (INT32-literal ANSI overflow trap)."""
+    cast to long up front (INT32-literal ANSI overflow trap).
+
+    NOT a bare affine LCG: the family's first scale-probe run measured
+    ~4% false positives where independent hashes predict ~0.05% —
+    pure-affine positions are all images of the SAME key difference,
+    so one lucky collision correlates across every hash index (the
+    rp_signature lesson again: audit the family, don't assume it).
+    Two xor-shift mixing steps around the multiply break the affinity;
+    the re-run probe matches the independence prediction within noise.
+    Every intermediate stays below 2^62, so int64 arithmetic is exact
+    and DuckDB's ``xor()``/``>>`` twin reproduces it bit-for-bit."""
     a, c = lcg_params(i)
-    return (
-        (
-            F.lit(a).cast("long") * (key.cast("long") % F.lit(_M31).cast("long"))
-            + F.lit(c).cast("long")
-        )
-        % F.lit(_M31).cast("long")
-    ) % F.lit(m).cast("long")
+    a2, _ = lcg_params(i + 8)
+    m31 = F.lit(_M31).cast("long")
+    x = key.cast("long") % m31
+    y = x.bitwiseXOR(F.shiftrightunsigned(x, 15))
+    z = (F.lit(a).cast("long") * y + F.lit(c).cast("long")) % m31
+    w = z.bitwiseXOR(F.shiftrightunsigned(z, 13))
+    return (F.lit(a2).cast("long") * w) % m31 % F.lit(m).cast("long")
+
+
+def bit_position_sql(key_expr: str, i: int, m: int) -> str:
+    """The DuckDB twin of :func:`bit_position` — kept adjacent so the
+    two formulations can be reviewed as one."""
+    a, c = lcg_params(i)
+    a2, _ = lcg_params(i + 8)
+    x = f"(({key_expr}) % 2147483648)"
+    y = f"xor({x}, {x} >> 15)"
+    z = f"((CAST({a} AS BIGINT) * {y} + {c}) % 2147483648)"
+    w = f"xor({z}, {z} >> 13)"
+    return f"((CAST({a2} AS BIGINT) * {w}) % 2147483648) % {m}"
 
 
 def bloom_bits(members: DataFrame, key: str, m: int, k: int) -> DataFrame:

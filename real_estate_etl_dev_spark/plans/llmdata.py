@@ -3808,21 +3808,38 @@ def doc_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
 _BLOOM_CONFIGS = [(16384, 2), (16384, 4), (65536, 2), (65536, 4)]
 
 
+def _bloom_audit_hash_ctes() -> str:
+    """bits/probe_bits CTE text from the SAME xor-shift-mixed hash the
+    Spark operator evaluates (operators/bloom.py:bit_position_sql) —
+    one UNION ALL branch per (config, hash index), so both engines run
+    the identical exact-int64 expression per position."""
+    from ..operators.bloom import bit_position_sql
+
+    bits, probe = [], []
+    for m, k in _BLOOM_CONFIGS:
+        for i in range(k):
+            bp = bit_position_sql("key", i, m)
+            bits.append(
+                f"SELECT {m} AS m, {k} AS k, {bp} AS bitpos FROM members"
+            )
+            probe.append(
+                f"SELECT {m} AS m, {k} AS k, key, is_member,"
+                f" {bp} AS bitpos FROM probes"
+            )
+    return (
+        "bits AS (SELECT DISTINCT m, k, bitpos FROM ("
+        + " UNION ALL ".join(bits)
+        + ")),\n    probe_bits AS (SELECT DISTINCT m, k, key, is_member,"
+        + " bitpos FROM ("
+        + " UNION ALL ".join(probe)
+        + "))"
+    )
+
+
 @query(
     "bloom_filter_fp_audit",
     """
-    WITH configs(m, k) AS (
-      VALUES (16384, 2), (16384, 4), (65536, 2), (65536, 4)
-    ),
-    params AS (
-      SELECT m, k, i,
-             2 * ((CAST(1103515245 AS BIGINT) * (i + 1) + 12345)
-                  % 1073741824) + 1 AS a,
-             (CAST(1013904223 AS BIGINT) * (i + 1)) % 2147483648 AS c
-      FROM (SELECT m, k, unnest(generate_series(0, k - 1)) AS i
-            FROM configs)
-    ),
-    members AS (
+    WITH members AS (
       SELECT o_orderkey AS key FROM orders
       WHERE o_orderpriority = '1-URGENT'
     ),
@@ -3831,18 +3848,9 @@ _BLOOM_CONFIGS = [(16384, 2), (16384, 4), (65536, 2), (65536, 4)]
              o_orderpriority = '1-URGENT' AS is_member
       FROM orders
     ),
-    bits AS (
-      SELECT DISTINCT p.m, p.k,
-             ((p.a * (mm.key % 2147483648) + p.c) % 2147483648) % p.m
-               AS bitpos
-      FROM params p CROSS JOIN members mm
-    ),
-    probe_bits AS (
-      SELECT DISTINCT p.m, p.k, pr.key, pr.is_member,
-             ((p.a * (pr.key % 2147483648) + p.c) % 2147483648) % p.m
-               AS bitpos
-      FROM params p CROSS JOIN probes pr
-    ),
+    """
+    + _bloom_audit_hash_ctes()
+    + """,
     probe_verdicts AS (
       SELECT pb.m, pb.k, pb.key, pb.is_member,
              count(*) = count(b.bitpos) AS positive
@@ -4207,17 +4215,30 @@ _BLOOM_DEDUP_M = 65536
 _BLOOM_DEDUP_K = 4
 
 
+def _bloom_prefilter_hash_ctes() -> str:
+    """bits/probe_bits CTE text from bit_position_sql — the xor-shift
+    mixed family, one UNION ALL branch per hash index (same build as
+    _bloom_audit_hash_ctes, single configuration)."""
+    from ..operators.bloom import bit_position_sql
+
+    bits, probe = [], []
+    for i in range(_BLOOM_DEDUP_K):
+        bp = bit_position_sql("key", i, _BLOOM_DEDUP_M)
+        bits.append(f"SELECT {bp} AS bitpos FROM seen")
+        probe.append(f"SELECT doc_id, key, {bp} AS bitpos FROM inkeys")
+    return (
+        "bits AS (SELECT DISTINCT bitpos FROM ("
+        + " UNION ALL ".join(bits)
+        + ")),\n    probe_bits AS (SELECT DISTINCT doc_id, key, bitpos FROM ("
+        + " UNION ALL ".join(probe)
+        + "))"
+    )
+
+
 @query(
     "dedup_bloom_prefilter",
-    f"""
-    WITH params AS (
-      SELECT i,
-             2 * ((CAST(1103515245 AS BIGINT) * (i + 1) + 12345)
-                  % 1073741824) + 1 AS a,
-             (CAST(1013904223 AS BIGINT) * (i + 1)) % 2147483648 AS c
-      FROM (SELECT unnest(generate_series(0, {_BLOOM_DEDUP_K - 1})) AS i)
-    ),
-    seen AS (
+    """
+    WITH seen AS (
       SELECT DISTINCT ('0x' || substr(md5(text), 1, 15))::BIGINT AS key
       FROM documents
     ),
@@ -4232,18 +4253,9 @@ _BLOOM_DEDUP_K = 4
              ('0x' || substr(md5(text), 1, 15))::BIGINT AS key
       FROM incoming
     ),
-    bits AS (
-      SELECT DISTINCT
-             ((p.a * (s.key % 2147483648) + p.c) % 2147483648)
-               % {_BLOOM_DEDUP_M} AS bitpos
-      FROM params p CROSS JOIN seen s
-    ),
-    probe_bits AS (
-      SELECT DISTINCT ik.doc_id, ik.key,
-             ((p.a * (ik.key % 2147483648) + p.c) % 2147483648)
-               % {_BLOOM_DEDUP_M} AS bitpos
-      FROM params p CROSS JOIN inkeys ik
-    ),
+    """
+    + _bloom_prefilter_hash_ctes()
+    + """,
     verdicts AS (
       SELECT pb.doc_id, pb.key,
              count(*) = count(b.bitpos) AS bloom_positive

@@ -106,7 +106,86 @@ def main() -> None:
         )
 
     hybrid_vs_exact(spark)
+    bloom_vs_exact(spark)
     streaming_probe(spark)
+
+
+def bloom_vs_exact(spark) -> None:
+    """The dedup_bloom_prefilter claim, measured on its own growth
+    axis: the SEEN corpus is fixed (8× sf0.1 ≈ 40k docs; its filter
+    is built ONCE — a 100 TB corpus pays this linear scan once, then
+    amortizes it over every future batch), while the INCOMING batch
+    grows k× with a ~fixed true-duplicate mass (re-scrapes don't grow
+    with frontier size; novel URLs do).  The observable that matters
+    at scale is the VERIFY MASS: how many rows still need the exact
+    seen-set join after the bloom gate.  Exact path: all of incoming.
+    Bloom path: dups + false positives — near-flat while incoming
+    grows 32×.  That mass is what decides whether the verify side
+    still BROADCASTS against the corpus scan (map-side semi join, no
+    100 TB shuffle) or degenerates into a full two-sided shuffle —
+    the same go/no-go observable pattern as setsim_bucket_audit."""
+    from real_estate_etl_dev_spark.operators.bloom import (
+        bloom_bits,
+        bloom_probe,
+        md5_key,
+    )
+
+    m, kh = 2**20, 4
+    seen = (
+        replicated(spark, 8)
+        .select(md5_key("text").alias("key"))
+        .distinct()
+        .localCheckpoint()
+    )
+    n_seen = seen.count()
+    t0 = time.perf_counter()
+    bits = bloom_bits(seen, "key", m, kh).localCheckpoint()
+    n_bits = bits.count()
+    t_build = time.perf_counter() - t0
+    print()
+    print(
+        f"seen corpus {n_seen:,} keys; bloom build (once, amortized): "
+        f"{t_build:.1f}s, {n_bits:,} bits set of m=2^20, k=4"
+    )
+    print(
+        "| incoming | exact semi s (dups) "
+        "| bloom check s | verify mass after gate (vs incoming) |"
+    )
+    print("|---|---|---|---|")
+    base = spark.read.parquet(f"{SF_DIR}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    for k in (1, 4, 16, 32):
+        reps = spark.range(k).select(F.col("id").alias("rep"))
+        novel = base.crossJoin(reps).select(
+            (F.col("doc_id") + F.col("rep") * 10_000_000).alias("doc_id"),
+            F.concat("text", F.lit(" fresh"), F.col("rep")).alias("text"),
+        )
+        dups = base.filter(F.col("doc_id") % 10 == 0)
+        incoming = (
+            novel.unionByName(dups)
+            .select("doc_id", md5_key("text").alias("key"))
+            .localCheckpoint()
+        )
+        n_in = incoming.count()
+
+        t0 = time.perf_counter()
+        n_dup = incoming.join(seen, "key", "left_semi").count()
+        t_exact = time.perf_counter() - t0
+
+        t0 = time.perf_counter()
+        verdicts = bloom_probe(incoming, "key", bits, m, kh)
+        pos = verdicts.filter(F.col("bloom_positive")).localCheckpoint()
+        n_pos = pos.count()
+        n_confirmed = pos.join(seen, "key", "left_semi").count()
+        t_check = time.perf_counter() - t0
+        assert n_confirmed == n_dup, (n_confirmed, n_dup)
+
+        print(
+            f"| {n_in:,} | {t_exact:.1f} ({n_dup:,}) "
+            f"| {t_check:.1f} | {n_pos:,} ({100.0 * n_pos / n_in:.2f}%) |",
+            flush=True,
+        )
 
 
 def hybrid_vs_exact(spark) -> None:
