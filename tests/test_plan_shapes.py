@@ -754,3 +754,51 @@ def test_text_audits_are_mapside_jvm(spark, sf_dir):
     zipf = plan_of(spark, sf_dir, "corpus_zipf_fit")
     assert "Python" not in zipf
     assert "CartesianProduct" not in zipf
+
+
+def test_bloom_tier_broadcasts_bits_no_sortmerge(spark, sf_dir):
+    """The bloom promise: the bit set is broadcast-sized by the
+    CONSTANT m, so every bitpos probe must plan as a broadcast hash
+    join — a SortMergeJoin would mean the filter itself is being
+    shuffled, defeating the design."""
+    for name in ("bloom_filter_fp_audit", "dedup_bloom_prefilter"):
+        plan = plan_of(spark, sf_dir, name)
+        assert "BroadcastHashJoin" in plan, name
+        assert "SortMergeJoin" not in plan, name
+        assert "Python" not in plan, name
+
+
+def test_containment_blocks_on_gram_hash(spark, sf_dir):
+    """doc_containment_pairs candidates must shuffle on the xxhash64'd
+    first-gram key (the dedup_ngram_coverage discipline) and never
+    fall back to an all-pairs join; the exact contains() verify runs
+    on candidates only."""
+    plan = plan_of(spark, sf_dir, "doc_containment_pairs")
+    assert "xxhash64" in plan
+    assert "CartesianProduct" not in plan
+    assert "Contains(" in plan or "contains(" in plan
+    assert "Python" not in plan
+
+
+def test_chunk_windows_is_mapside_single_generate(spark, sf_dir):
+    """The chunker's only exchange is the output sort's range
+    partitioning — a hashpartitioning exchange would mean the
+    map-only promise rotted."""
+    plan = plan_of(spark, sf_dir, "doc_chunk_windows")
+    assert "Generate" in plan
+    assert "hashpartitioning" not in plan
+    assert plan.count("Exchange") <= 2  # range partition + AQE reuse text
+    assert "Python" not in plan
+
+
+def test_q8_broadcasts_dims_and_pushes_all_filters(spark, sf_dir):
+    """Q8's three scan-level predicates must reach their scans, and
+    the dim sides must broadcast (the fixture plans every join
+    broadcast; at scale AQE swaps the two fact-side ones)."""
+    fmt = formatted(spark, sf_dir, "market_share_q8")
+    assert "EqualTo(p_type,PROMO)" in fmt
+    assert "EqualTo(r_name,ASIA)" in fmt
+    assert "GreaterThanOrEqual(o_orderdate,1995-01-01" in fmt
+    plan = plan_of(spark, sf_dir, "market_share_q8")
+    assert plan.count("BroadcastHashJoin") >= 4
+    assert "CartesianProduct" not in plan
