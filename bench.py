@@ -155,9 +155,15 @@ def build_payload(
         # the queries that must build their input per invocation (the
         # streaming drops + checkpoint dirs, the bucketed-table writes).
         # total/queries are unchanged — this is the split, not a rebate.
-        # 2 dp: the r08 line hit 1877/1900 chars when the setup dict
-        # grew — 10 ms split granularity is plenty for a cost SPLIT
-        payload["setup"] = {n: round(s, 2) for n, s in sorted(setup.items())}
+        # 2 dp + HEADLINE-only: the stdout setup split mirrors the
+        # stdout queries dict (every non-headline split still prints
+        # in the stderr table) — the full dict grew the line to
+        # 1882/1900 chars as the streaming family expanded.
+        payload["setup"] = {
+            n: round(s, 2)
+            for n, s in sorted(setup.items())
+            if n in HEADLINE
+        }
     if errors:
         # Names only — full messages are on stderr; the stdout line must
         # stay under the driver's 2000-char tail.

@@ -4235,8 +4235,9 @@ def _bloom_prefilter_hash_ctes() -> str:
     )
 
 
-@query(
-    "dedup_bloom_prefilter",
+# Shared by dedup_bloom_prefilter and its streaming twin: identical
+# fixture, identical hash family, identical output contract.
+_BLOOM_PREFILTER_SQL = (
     """
     WITH seen AS (
       SELECT DISTINCT ('0x' || substr(md5(text), 1, 15))::BIGINT AS key
@@ -4268,7 +4269,53 @@ def _bloom_prefilter_hash_ctes() -> str:
            NOT v.key IN (SELECT key FROM seen) AS kept
     FROM verdicts v
     ORDER BY doc_id
-    """,
+    """
+)
+
+
+def _bloom_incoming(docs: DataFrame) -> DataFrame:
+    """The planted incoming batch: every 7th doc an exact re-scrape,
+    every 7k+3rd genuinely novel text (both engines build it
+    identically)."""
+    return (
+        docs.filter(F.col("doc_id") % 7 == 0)
+        .select("doc_id", "text")
+        .unionByName(
+            docs.filter(F.col("doc_id") % 7 == 3).select(
+                "doc_id", F.concat(F.col("text"), F.lit(" novel")).alias("text")
+            )
+        )
+    )
+
+
+def _bloom_gate(inkeys: DataFrame, bits: DataFrame, seen: DataFrame) -> DataFrame:
+    """Gate + verify: bloom-probe every incoming key, exact-join ONLY
+    the positives against the seen set, admit negatives on the no-FN
+    guarantee.  Shared verbatim by the batch and streaming paths."""
+    from ..operators.bloom import bloom_probe
+
+    verdicts = bloom_probe(inkeys, "key", bits, _BLOOM_DEDUP_M, _BLOOM_DEDUP_K)
+    pos = verdicts.filter(F.col("bloom_positive"))
+    neg = verdicts.filter(~F.col("bloom_positive")).withColumn(
+        "is_dup", F.lit(False)
+    )
+    seen_marked = seen.withColumn("_seen", F.lit(1))
+    pos_checked = (
+        pos.join(seen_marked, "key", "left")
+        .withColumn("is_dup", F.col("_seen").isNotNull())
+        .drop("_seen")
+    )
+    return pos_checked.unionByName(neg).select(
+        "doc_id",
+        "bloom_positive",
+        "is_dup",
+        (~F.col("is_dup")).alias("kept"),
+    )
+
+
+@query(
+    "dedup_bloom_prefilter",
+    _BLOOM_PREFILTER_SQL,
     survey="llm-bloom-filter,S8,dedup-incremental",
     tags=("dedup", "sketch"),
 )
@@ -4296,41 +4343,86 @@ def dedup_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
     at the audited fp_rate ≈ 0.0007 for (65536, 4), that is the
     difference between shuffling the whole batch against a 100 TB
     seen-set index and shuffling ~nothing but the true re-scrapes."""
-    from ..operators.bloom import bloom_bits, bloom_probe, md5_key
+    from ..operators.bloom import bloom_bits, md5_key
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     seen = docs.select(md5_key("text").alias("key")).distinct()
-    incoming = (
-        docs.filter(F.col("doc_id") % 7 == 0)
-        .select("doc_id", "text")
-        .unionByName(
-            docs.filter(F.col("doc_id") % 7 == 3).select(
-                "doc_id", F.concat(F.col("text"), F.lit(" novel")).alias("text")
-            )
-        )
+    inkeys = _bloom_incoming(docs).select(
+        "doc_id", md5_key("text").alias("key")
     )
-    inkeys = incoming.select("doc_id", md5_key("text").alias("key"))
     bits = bloom_bits(seen, "key", _BLOOM_DEDUP_M, _BLOOM_DEDUP_K)
-    verdicts = bloom_probe(
-        inkeys, "key", bits, _BLOOM_DEDUP_M, _BLOOM_DEDUP_K
+    return _bloom_gate(inkeys, bits, seen).orderBy("doc_id")
+
+
+@query(
+    "streaming_bloom_dedup",
+    _BLOOM_PREFILTER_SQL,
+    survey="llm-bloom-filter,S8,§2.12",
+    tags=("dedup", "sketch", "streaming"),
+)
+def streaming_bloom_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The bloom-gated seen-set check under CONTINUOUS arrival — the
+    incoming batch of ``dedup_bloom_prefilter`` streamed in as files,
+    each micro-batch gated by the SAME ``_bloom_gate`` code path
+    against a filter built ONCE before the stream starts (the
+    build-once amortization the scale probe measures, made literal:
+    ``bits`` is localCheckpoint-pinned, so no micro-batch re-scans
+    the seen corpus to rebuild it).
+
+    Because verdicts are per-row and the filter is static, the union
+    of micro-batch outputs MUST equal the batch answer whatever the
+    file batching — the oracle is the identical batch SQL, so the
+    green row certifies the streaming path end-to-end (the
+    streaming_merge_scd1 / streaming_ann_enrichment pattern).
+
+    Scale: per micro-batch the plan is a broadcast bit-set probe plus
+    an exact join of the few bloom-positive rows; state is ZERO
+    (stateless foreachBatch — the 'state' is the immutable bit set),
+    so arrival volume never grows anything but the batch itself."""
+    import shutil
+    import tempfile
+
+    from ..benchmeta import setup_span
+    from ..operators.bloom import bloom_bits, md5_key
+    from ..streaming.ingest import stream_source
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    seen = docs.select(md5_key("text").alias("key")).distinct()
+
+    with setup_span("streaming_bloom_dedup"):
+        # build-once: pin filter AND seen keys before the stream
+        bits = bloom_bits(
+            seen, "key", _BLOOM_DEDUP_M, _BLOOM_DEDUP_K
+        ).localCheckpoint()
+        seen = seen.localCheckpoint()
+        workdir = tempfile.mkdtemp(prefix="stream_bloom_")
+        drop_dir = f"{workdir}/incoming"
+        out_dir = f"{workdir}/verdicts"
+        checkpoint = f"{workdir}/checkpoint"
+        incoming = _bloom_incoming(docs)
+        # 4 files at 2/trigger => multiple real micro-batches
+        incoming.repartition(4).write.parquet(drop_dir)
+
+    stream = stream_source(
+        spark, drop_dir, incoming.schema, fmt="parquet", maxFilesPerTrigger=2
     )
-    pos = verdicts.filter(F.col("bloom_positive"))
-    neg = verdicts.filter(~F.col("bloom_positive")).withColumn(
-        "is_dup", F.lit(False)
+
+    def publish(batch_df: DataFrame, batch_id: int) -> None:
+        inkeys = batch_df.select("doc_id", md5_key("text").alias("key"))
+        _bloom_gate(inkeys, bits, seen).write.mode("append").parquet(out_dir)
+
+    q = (
+        stream.writeStream.foreachBatch(publish)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
     )
-    seen_marked = seen.withColumn("_seen", F.lit(1))
-    pos_checked = (
-        pos.join(seen_marked, "key", "left")
-        .withColumn("is_dup", F.col("_seen").isNotNull())
-        .drop("_seen")
-    )
-    return (
-        pos_checked.unionByName(neg)
-        .select(
-            "doc_id",
-            "bloom_positive",
-            "is_dup",
-            (~F.col("is_dup")).alias("kept"),
-        )
-        .orderBy("doc_id")
-    )
+    q.awaitTermination()
+
+    out = spark.read.parquet(out_dir).select(
+        "doc_id", "bloom_positive", "is_dup", "kept"
+    ).orderBy("doc_id")
+    rows = out.collect()
+    schema = out.schema
+    shutil.rmtree(workdir, ignore_errors=True)
+    return spark.createDataFrame(rows, schema)
