@@ -344,3 +344,44 @@ def test_setsim_hybrid_sound_on_random_corpora(spark, data):
     assert identical <= got      # identical-set recall theorem
     if cap == 10**6:
         assert got == brute      # no hot bucket ⇒ equals exact join
+
+
+# ---------------------------------------------------------------------------
+# Bloom hash family (operators/bloom.py)
+# ---------------------------------------------------------------------------
+
+bloom_keys = st.lists(
+    st.integers(min_value=0, max_value=2**60 - 1), min_size=1, max_size=24
+)
+
+
+def _bit_position_model(key: int, i: int, m: int) -> int:
+    """Pure-Python mirror of bit_position's exact int64 arithmetic —
+    pins the column expression (and, transitively, its DuckDB twin,
+    which parity tests pin against the column) so a refactor can't
+    silently change certified bit positions."""
+    from real_estate_etl_dev_spark.operators.bloom import lcg_params
+
+    a, c = lcg_params(i)
+    a2, _ = lcg_params(i + 8)
+    m31 = 2**31
+    x = key % m31
+    y = x ^ (x >> 15)
+    z = (a * y + c) % m31
+    w = z ^ (z >> 13)
+    return (a2 * w) % m31 % m
+
+
+@given(keys=bloom_keys)
+@H
+def test_bloom_bit_positions_match_python_model(spark, keys):
+    from real_estate_etl_dev_spark.operators.bloom import bit_position
+
+    m = 65536
+    df = spark.createDataFrame([(k,) for k in keys], "key long")
+    rows = df.select(
+        "key", *[bit_position(F.col("key"), i, m).alias(f"h{i}") for i in range(3)]
+    ).collect()
+    for r in rows:
+        for i in range(3):
+            assert r[f"h{i}"] == _bit_position_model(r["key"], i, m)
