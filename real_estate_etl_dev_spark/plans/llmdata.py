@@ -4148,12 +4148,16 @@ def streaming_ann_enrichment(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``streaming_incremental_dedup``).
 
     One code path for both modes: ``foreachBatch`` invokes the SAME
-    ``cosine_topk`` operator the batch query certifies, appending each
-    batch's verdicts to the sink.  Because each query vector arrives
-    exactly once and the corpus is static, the union of micro-batch
-    outputs MUST equal the one-shot batch answer whatever the file
-    batching — which is exactly what the batch SQL oracle checks; the
-    checkpoint gives exactly-once append on retry.
+    ``cosine_topk`` operator the batch query certifies, publishing
+    each batch's verdicts under a ``batch=<id>`` directory with
+    overwrite semantics — a retried batch REPLACES its own output
+    instead of appending a duplicate (plain append would be
+    at-least-once under foreachBatch; partition-by-batch-id is the
+    standard idempotent-publish pattern for non-transactional sinks).
+    Because each query vector arrives exactly once and the corpus is
+    static, the union of micro-batch outputs MUST equal the one-shot
+    batch answer whatever the file batching — which is exactly what
+    the batch SQL oracle checks.
 
     Scale: per micro-batch the plan is broadcast(batch queries) ⋈
     corpus scan + one rank window on query_id — batch-size bytes over
@@ -4188,7 +4192,9 @@ def streaming_ann_enrichment(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     def publish(batch_df: DataFrame, batch_id: int) -> None:
-        cosine_topk(corpus, batch_df, k=3).write.mode("append").parquet(out_dir)
+        cosine_topk(corpus, batch_df, k=3).write.mode("overwrite").parquet(
+            f"{out_dir}/batch={batch_id}"
+        )
 
     q = (
         stream.writeStream.foreachBatch(publish)
@@ -4374,6 +4380,9 @@ def streaming_bloom_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     file batching — the oracle is the identical batch SQL, so the
     green row certifies the streaming path end-to-end (the
     streaming_merge_scd1 / streaming_ann_enrichment pattern).
+    Publication is idempotent per batch (``batch=<id>`` overwrite,
+    not append), so a foreachBatch retry replaces rather than
+    duplicates its output.
 
     Scale: per micro-batch the plan is a broadcast bit-set probe plus
     an exact join of the few bloom-positive rows; state is ZERO
@@ -4409,7 +4418,9 @@ def streaming_bloom_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     def publish(batch_df: DataFrame, batch_id: int) -> None:
         inkeys = batch_df.select("doc_id", md5_key("text").alias("key"))
-        _bloom_gate(inkeys, bits, seen).write.mode("append").parquet(out_dir)
+        _bloom_gate(inkeys, bits, seen).write.mode("overwrite").parquet(
+            f"{out_dir}/batch={batch_id}"
+        )
 
     q = (
         stream.writeStream.foreachBatch(publish)
