@@ -1935,7 +1935,15 @@ def streaming_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: the cross-batch reference set is read as DISTINCT hashes of
     the sink (one narrow column per batch — at 100 TB a persisted
     hash index bucketed on the hash replaces the re-read, same as the
-    batch posture), and the within-batch pass is one window rank."""
+    batch posture), and the within-batch pass is one window rank.
+
+    Retry semantics: the append sink is SELF-CORRECTING — a retried
+    batch re-reads the sink, finds its own previously-published
+    survivors already there, flags them ``in_corpus`` and appends
+    nothing, so completed publishes are effectively exactly-once
+    without batch-id partitioning (the dedup predicate IS the
+    idempotence guard; contrast streaming_ann_enrichment, whose
+    non-dedup output needs the ``batch=<id>`` overwrite pattern)."""
     import shutil
     import tempfile
 
