@@ -86,3 +86,47 @@ def fake_feature_extractor(
             )
 
     return df.select(id_col, payload_col).mapInPandas(kernel, FAKE_FEATURE_SCHEMA)
+
+
+def frame_sample_schedule(
+    df: DataFrame,
+    duration_ms: Column | str,
+    fps_milli: Column | str,
+    max_frames: int = 8,
+) -> Column:
+    """Uniform-k video frame-sampling schedule as an array of
+    (frame_idx, ts_ms) structs — the standard video-LM prep step
+    (sample ≤ max_frames frames endpoint-inclusive across the clip),
+    computed ENTIRELY in exact integer arithmetic so the schedule is
+    engine-portable: fps arrives in millihertz (23.976 fps = 23976),
+    total frames = duration_ms·fps_milli div 10^6, the j-th sampled
+    index is the linspace floor j·(n-1) div (k-1), and each frame's
+    timestamp is idx·10^6 div fps_milli milliseconds.
+
+    The DECODE of a scheduled frame is the stubbed kernel
+    (:func:`decode_image` / :func:`fake_feature_extractor` plumbing);
+    the schedule itself is what the planner ships to the decode tier,
+    and at 100 TB it is pure map-side column math — no shuffle, no
+    Python."""
+    dur = F.col(duration_ms) if isinstance(duration_ms, str) else duration_ms
+    fps = F.col(fps_milli) if isinstance(fps_milli, str) else fps_milli
+    n_frames = F.floor(
+        (dur.cast("long") * fps.cast("long"))
+        / F.lit(1_000_000).cast("long")
+    ).cast("long")
+    k = F.least(F.lit(max_frames).cast("long"), n_frames)
+
+    def frame(j):
+        idx = F.when(k > 1, F.floor((j * (n_frames - 1)) / (k - 1))).otherwise(
+            F.lit(0)
+        ).cast("long")
+        return F.struct(
+            idx.alias("frame_idx"),
+            F.floor(
+                (idx * F.lit(1_000_000).cast("long")) / fps.cast("long")
+            )
+            .cast("long")
+            .alias("ts_ms"),
+        )
+
+    return F.transform(F.sequence(F.lit(0).cast("long"), k - 1), frame)

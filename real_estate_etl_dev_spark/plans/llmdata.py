@@ -4445,3 +4445,105 @@ def streaming_bloom_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     schema = out.schema
     shutil.rmtree(workdir, ignore_errors=True)
     return spark.createDataFrame(rows, schema)
+
+
+# ---------------------------------------------------------------------------
+# Multimodal frame-sample scheduling (operators/multimodal.py)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "multimodal_frame_schedule",
+    """
+    WITH vids AS (
+      SELECT doc_id,
+             1000 + (doc_id % 97) * 700 AS duration_ms,
+             CASE doc_id % 3 WHEN 0 THEN 23976 WHEN 1 THEN 24000
+                  ELSE 29970 END AS fps_milli
+      FROM documents
+    ),
+    sched AS (
+      SELECT doc_id, duration_ms, fps_milli,
+             (duration_ms * fps_milli) // 1000000 AS n_frames,
+             least(8, (duration_ms * fps_milli) // 1000000) AS k
+      FROM vids
+    ),
+    frames AS (
+      SELECT doc_id, duration_ms, fps_milli, n_frames, k,
+             unnest(generate_series(0, k - 1)) AS j
+      FROM sched
+    ),
+    idx AS (
+      SELECT *,
+             CASE WHEN k > 1 THEN (j * (n_frames - 1)) // (k - 1)
+                  ELSE 0 END AS frame_idx
+      FROM frames
+    )
+    SELECT doc_id,
+           CAST(duration_ms AS BIGINT) AS duration_ms,
+           CAST(fps_milli AS BIGINT) AS fps_milli,
+           CAST(n_frames AS BIGINT) AS n_frames,
+           CAST(k AS BIGINT) AS k,
+           CAST(frame_idx AS BIGINT) AS frame_idx,
+           CAST((frame_idx * 1000000) // fps_milli AS BIGINT) AS ts_ms
+    FROM idx
+    ORDER BY doc_id, frame_idx
+    """,
+    survey="llm-multimodal-framesample",
+    tags=("multimodal",),
+)
+def multimodal_frame_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video frame-sampling schedule (the plan the decode tier
+    executes): per clip, ≤8 uniformly-spaced endpoint-inclusive frame
+    indices with exact millisecond timestamps — all integer
+    arithmetic (fps in millihertz), so the schedule certifies
+    bit-for-bit across engines.  Clip metadata is synthesized
+    deterministically from doc_id (durations 1-68s; 23.976/24/29.97
+    fps) since the container ships no real video fixtures; the
+    payload/decode side of the tier is ``attach_binary`` +
+    ``fake_feature_extractor`` (Pillow absent — decode stays the
+    honest stub).
+
+    Plan/scale: pure map-side (one transform + explode, no shuffle
+    except the output sort) — at 100 TB the schedule is what ships to
+    the GPU decode fleet, and computing it costs one pass over clip
+    METADATA (the binary column is never read: columnar pruning, see
+    operators/multimodal.py)."""
+    from ..operators.multimodal import frame_sample_schedule
+
+    vids = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        (F.lit(1000) + (F.col("doc_id") % 97) * 700)
+        .cast("long")
+        .alias("duration_ms"),
+        F.when(F.col("doc_id") % 3 == 0, 23976)
+        .when(F.col("doc_id") % 3 == 1, 24000)
+        .otherwise(29970)
+        .cast("long")
+        .alias("fps_milli"),
+    )
+    sched = frame_sample_schedule(vids, "duration_ms", "fps_milli", max_frames=8)
+    n_frames = F.floor(
+        (F.col("duration_ms") * F.col("fps_milli"))
+        / F.lit(1_000_000).cast("long")
+    ).cast("long")
+    return (
+        vids.select(
+            "doc_id",
+            "duration_ms",
+            "fps_milli",
+            n_frames.alias("n_frames"),
+            F.least(F.lit(8).cast("long"), n_frames).alias("k"),
+            F.explode(sched).alias("f"),
+        )
+        .select(
+            "doc_id",
+            "duration_ms",
+            "fps_milli",
+            "n_frames",
+            "k",
+            F.col("f.frame_idx").alias("frame_idx"),
+            F.col("f.ts_ms").alias("ts_ms"),
+        )
+        .orderBy("doc_id", "frame_idx")
+    )

@@ -962,3 +962,29 @@ def test_containment_finds_planted_composites(spark, sf_dir):
     }
     missing = planted - got
     assert not missing, f"planted containments lost: {sorted(missing)[:5]}"
+
+
+def test_frame_schedule_endpoints_and_monotone(spark, sf_dir):
+    """Uniform-k sampling must include frame 0 and the LAST frame, be
+    strictly increasing, and timestamp within clip duration."""
+    from real_estate_etl_dev_spark.plans.llmdata import multimodal_frame_schedule
+
+    rows = (
+        multimodal_frame_schedule(spark, sf_dir)
+        .filter(F.col("doc_id") < 40)
+        .collect()
+    )
+    by_doc: dict[int, list] = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    assert by_doc
+    for doc_id, fr in by_doc.items():
+        fr.sort(key=lambda r: r["frame_idx"])
+        n, k = fr[0]["n_frames"], fr[0]["k"]
+        assert len(fr) == k
+        assert fr[0]["frame_idx"] == 0
+        assert fr[-1]["frame_idx"] == (n - 1 if k > 1 else 0)
+        idxs = [r["frame_idx"] for r in fr]
+        assert idxs == sorted(set(idxs)), doc_id
+        for r in fr:
+            assert 0 <= r["ts_ms"] <= r["duration_ms"]
