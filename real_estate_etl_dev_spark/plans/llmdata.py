@@ -4547,3 +4547,114 @@ def multimodal_frame_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id", "frame_idx")
     )
+
+
+# ---------------------------------------------------------------------------
+# Corpus drift audit — smoothed unigram KL divergence between slices
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "corpus_drift_kl",
+    """
+    WITH toks AS (
+      SELECT lang, doc_id % 2 = 0 AS slice_a,
+             unnest(string_split(text, ' ')) AS w
+      FROM documents
+    ),
+    counts AS (
+      SELECT lang, w,
+             count(*) FILTER (WHERE slice_a) AS ca,
+             count(*) FILTER (WHERE NOT slice_a) AS cb
+      FROM toks GROUP BY lang, w
+    ),
+    tot AS (
+      SELECT lang, CAST(count(*) AS BIGINT) AS vocab,
+             CAST(sum(ca) AS BIGINT) AS na,
+             CAST(sum(cb) AS BIGINT) AS nb
+      FROM counts GROUP BY lang
+    ),
+    terms AS (
+      SELECT c.lang,
+             CAST(round(
+               (CAST(c.ca + 1 AS DOUBLE) / (t.na + t.vocab))
+               * log2((CAST(c.ca + 1 AS DOUBLE) / (t.na + t.vocab))
+                      / (CAST(c.cb + 1 AS DOUBLE) / (t.nb + t.vocab))),
+               6) AS DECIMAL(18,6)) AS term_ab,
+             CAST(round(
+               (CAST(c.cb + 1 AS DOUBLE) / (t.nb + t.vocab))
+               * log2((CAST(c.cb + 1 AS DOUBLE) / (t.nb + t.vocab))
+                      / (CAST(c.ca + 1 AS DOUBLE) / (t.na + t.vocab))),
+               6) AS DECIMAL(18,6)) AS term_ba
+      FROM counts c JOIN tot t USING (lang)
+    )
+    SELECT t.lang, t.vocab,
+           t.na AS n_tokens_a, t.nb AS n_tokens_b,
+           CAST(sum(term_ab) AS DOUBLE) AS kl_ab,
+           CAST(sum(term_ba) AS DOUBLE) AS kl_ba
+    FROM terms JOIN tot t USING (lang)
+    GROUP BY t.lang, t.vocab, t.na, t.nb
+    ORDER BY t.lang
+    """,
+    survey="llm-drift-audit",
+    tags=("text-analysis",),
+)
+def corpus_drift_kl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus drift detector: per language, the add-one-smoothed
+    unigram KL divergence (both directions, bits) between two crawl
+    slices (even vs odd doc_id — stand-ins for consecutive snapshot
+    pulls).  This is the canary a continuously-refreshed pretraining
+    corpus needs: a KL step-change per lang flags a source whose
+    content distribution moved (template change, spam influx, scraper
+    regression) BEFORE it reaches a training mix.
+
+    Numeric determinism: each per-word term p·log2(p/q) is computed
+    in double, rounded to 6dp, cast to DECIMAL, and THEN summed — the
+    doc_lm_cross_entropy recipe, with the same documented assumption:
+    both engines' log2 agree to well past 6dp on these rationals, so
+    the per-term rounding is engine-stable and the decimal sum is
+    order-independent.
+
+    Plan/scale: one token explode, ONE (lang, word) shuffle with
+    map-side combine (the corpus_ngram_diversity lesson — counts
+    collapse to |vocab| rows before shipping), a broadcast-sized
+    per-lang totals join, and a per-lang decimal sum.  At 100 TB the
+    shuffle carries one row per distinct (lang, word) per task —
+    vocabulary-bounded, not corpus-bounded."""
+    toks = load_table(spark, sf_dir, "documents").select(
+        "lang",
+        (F.col("doc_id") % 2 == 0).alias("slice_a"),
+        F.explode(F.split("text", " ")).alias("w"),
+    )
+    counts = toks.groupBy("lang", "w").agg(
+        F.sum(F.when(F.col("slice_a"), 1).otherwise(0)).alias("ca"),
+        F.sum(F.when(~F.col("slice_a"), 1).otherwise(0)).alias("cb"),
+    )
+    tot = counts.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("long").alias("vocab"),
+        F.sum("ca").cast("long").alias("na"),
+        F.sum("cb").cast("long").alias("nb"),
+    )
+    j = counts.join(F.broadcast(tot), "lang")
+    p = (F.col("ca") + 1).cast("double") / (F.col("na") + F.col("vocab"))
+    q = (F.col("cb") + 1).cast("double") / (F.col("nb") + F.col("vocab"))
+    term_ab = F.round(p * F.log2(p / q), 6).cast("decimal(18,6)")
+    term_ba = F.round(q * F.log2(q / p), 6).cast("decimal(18,6)")
+    return (
+        j.select("lang", "vocab", "na", "nb", term_ab.alias("tab"),
+                 term_ba.alias("tba"))
+        .groupBy("lang", "vocab", "na", "nb")
+        .agg(
+            F.sum("tab").cast("double").alias("kl_ab"),
+            F.sum("tba").cast("double").alias("kl_ba"),
+        )
+        .select(
+            "lang",
+            "vocab",
+            F.col("na").alias("n_tokens_a"),
+            F.col("nb").alias("n_tokens_b"),
+            "kl_ab",
+            "kl_ba",
+        )
+        .orderBy("lang")
+    )
