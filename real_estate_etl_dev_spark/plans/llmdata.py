@@ -4658,3 +4658,123 @@ def corpus_drift_kl(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+@query(
+    "embedding_centroid_drift",
+    """
+    WITH e AS (
+      SELECT label, vec_id % 2 = 0 AS sa,
+             CAST(embedding AS DOUBLE[]) AS v
+      FROM embeddings
+    ),
+    x AS (
+      SELECT label, sa, u.i AS pos,
+             CAST(v[u.i + 1] AS DECIMAL(20, 10)) AS val
+      FROM e, unnest(range(0, len(v))) AS u(i)
+    ),
+    m AS (
+      SELECT label, pos,
+             count(*) FILTER (WHERE sa) AS na,
+             count(*) FILTER (WHERE NOT sa) AS nb,
+             CAST(round(CAST(sum(val) FILTER (WHERE sa) AS DOUBLE)
+                        / count(*) FILTER (WHERE sa), 6)
+                  AS DECIMAL(12,6)) AS ma,
+             CAST(round(CAST(sum(val) FILTER (WHERE NOT sa) AS DOUBLE)
+                        / count(*) FILTER (WHERE NOT sa), 6)
+                  AS DECIMAL(12,6)) AS mb
+      FROM x GROUP BY label, pos
+      HAVING count(*) FILTER (WHERE sa) > 0
+         AND count(*) FILTER (WHERE NOT sa) > 0
+    ),
+    agg AS (
+      SELECT label,
+             CAST(max(na) AS BIGINT) AS n_a,
+             CAST(max(nb) AS BIGINT) AS n_b,
+             sum(ma * mb) AS dt,
+             sum(ma * ma) AS sqa,
+             sum(mb * mb) AS sqb,
+             sum((ma - mb) * (ma - mb)) AS l2n
+      FROM m GROUP BY label
+    )
+    SELECT label, n_a, n_b,
+           round(CAST(dt AS DOUBLE)
+                 / sqrt(CAST(sqa AS DOUBLE) * CAST(sqb AS DOUBLE)), 6)
+             AS centroid_cos,
+           round(sqrt(CAST(l2n AS DOUBLE)), 6) AS centroid_l2
+    FROM agg ORDER BY label
+    """,
+    survey="llm-drift-audit,llm-vector-agg",
+    tags=("similarity", "text-analysis"),
+)
+def embedding_centroid_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space drift — the vector twin of ``corpus_drift_kl``:
+    per label, the cosine and L2 distance between the slice-A and
+    slice-B centroids (even vs odd vec_id — consecutive embedding
+    snapshots).  A centroid that moves (cos < 1, L2 > 0 beyond noise)
+    flags an upstream change — new embedding model rev, a content
+    shift in the class, or a corrupted batch — before retrieval
+    quality degrades.
+
+    Numeric determinism, layered: per-dimension means follow the
+    embedding_centroids recipe (exact DECIMAL sums, one double
+    division, round 6) and are then cast LOSSLESSLY to DECIMAL(12,6),
+    so every downstream product (25,12) and sum stays EXACT decimal
+    in both engines; cosine and L2 convert to double once at the end.
+    The HAVING guard drops a label missing from either slice (cannot
+    happen on the committed fixtures — every label has ≥25 vectors a
+    slice — but an empty slice must yield no row, not a NaN).
+
+    Plan/scale: same shape as embedding_centroids — posexplode with
+    MAP-SIDE combine (shuffle carries |labels|·dim·2 partial rows per
+    task), then a |labels|·dim → |labels| rollup.  Never pairs
+    vectors, never broadcasts anything data-sized."""
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "label",
+        (F.col("vec_id") % 2 == 0).alias("sa"),
+        F.transform("embedding", lambda x: x.cast("double")).alias("v"),
+    )
+    x = e.select(
+        "label", "sa", F.posexplode("v").alias("pos", "val")
+    ).select(
+        "label", "sa", "pos", F.col("val").cast("decimal(20,10)").alias("val")
+    )
+    na = F.sum(F.when(F.col("sa"), 1).otherwise(0))
+    nb = F.sum(F.when(~F.col("sa"), 1).otherwise(0))
+    sa_sum = F.sum(F.when(F.col("sa"), F.col("val")))
+    sb_sum = F.sum(F.when(~F.col("sa"), F.col("val")))
+    m = (
+        x.groupBy("label", "pos")
+        .agg(
+            na.alias("na"),
+            nb.alias("nb"),
+            F.round(sa_sum.cast("double") / na, 6)
+            .cast("decimal(12,6)")
+            .alias("ma"),
+            F.round(sb_sum.cast("double") / nb, 6)
+            .cast("decimal(12,6)")
+            .alias("mb"),
+        )
+        .filter((F.col("na") > 0) & (F.col("nb") > 0))
+    )
+    agg = m.groupBy("label").agg(
+        F.max("na").cast("long").alias("n_a"),
+        F.max("nb").cast("long").alias("n_b"),
+        F.sum(F.col("ma") * F.col("mb")).alias("dt"),
+        F.sum(F.col("ma") * F.col("ma")).alias("sqa"),
+        F.sum(F.col("mb") * F.col("mb")).alias("sqb"),
+        F.sum((F.col("ma") - F.col("mb")) * (F.col("ma") - F.col("mb"))).alias(
+            "l2n"
+        ),
+    )
+    return agg.select(
+        "label",
+        "n_a",
+        "n_b",
+        F.round(
+            F.col("dt").cast("double")
+            / F.sqrt(F.col("sqa").cast("double") * F.col("sqb").cast("double")),
+            6,
+        ).alias("centroid_cos"),
+        F.round(F.sqrt(F.col("l2n").cast("double")), 6).alias("centroid_l2"),
+    ).orderBy("label")
