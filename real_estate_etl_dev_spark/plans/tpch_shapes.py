@@ -1054,3 +1054,168 @@ def market_share_q8(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_year")
     )
+
+
+@query(
+    "forecast_revenue_change_q6",
+    """
+    SELECT CAST(sum(CAST(l_extendedprice * l_discount AS DECIMAL(20,8)))
+                AS DOUBLE) AS revenue
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l_shipdate <  TIMESTAMP '1997-01-01'
+      AND l_discount BETWEEN 0.05 AND 0.07
+      AND l_quantity < 24
+    """,
+    survey="tpch-q6",
+    tags=("tpch",),
+)
+def forecast_revenue_change_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 shape (forecasting revenue change): the pure
+    filter-and-sum — how much revenue a discount-band change would
+    move in one year.  Everything is scan work: all three predicates
+    push to the parquet scan and the global sum is one two-level agg
+    over the survivors; the ideal whole-stage-codegen query.
+
+    Determinism notes: the discount band compares the parquet DOUBLES
+    both engines read against the same literal-parsed doubles —
+    bitwise-identical outcomes with no epsilon; the revenue sum is
+    exact DECIMAL per the house rule."""
+    li = T(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_discount") >= 0.05)
+        & (F.col("l_discount") <= 0.07)
+        & (F.col("l_quantity") < 24)
+    )
+    return li.agg(
+        F.sum((F.col("l_extendedprice") * F.col("l_discount")).cast(_DEC))
+        .cast("double")
+        .alias("revenue")
+    )
+
+
+@query(
+    "top_supplier_q15",
+    """
+    WITH rev AS (
+      SELECT l_suppkey,
+             sum(CAST(l_extendedprice * (1 - l_discount)
+                      AS DECIMAL(20,8))) AS total
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        AND l_shipdate <  TIMESTAMP '1996-04-01'
+      GROUP BY l_suppkey
+    )
+    SELECT s.s_suppkey, s.s_name,
+           CAST(r.total AS DOUBLE) AS total_revenue
+    FROM supplier s
+    JOIN rev r ON r.l_suppkey = s.s_suppkey
+    WHERE r.total = (SELECT max(total) FROM rev)
+    ORDER BY s.s_suppkey
+    """,
+    survey="tpch-q15",
+    tags=("tpch",),
+)
+def top_supplier_q15(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 shape (top supplier): the revenue view over one
+    quarter, then every supplier whose revenue EQUALS the view's
+    maximum (ties must all surface — the reference of a groupwise-max
+    against a derived aggregate rather than a base table).
+
+    Determinism: the equality compares EXACT DECIMAL totals — two
+    suppliers tie only if their revenue is exactly equal as rationals,
+    identically in both engines (a double max would make the
+    tie-boundary partition-dependent).  Plan/scale: the quarter prunes
+    the fact scan, revenue aggregates map-side onto one suppkey
+    shuffle, the 1-row max broadcasts back over the view (no second
+    fact scan), and the supplier dim joins broadcast."""
+    li = T(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
+    )
+    rev = li.groupBy("l_suppkey").agg(
+        F.sum(
+            (F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount"))).cast(
+                _DEC
+            )
+        ).alias("total")
+    )
+    mx = rev.agg(F.max("total").alias("_mx"))
+    s = T(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        rev.crossJoin(F.broadcast(mx))
+        .filter(F.col("total") == F.col("_mx"))
+        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .select(
+            "s_suppkey",
+            "s_name",
+            F.col("total").cast("double").alias("total_revenue"),
+        )
+        .orderBy("s_suppkey")
+    )
+
+
+@query(
+    "small_quantity_revenue_q17",
+    """
+    WITH pq AS (
+      SELECT l_partkey,
+             sum(CAST(l_quantity AS DECIMAL(12,2))) AS sum_q,
+             count(*) AS cnt
+      FROM lineitem GROUP BY l_partkey
+    )
+    SELECT CAST(sum(CAST(l.l_extendedprice AS DECIMAL(20,8)))
+                AS DOUBLE) / 7.0 AS avg_yearly
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    JOIN pq ON pq.l_partkey = l.l_partkey
+    WHERE p.p_brand = 'Brand#12'
+      AND CAST(l.l_quantity AS DECIMAL(12,2)) * 5 * pq.cnt < pq.sum_q
+    """,
+    survey="tpch-q17",
+    tags=("tpch",),
+)
+def small_quantity_revenue_q17(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape (small-quantity-order revenue): lineitems of
+    one brand whose quantity falls below 20% of that PART's average
+    quantity — the correlated per-group-threshold pattern (fact
+    filtered against its own per-key aggregate).
+
+    Determinism: the textbook form compares against ``0.2 * avg``,
+    a double whose last ulp depends on partial-agg order; here the
+    inequality is cross-multiplied into EXACT integer/decimal
+    arithmetic — ``qty · 5 · cnt < sum_qty`` (quantities are
+    integer-valued, cast to DECIMAL(12,2) losslessly) — so the
+    boundary rows are a pure function of the data in both engines.
+    Plan/scale: the per-part aggregate is map-side-combinable onto one
+    partkey shuffle that the main join then REUSES (same key — no
+    extra exchange); the brand filter prunes part at its scan and
+    AQE-shrinks the probe side.  / 7.0 in double at the very end,
+    matching the classic query's annualization."""
+    li = T(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_quantity", "l_extendedprice"
+    )
+    pq = li.groupBy("l_partkey").agg(
+        F.sum(F.col("l_quantity").cast("decimal(12,2)")).alias("sum_q"),
+        F.count(F.lit(1)).alias("cnt"),
+    )
+    p = (
+        T(spark, sf_dir, "part")
+        .filter(F.col("p_brand") == "Brand#12")
+        .select("p_partkey")
+    )
+    joined = (
+        li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .join(pq, "l_partkey")
+        .filter(
+            F.col("l_quantity").cast("decimal(12,2)") * 5 * F.col("cnt")
+            < F.col("sum_q")
+        )
+    )
+    return joined.agg(
+        (
+            F.sum(F.col("l_extendedprice").cast(_DEC)).cast("double")
+            / F.lit(7.0)
+        ).alias("avg_yearly")
+    )
