@@ -1219,3 +1219,215 @@ def small_quantity_revenue_q17(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.lit(7.0)
         ).alias("avg_yearly")
     )
+
+
+@query(
+    "pricing_summary_q1",
+    """
+    SELECT l_returnflag, l_linestatus,
+           CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE)
+             AS sum_qty,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(20,8))) AS DOUBLE)
+             AS sum_base_price,
+           CAST(sum(CAST(l_extendedprice * (1 - l_discount)
+                         AS DECIMAL(20,8))) AS DOUBLE) AS sum_disc_price,
+           CAST(sum(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax)
+                         AS DECIMAL(20,8))) AS DOUBLE) AS sum_charge,
+           round(CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE)
+                 / count(*), 6) AS avg_qty,
+           round(CAST(sum(CAST(l_extendedprice AS DECIMAL(20,8))) AS DOUBLE)
+                 / count(*), 6) AS avg_price,
+           round(CAST(sum(CAST(l_discount AS DECIMAL(12,6))) AS DOUBLE)
+                 / count(*), 6) AS avg_disc,
+           CAST(count(*) AS BIGINT) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '2001-08-01'
+    GROUP BY l_returnflag, l_linestatus
+    ORDER BY l_returnflag, l_linestatus
+    """,
+    survey="tpch-q1",
+    tags=("tpch",),
+)
+def pricing_summary_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 (pricing summary report) — THE canonical scan-heavy
+    aggregation: eight aggregates over ~6 (returnflag, linestatus)
+    groups, one pass, everything map-side-combinable.  The benchmark's
+    original point stands at 100 TB: this is pure scan + partial-agg
+    bandwidth, zero join, and the group cardinality never grows.
+
+    Determinism: every sum is exact DECIMAL (charge's 3-factor product
+    is computed in double — identical per-row in both engines — then
+    cast once); averages divide the exact sums by the count in double
+    and round 6dp, so no digit depends on partial-agg order."""
+    li = T(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") <= F.lit("2001-08-01").cast("timestamp")
+    )
+    disc_price = (F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount")))
+    charge = disc_price * (F.lit(1) + F.col("l_tax"))
+    sum_qty = F.sum(F.col("l_quantity").cast("decimal(12,2)"))
+    sum_price = F.sum(F.col("l_extendedprice").cast(_DEC))
+    n = F.count(F.lit(1))
+    return (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            sum_qty.cast("double").alias("sum_qty"),
+            sum_price.cast("double").alias("sum_base_price"),
+            F.sum(disc_price.cast(_DEC)).cast("double").alias("sum_disc_price"),
+            F.sum(charge.cast(_DEC)).cast("double").alias("sum_charge"),
+            F.round(sum_qty.cast("double") / n, 6).alias("avg_qty"),
+            F.round(sum_price.cast("double") / n, 6).alias("avg_price"),
+            F.round(
+                F.sum(F.col("l_discount").cast("decimal(12,6)")).cast("double")
+                / n,
+                6,
+            ).alias("avg_disc"),
+            n.cast("long").alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+@query(
+    "discounted_revenue_q19",
+    """
+    SELECT CAST(sum(CAST(l.l_extendedprice * (1 - l.l_discount)
+                         AS DECIMAL(20,8))) AS DOUBLE) AS revenue
+    FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE (p.p_brand = 'Brand#12' AND p.p_size BETWEEN 1 AND 15
+           AND l.l_quantity BETWEEN 1 AND 11)
+       OR (p.p_brand = 'Brand#23' AND p.p_size BETWEEN 1 AND 25
+           AND l.l_quantity BETWEEN 10 AND 20)
+       OR (p.p_brand = 'Brand#15' AND p.p_size BETWEEN 1 AND 35
+           AND l.l_quantity BETWEEN 20 AND 30)
+    """,
+    survey="tpch-q19",
+    tags=("tpch",),
+)
+def discounted_revenue_q19(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape (discounted revenue, disjunctive predicates):
+    revenue from three OR'd (brand, size-band, quantity-band) triplets
+    — the classic test of disjunction handling (the fixture lacks
+    p_container/l_shipmode, so size/quantity bands carry the shape).
+
+    Plan/scale: the join key is shared by all three branches, so this
+    stays ONE broadcast join; Catalyst extracts the common p_partkey
+    IsNotNull and pushes the brand disjunction to the part scan
+    (PushedFilters shows an Or), while the mixed part/lineitem
+    conjuncts evaluate post-join as a single predicate — no
+    union-of-three-scans blowup.  Revenue is the exact-decimal house
+    sum."""
+    li = T(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_quantity", "l_extendedprice", "l_discount"
+    )
+    p = T(spark, sf_dir, "part").select("p_partkey", "p_brand", "p_size")
+    q = F.col("l_quantity")
+    cond = (
+        (
+            (F.col("p_brand") == "Brand#12")
+            & F.col("p_size").between(1, 15)
+            & q.between(1, 11)
+        )
+        | (
+            (F.col("p_brand") == "Brand#23")
+            & F.col("p_size").between(1, 25)
+            & q.between(10, 20)
+        )
+        | (
+            (F.col("p_brand") == "Brand#15")
+            & F.col("p_size").between(1, 35)
+            & q.between(20, 30)
+        )
+    )
+    return (
+        li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .filter(cond)
+        .agg(
+            F.sum(
+                (F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount")))
+                .cast(_DEC)
+            )
+            .cast("double")
+            .alias("revenue")
+        )
+    )
+
+
+@query(
+    "blamed_supplier_q21",
+    """
+    SELECT s.s_name, CAST(count(*) AS BIGINT) AS numwait
+    FROM supplier s
+    JOIN lineitem l1 ON s.s_suppkey = l1.l_suppkey
+    JOIN orders o ON o.o_orderkey = l1.l_orderkey
+    WHERE o.o_orderstatus = 'F'
+      AND l1.l_returnflag = 'R'
+      AND EXISTS (SELECT 1 FROM lineitem l2
+                  WHERE l2.l_orderkey = l1.l_orderkey
+                    AND l2.l_suppkey <> l1.l_suppkey)
+      AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                      WHERE l3.l_orderkey = l1.l_orderkey
+                        AND l3.l_suppkey <> l1.l_suppkey
+                        AND l3.l_returnflag = 'R')
+    GROUP BY s.s_name
+    ORDER BY numwait DESC, s.s_name
+    LIMIT 20
+    """,
+    survey="tpch-q21",
+    tags=("tpch",),
+)
+def blamed_supplier_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape (suppliers who kept orders waiting): in
+    finalized multi-supplier orders, the suppliers whose lineitems are
+    the ONLY returned ones — the semi-join + anti-join DOUBLE
+    correlation on the same key with a same-row inequality
+    (returnflag 'R' stands in for the fixture's missing
+    receipt-after-commit dates; same plan, same blame semantics).
+
+    Plan/scale: both correlations are residual-condition joins on the
+    l_orderkey equi-key — LEFT SEMI for "another supplier exists",
+    LEFT ANTI for "no OTHER supplier also returned" — so the fact
+    self-probes shuffle once on orderkey each, never materializing the
+    order×lineitem multiplication an inner-join formulation would;
+    the anti probe prunes to returned lines at ITS scan.  LIMIT rides
+    a total order (numwait DESC, s_name) so the cut is deterministic
+    under ties in both engines."""
+    li = T(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_returnflag"
+    )
+    l1 = (
+        li.filter(F.col("l_returnflag") == "R")
+        .select(
+            F.col("l_orderkey").alias("o_key"), F.col("l_suppkey").alias("s_key")
+        )
+    )
+    o = (
+        T(spark, sf_dir, "orders")
+        .filter(F.col("o_orderstatus") == "F")
+        .select("o_orderkey")
+    )
+    l1 = l1.join(o, F.col("o_key") == F.col("o_orderkey")).select(
+        "o_key", "s_key"
+    )
+    l2 = li.select(
+        F.col("l_orderkey").alias("k2"), F.col("l_suppkey").alias("s2")
+    )
+    l3 = li.filter(F.col("l_returnflag") == "R").select(
+        F.col("l_orderkey").alias("k3"), F.col("l_suppkey").alias("s3")
+    )
+    probed = l1.join(
+        l2,
+        (F.col("o_key") == F.col("k2")) & (F.col("s_key") != F.col("s2")),
+        "left_semi",
+    ).join(
+        l3,
+        (F.col("o_key") == F.col("k3")) & (F.col("s_key") != F.col("s3")),
+        "left_anti",
+    )
+    s = T(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        probed.join(F.broadcast(s), F.col("s_key") == F.col("s_suppkey"))
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).cast("long").alias("numwait"))
+        .orderBy(F.desc("numwait"), "s_name")
+        .limit(20)
+    )
