@@ -102,23 +102,38 @@ def bloom_probe(probes: DataFrame, key: str, bits: DataFrame, m: int, k: int) ->
     a key's own k hashes are handled by counting DISTINCT positions:
     positive iff matched-distinct == probed-distinct.
 
-    The join against ``bits`` is broadcast (≤ m rows); the per-key
-    verdict agg rides the explode's own key, so the only exchange is
-    one hash partition on the probe key."""
+    Row identity is the FULL probe-column tuple: two probe rows that
+    share a key but differ in any other column (duplicate texts under
+    distinct doc_ids — they exist at sf0.1) each get their own
+    verdict.  An earlier revision pre-deduped on [key, bitpos] and
+    silently dropped the second row's verdict; the fix skips the
+    pre-dedup entirely and lets countDistinct absorb the within-key
+    hash collisions inside the verdict agg instead.  Fully identical
+    probe rows still collapse to one verdict row (groupBy semantics —
+    same as every engine's ``GROUP BY ALL``).
+
+    The join against ``bits`` is broadcast (≤ m rows); the verdict
+    agg rides the explode's own key, so the only exchange is one hash
+    partition on the probe row."""
     kc = F.col(key)
     exploded = probes.select(
         "*",
         F.explode(F.array(*[bit_position(kc, i, m) for i in range(k)])).alias(
             "bitpos"
         ),
-    ).dropDuplicates([key, "bitpos"])
+    )
     hit = F.broadcast(bits.withColumn("_hit", F.lit(1)))
     other = [c for c in probes.columns if c != key]
     return (
         exploded.join(hit, "bitpos", "left")
         .groupBy(key, *other)
         .agg(
-            (F.count(F.lit(1)) == F.count("_hit")).alias("bloom_positive"),
+            (
+                F.countDistinct("bitpos")
+                == F.countDistinct(
+                    F.when(F.col("_hit").isNotNull(), F.col("bitpos"))
+                )
+            ).alias("bloom_positive"),
         )
     )
 

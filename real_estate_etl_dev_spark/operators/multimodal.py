@@ -129,4 +129,13 @@ def frame_sample_schedule(
             .alias("ts_ms"),
         )
 
-    return F.transform(F.sequence(F.lit(0).cast("long"), k - 1), frame)
+    # Zero-frame guard: when n_frames == 0 (duration_ms * fps_milli
+    # < 10^6), k == 0 and sequence(0, -1) would DESCEND in Spark,
+    # emitting two spurious frame-0 entries where DuckDB's
+    # generate_series(0, -1) is empty — a silent cross-engine
+    # divergence.  Zero-frame clips get an empty schedule on both.
+    return F.when(
+        k > 0, F.transform(F.sequence(F.lit(0).cast("long"), k - 1), frame)
+    ).otherwise(
+        F.array().cast("array<struct<frame_idx:bigint,ts_ms:bigint>>")
+    )

@@ -179,6 +179,11 @@ def bloom_vs_exact(spark) -> None:
         n_pos = pos.count()
         n_confirmed = pos.join(seen, "key", "left_semi").count()
         t_check = time.perf_counter() - t0
+        # Row-count equality is sound because incoming's doc_ids are
+        # distinct (no fully-identical rows) and bloom_probe keeps one
+        # verdict per distinct probe ROW — duplicate texts under
+        # different doc_ids each survive the gate (operators/bloom.py
+        # bloom_probe docstring).
         assert n_confirmed == n_dup, (n_confirmed, n_dup)
 
         print(

@@ -880,6 +880,30 @@ def test_bloom_no_false_negatives_and_fp_bounded(spark):
     assert len({row[f"h{i}"] for i in range(3)}) > 1
 
 
+def test_bloom_probe_keeps_duplicate_keyed_rows(spark):
+    """r08 advisor finding: probe rows sharing a key (duplicate texts
+    under distinct doc_ids — they exist at sf0.1) must EACH get a
+    verdict.  The buggy revision pre-deduped on [key, bitpos] and
+    silently dropped one row (3 probe rows in, 2 verdicts out); pin
+    one-verdict-per-distinct-row and identical per-key verdicts."""
+    from real_estate_etl_dev_spark.operators.bloom import (
+        bloom_bits,
+        bloom_probe,
+    )
+
+    members = spark.createDataFrame([(7,), (21,)], "key long")
+    probes = spark.createDataFrame(
+        [(1, 7), (2, 7), (3, 5)], "doc_id long, key long"
+    )
+    m, k = 4096, 3
+    bits = bloom_bits(members, "key", m, k)
+    verdicts = bloom_probe(probes, "key", bits, m, k).collect()
+    assert len(verdicts) == 3, verdicts
+    by_doc = {r["doc_id"]: r["bloom_positive"] for r in verdicts}
+    assert by_doc[1] is True and by_doc[2] is True  # both key-7 rows
+    assert by_doc[3] is False  # non-member, fp-improbable at this fill
+
+
 # ---------------------------------------------------------------------------
 # Chunking + containment (plans/llmdata.py)
 # ---------------------------------------------------------------------------
@@ -988,3 +1012,27 @@ def test_frame_schedule_endpoints_and_monotone(spark, sf_dir):
         assert idxs == sorted(set(idxs)), doc_id
         for r in fr:
             assert 0 <= r["ts_ms"] <= r["duration_ms"]
+
+
+def test_frame_schedule_zero_frames_is_empty(spark):
+    """r08 advisor finding: a clip whose duration*fps floors to zero
+    frames must get an EMPTY schedule — Spark's sequence(0, -1)
+    descends ([0, -1]) where DuckDB's generate_series(0, -1) is
+    empty, so the unguarded transform emitted two spurious frame-0
+    entries.  Pin empty-on-both plus the one-frame boundary."""
+    from real_estate_etl_dev_spark.operators.multimodal import (
+        frame_sample_schedule,
+    )
+
+    clips = spark.createDataFrame(
+        [(1, 10, 23976), (2, 1000, 1000), (3, 999, 1000)],
+        "clip_id long, duration_ms long, fps_milli long",
+    )
+    sched = frame_sample_schedule(clips, "duration_ms", "fps_milli", 8)
+    rows = {
+        r["clip_id"]: r["s"]
+        for r in clips.select("clip_id", sched.alias("s")).collect()
+    }
+    assert rows[1] == []  # 10ms @ 23.976fps -> 0 frames
+    assert rows[3] == []  # 999ms @ 1fps -> floor(0.999) = 0 frames
+    assert [(f["frame_idx"], f["ts_ms"]) for f in rows[2]] == [(0, 0)]
