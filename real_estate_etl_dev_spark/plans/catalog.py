@@ -751,6 +751,7 @@ from . import rules_more  # noqa: E402,F401  (registers R8-R12/P14 queries)
 from . import temporal  # noqa: E402,F401  (registers asof/session/sketch queries)
 from . import olap  # noqa: E402,F401  (registers pivot/unpivot/rollup queries)
 from . import tpch_shapes  # noqa: E402,F401  (registers Q4/Q12/Q14/Q18/intersect shapes)
+from . import tpch_partsupp  # noqa: E402,F401  (registers derived-partsupp Q2/Q9/Q10/Q11/Q16/Q20)
 
 
 # ---------------------------------------------------------------------------
@@ -849,13 +850,18 @@ def schema_inventory(spark: SparkSession, sf_dir: str) -> DataFrame:
 _WINDOW_SIZE = 50
 _SMOKE_GATE = "schema_inventory"
 # Canaries: certified queries whose implementation was touched this
-# round — force them into the window ahead of pure aging.  Empty for
-# r07: the round's implementation changes (setsim hashed shuffle +
-# rational bounds, ngram hashed gram shuffle) are output-preserving
-# and equality-pinned by pytest (tests/test_llmdata.py), and every
-# remaining slot is needed to clear the r03/r04 certification backlog
-# (VERDICT r06 item 1 — do not displace aged rows).
-_FORCE_WINDOW: list[str] = []
+# round — force them into the window ahead of pure aging.  r09: the
+# r08-advisor bloom_probe fix (duplicate-keyed probe rows now each
+# get a verdict) and the frame_sample_schedule zero-frame guard touch
+# four r08-certified queries; outputs are unchanged on the sf0.01
+# fixtures (full-sweep re-verified) but the implementations changed,
+# so they re-certify this round per the VERDICT item-6 policy.
+_FORCE_WINDOW: list[str] = [
+    "bloom_filter_fp_audit",
+    "dedup_bloom_prefilter",
+    "streaming_bloom_dedup",
+    "multimodal_frame_schedule",
+]
 
 
 def _cert_history() -> dict[str, int]:

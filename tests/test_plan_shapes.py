@@ -802,3 +802,62 @@ def test_q8_broadcasts_dims_and_pushes_all_filters(spark, sf_dir):
     plan = plan_of(spark, sf_dir, "market_share_q8")
     assert plan.count("BroadcastHashJoin") >= 4
     assert "CartesianProduct" not in plan
+
+
+def test_partsupp_tpch_shapes_plan_as_documented(spark, sf_dir):
+    """The derived-partsupp pack (plans/tpch_partsupp.py) must plan
+    as its docstrings promise: every sub-25-row side broadcasts, the
+    NOT-IN blacklist compiles to a broadcast anti join, Q20's nested
+    IN chain compiles to semi joins, Q10's top-20 is a per-partition
+    heap, and Q11's global scalar is a 1-row broadcast loop join —
+    never a CartesianProduct.  (The catalog-wide invariants test
+    already bans Python UDFs and cartesian products everywhere; these
+    are the shape-specific pins VERDICT r08 item 2 asked for.)"""
+    # Q2: dims (supplier⋈nation⋈region, filtered part, per-part min)
+    # all broadcast — the only exchange family left is partsupp's
+    # defining distinct.
+    q2 = plan_of(spark, sf_dir, "min_cost_supplier_q2")
+    assert q2.count("BroadcastHashJoin") >= 3
+    assert "SortMergeJoin" not in q2
+    fmt2 = formatted(spark, sf_dir, "min_cost_supplier_q2")
+    assert "EqualTo(r_name,EUROPE)" in fmt2
+    assert "EqualTo(p_type,LARGE)" in fmt2
+
+    # Q9: part and supplier⋈nation broadcast onto the fact stream;
+    # the '%rod%' predicate reaches part's scan.
+    q9 = plan_of(spark, sf_dir, "product_profit_q9")
+    assert q9.count("BroadcastHashJoin") >= 2
+    fmt9 = formatted(spark, sf_dir, "product_profit_q9")
+    assert "StringContains(p_name,rod)" in fmt9
+
+    # Q10: quarter + returnflag pushed to their scans, top-20 is a
+    # TakeOrderedAndProject (no global sort materializes).
+    q10 = plan_of(spark, sf_dir, "returned_item_reporting_q10")
+    assert "TakeOrderedAndProject" in q10
+    fmt10 = formatted(spark, sf_dir, "returned_item_reporting_q10")
+    assert "EqualTo(l_returnflag,R)" in fmt10
+    assert "GreaterThanOrEqual(o_orderdate,1995-10-01" in fmt10
+
+    # Q11: the HAVING-vs-global-scalar is a 1-row broadcast nested
+    # loop (the _id_offset pattern), not a cartesian, and partsupp is
+    # aggregated before it.
+    q11 = plan_of(spark, sf_dir, "important_stock_q11")
+    assert "BroadcastNestedLoopJoin" in q11
+    assert "CartesianProduct" not in q11
+    first_bnlj = q11.find("BroadcastNestedLoopJoin")
+    assert "HashAggregate" in q11[first_bnlj:]  # agg below the loop join
+
+    # Q16: NOT-IN blacklist = broadcast LEFT ANTI; part predicates
+    # pushed to its scan.
+    q16 = plan_of(spark, sf_dir, "parts_supplier_relation_q16")
+    assert "LeftAnti" in q16 and "BroadcastHashJoin" in q16
+    fmt16 = formatted(spark, sf_dir, "parts_supplier_relation_q16")
+    assert "Not(EqualTo(p_type,PROMO))" in fmt16
+    assert "In(p_size," in fmt16
+
+    # Q20: the nested IN chain compiles to (at least) two semi joins;
+    # the ship-year window reaches lineitem's scan.
+    q20 = plan_of(spark, sf_dir, "potential_promotion_q20")
+    assert q20.count("LeftSemi") >= 2
+    fmt20 = formatted(spark, sf_dir, "potential_promotion_q20")
+    assert "GreaterThanOrEqual(l_shipdate,1995-01-01" in fmt20
