@@ -1,0 +1,103 @@
+"""Deterministic greedy-merge BPE token counting, cross-engine exact.
+
+Real pretraining budgets count TOKENIZER tokens, not whitespace words
+(VERDICT r08 item 5).  This is a character-level BPE with a small
+FIXED merge table, built so both engines evaluate the identical
+expression:
+
+* every character of the text is rendered as a delimited token
+  ``_c_`` (one regexp_replace, global in both engines), so a token
+  sequence reads ``_t__h__e_`` — each token carries its OWN leading
+  and trailing delimiter;
+* each merge rule (a, b) → ab is ONE global string replace of
+  ``_a__b_`` with ``_ab_``, applied in table order.  Both engines
+  replace left-to-right over non-overlapping occurrences, and because
+  every token keeps both delimiters the replacement re-creates the
+  boundary the NEXT occurrence needs — ``_a__b__a__b_`` becomes
+  ``_ab__ab_`` in one pass (verified in both engines), which is
+  exactly greedy left-to-right pair merging;
+* the token count is then ``(#'_' chars) / 2`` — pure length
+  arithmetic, no split.
+
+Space is its own token (``_ _``) and the merge table is letters-only,
+so merges never cross word boundaries — the GPT-ish convention where
+whitespace costs budget too.  The merge table models the fixture's
+31-word vocabulary (full merges for four frequent words, plus common
+English digraphs that partially compress the rest), so BPE counts
+differ per document from whitespace counts in a data-dependent way —
+that difference is what token_budget_bpe certifies.
+
+A production engine would swap the merge table for a real
+tokenizer's (the mechanics — ordered pair merges — are the same
+algorithm); the fixed table keeps the operator oracle-checkable with
+DuckDB evaluating the SAME nested replace chain.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# Ordered merge table: earlier rules feed later ones ("r"+"o"→"ro",
+# then "ro"+"w"→"row").  Order is semantic, as in real BPE.
+BPE_MERGES: list[tuple[str, str]] = [
+    ("r", "o"),
+    ("ro", "w"),
+    ("h", "a"),
+    ("ha", "s"),
+    ("has", "h"),
+    ("j", "o"),
+    ("jo", "i"),
+    ("joi", "n"),
+    ("s", "c"),
+    ("sc", "a"),
+    ("sca", "n"),
+    ("t", "h"),
+    ("th", "e"),
+    ("e", "r"),
+    ("o", "r"),
+    ("a", "t"),
+    ("i", "n"),
+    ("l", "e"),
+]
+
+
+def bpe_tokenized(text: Column) -> Column:
+    """The merged token string (``_tok__tok_...``) — chars wrapped as
+    delimited tokens, then the merge table applied in order.  All
+    JVM-side string expressions; no UDF."""
+    out = F.regexp_replace(text, "(.)", "_$1_")
+    for a, b in BPE_MERGES:
+        out = F.replace(out, F.lit(f"_{a}__{b}_"), F.lit(f"_{a}{b}_"))
+    return out
+
+
+def bpe_token_count(text: Column) -> Column:
+    """BPE token count of ``text``: half the delimiter count of the
+    merged rendering (every token contributes exactly two '_')."""
+    merged = bpe_tokenized(text)
+    return F.floor(
+        (
+            F.length(merged)
+            - F.length(F.replace(merged, F.lit("_"), F.lit("")))
+        )
+        / 2
+    ).cast("long")
+
+
+def bpe_tokenized_sql(text_expr: str) -> str:
+    """The DuckDB twin of :func:`bpe_tokenized` — the same wrap +
+    nested replace chain as SQL text."""
+    out = f"regexp_replace({text_expr}, '(.)', '_\\1_', 'g')"
+    for a, b in BPE_MERGES:
+        out = f"replace({out}, '_{a}__{b}_', '_{a}{b}_')"
+    return out
+
+
+def bpe_token_count_sql(merged_expr: str) -> str:
+    """DuckDB twin of :func:`bpe_token_count`, over an already-merged
+    string expression (bind it in a CTE — it appears twice)."""
+    return (
+        f"CAST(FLOOR((length({merged_expr})"
+        f" - length(replace({merged_expr}, '_', ''))) / 2) AS BIGINT)"
+    )

@@ -147,3 +147,43 @@ def md5_key(text) -> F.Column:
     no DuckDB implementation)."""
     c = F.col(text) if isinstance(text, str) else text
     return F.conv(F.substring(F.md5(c), 1, 15), 16, 10).cast("long")
+
+
+# ---------------------------------------------------------------------------
+# Sizing: the inverse of the FP audit — from (n, target_fp) to (m, k)
+# ---------------------------------------------------------------------------
+
+# repr'd double literals (determinism recipe): both the Python helper
+# and the DuckDB oracle embed THESE constants, never a live log() call,
+# so the ceil/floor boundaries are the same IEEE expression everywhere.
+LN2 = 0.6931471805599453  # ln 2
+LN2_SQ = 0.4804530139182014  # (ln 2)^2
+NEG_LN_FP = {0.05: 2.995732273553991, 0.01: 4.605170185988091}
+
+
+def bloom_sizing(n: int, target_fp: float) -> tuple[int, int]:
+    """The standard Bloom bound, made cross-engine-exact: for ``n``
+    keys at false-positive target ``p``,
+
+        m = ceil(n * -ln(p) / (ln 2)^2)        bits
+        k = max(1, floor(m/n * ln2 + 0.5))     hash functions
+
+    ``-ln(p)`` comes from the ``NEG_LN_FP`` literal table (extend it
+    to admit a new target), so both engines evaluate the identical
+    double expression — DuckDB spells it
+    ``CEIL(n * <lit> / <lit>)`` / ``FLOOR(m/n * <lit> + 0.5)`` with
+    the same literals.  floor(x + 0.5) replaces round() because the
+    engines disagree on round-half semantics, floor never.
+
+    This is the design-time inverse of the FP audit
+    (plans/llmdata.py:bloom_filter_fp_audit): the audit measures FP
+    for a given (m, k); this derives (m, k) for a target FP.  At
+    100 TB the seen-set n grows per snapshot — resize when the
+    audit's saturation column (n/m) drifts toward the design point,
+    BEFORE measured FP leaves the predicted curve."""
+    import math
+
+    neg_ln_p = NEG_LN_FP[target_fp]
+    m = int(math.ceil(n * neg_ln_p / LN2_SQ))
+    k = max(1, int(math.floor(m / n * LN2 + 0.5)))
+    return m, k

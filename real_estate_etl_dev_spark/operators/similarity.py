@@ -139,6 +139,87 @@ def rp_signature(vec: Column, n_planes: int = 8, seed: int = 7) -> Column:
     return sig.cast("int")
 
 
+def ivf_index(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_centroids: int = 8,
+    seed: int = 42,
+    max_iter: int = 8,
+) -> tuple[DataFrame, DataFrame]:
+    """The IVF index build: KMeans-partition the corpus once, return
+    (assigned, centers_df) — ``assigned`` is (neighbor_id, __cvec,
+    __cell), ``centers_df`` is the n_centroids-row (__cell, __center)
+    lookup.  Split out of :func:`ivf_topk` so a STREAMING consumer can
+    build (and persist) the index once and search it per trigger —
+    the cost amortization the index exists for.
+
+    Loose fit: ANN cells need rough Voronoi regions, not converged
+    centroids — recall is governed by n_probe, not fit quality — so
+    skip k-means|| init (several full corpus passes) and the default
+    20 iterations."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    feat = corpus.select(
+        F.col(id_col), F.col(vec_col), array_to_vector(F.col(vec_col)).alias("__v")
+    )
+    km = KMeans(
+        k=n_centroids,
+        seed=seed,
+        maxIter=max_iter,
+        initMode="random",
+        featuresCol="__v",
+        predictionCol="__cell",
+    )
+    model = km.fit(feat)
+    assigned = model.transform(feat).select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("__cvec"),
+        F.col("__cell"),
+    )
+    centers = [
+        (int(i), [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())
+    ]
+    centers_df = corpus.sparkSession.createDataFrame(
+        centers, "__cell int, __center array<double>"
+    )
+    return assigned, centers_df
+
+
+def ivf_search(
+    assigned: DataFrame,
+    centers_df: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_probe: int = 2,
+) -> DataFrame:
+    """Search a prebuilt IVF index (:func:`ivf_index`): rank the
+    (tiny, broadcast) centroid set per query, keep the ``n_probe``
+    nearest cells, exact cosine re-rank inside the probed cells.
+    Per-query work is ``n_probe/n_centroids`` of the corpus."""
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qvec")
+    )
+    qc = q.join(F.broadcast(centers_df))
+    wq = Window.partitionBy("query_id").orderBy(
+        F.desc(cosine(F.col("__qvec"), F.col("__center"))), F.asc("__cell")
+    )
+    probes = (
+        qc.withColumn("__cr", F.row_number().over(wq))
+        .filter(F.col("__cr") <= n_probe)
+        .select("query_id", "__qvec", "__cell")
+    )
+    scored = ivf_scored_from_cells(assigned, probes)
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+    )
+
+
 def ivf_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -158,57 +239,25 @@ def ivf_topk(
     corpora) + one map-only assignment; per-query work is
     ``n_probe/n_centroids`` of the corpus.  Cell assignments persist
     with the corpus, so queries amortize the index.  Recall tunes
-    with n_probe."""
-    from pyspark.ml.clustering import KMeans
-    from pyspark.ml.functions import array_to_vector
-
-    feat = corpus.select(
-        F.col(id_col), F.col(vec_col), array_to_vector(F.col(vec_col)).alias("__v")
-    )
-    # Loose fit: ANN cells need rough Voronoi regions, not converged
-    # centroids — recall is governed by n_probe, not fit quality — so
-    # skip k-means|| init (several full corpus passes) and the default
-    # 20 iterations.
-    km = KMeans(
-        k=n_centroids,
+    with n_probe.  (Pure composition of :func:`ivf_index` +
+    :func:`ivf_search` — the split is output-identical, pinned by
+    tests/test_layout_ivf.py's brute-force equalities.)"""
+    assigned, centers_df = ivf_index(
+        corpus,
+        id_col=id_col,
+        vec_col=vec_col,
+        n_centroids=n_centroids,
         seed=seed,
-        maxIter=max_iter,
-        initMode="random",
-        featuresCol="__v",
-        predictionCol="__cell",
+        max_iter=max_iter,
     )
-    model = km.fit(feat)
-    assigned = model.transform(feat).select(
-        F.col(id_col).alias("neighbor_id"),
-        F.col(vec_col).alias("__cvec"),
-        F.col("__cell"),
-    )
-
-    centers = [
-        (int(i), [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())
-    ]
-    centers_df = queries.sparkSession.createDataFrame(
-        centers, f"__cell int, __center array<double>"
-    )
-    q = queries.select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qvec")
-    )
-    # rank the (tiny, broadcast) centroid set per query; keep n_probe
-    qc = q.join(F.broadcast(centers_df))
-    wq = Window.partitionBy("query_id").orderBy(
-        F.desc(cosine(F.col("__qvec"), F.col("__center"))), F.asc("__cell")
-    )
-    probes = (
-        qc.withColumn("__cr", F.row_number().over(wq))
-        .filter(F.col("__cr") <= n_probe)
-        .select("query_id", "__qvec", "__cell")
-    )
-
-    scored = ivf_scored_from_cells(assigned, probes)
-    w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
-    return (
-        scored.withColumn("rank", F.row_number().over(w).cast("long"))
-        .filter(F.col("rank") <= k)
+    return ivf_search(
+        assigned,
+        centers_df,
+        queries,
+        k=k,
+        id_col=id_col,
+        vec_col=vec_col,
+        n_probe=n_probe,
     )
 
 

@@ -709,6 +709,90 @@ def token_budget_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _bpe_budget_sql() -> str:
+    from ..functions.bpe import bpe_token_count_sql, bpe_tokenized_sql
+
+    return f"""
+    WITH rendered AS (
+      SELECT lang, doc_id, n_chars, text,
+             {bpe_tokenized_sql("text")} AS merged
+      FROM documents
+    ),
+    tok AS (
+      SELECT lang, doc_id, n_chars,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens_ws,
+             {bpe_token_count_sql("merged")} AS n_tokens_bpe
+      FROM rendered
+    ),
+    scored AS (
+      SELECT lang, doc_id, n_tokens_ws, n_tokens_bpe,
+             CAST(sum(n_tokens_ws) OVER w AS BIGINT) AS cum_ws,
+             CAST(sum(n_tokens_bpe) OVER w AS BIGINT) AS cum_bpe
+      FROM tok
+      WINDOW w AS (PARTITION BY lang ORDER BY n_chars DESC, doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    )
+    SELECT lang, doc_id, n_tokens_ws, n_tokens_bpe,
+           cum_ws <= 2000 AS kept_ws, cum_bpe <= 2000 AS kept_bpe
+    FROM scored WHERE cum_ws <= 2000 OR cum_bpe <= 2000
+    ORDER BY lang, doc_id
+    """
+
+
+@query(
+    "token_budget_bpe",
+    _bpe_budget_sql(),
+    survey="llm-sampling,llm-tokenizer",
+    tags=("text-analysis",),
+)
+def token_budget_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token budgeting under a TOKENIZER count (VERDICT r08 item 5):
+    the same per-language greedy knapsack as ``token_budget_sample``,
+    but budgeted in deterministic greedy-merge BPE tokens
+    (functions/bpe.py — char-level render + an ordered fixed merge
+    table as pure string expressions, no UDF) instead of whitespace
+    words.  Both cuts are emitted side by side under the SAME 2000-
+    token budget and the SAME ordering: rows with kept_ws ≠ kept_bpe
+    are the documents the whitespace proxy would have mis-budgeted —
+    the certified artifact PROVES the tokenizer choice moves the cut
+    (BPE counts run ~3-4× word counts here, so the BPE cut lands far
+    earlier).
+
+    Plan/scale: one shuffle on lang (both cumulative windows share
+    it); the tokenizer is a per-row expression chain — map-side,
+    whole-stage-codegen, linear in text length — exactly how a real
+    vocab-table tokenizer would run, minus the merge-table size."""
+    from ..functions.bpe import bpe_token_count
+
+    docs = load_table(spark, sf_dir, "documents")
+    n_ws = F.size(F.split("text", " ")).cast("long")
+    w = (
+        Window.partitionBy("lang")
+        .orderBy(F.col("n_chars").desc(), "doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    scored = docs.select(
+        "lang",
+        "doc_id",
+        n_ws.alias("n_tokens_ws"),
+        bpe_token_count(F.col("text")).alias("n_tokens_bpe"),
+        F.sum(n_ws).over(w).alias("cum_ws"),
+        F.sum(bpe_token_count(F.col("text"))).over(w).alias("cum_bpe"),
+    )
+    return (
+        scored.filter((F.col("cum_ws") <= 2000) | (F.col("cum_bpe") <= 2000))
+        .select(
+            "lang",
+            "doc_id",
+            "n_tokens_ws",
+            "n_tokens_bpe",
+            (F.col("cum_ws") <= 2000).alias("kept_ws"),
+            (F.col("cum_bpe") <= 2000).alias("kept_bpe"),
+        )
+        .orderBy("lang", "doc_id")
+    )
+
+
 @query(
     "hash_split_counts",
     """
@@ -3983,6 +4067,227 @@ def bloom_filter_fp_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Bloom sizing — the inverse of the FP audit (design tool + saturation alarm)
+# ---------------------------------------------------------------------------
+
+# (cfg, n_design, target_fp, n_load): six bound-sized grid points plus
+# one deliberately UNDERSIZED config — designed for 500 keys, loaded
+# with 8000 — the "static m silently saturates as the seen-set grows"
+# failure the saturation column exists to flag.
+_SIZING_GRID = [
+    ("n500_fp05", 500, 0.05, 500),
+    ("n500_fp01", 500, 0.01, 500),
+    ("n2000_fp05", 2000, 0.05, 2000),
+    ("n2000_fp01", 2000, 0.01, 2000),
+    ("n8000_fp05", 8000, 0.05, 8000),
+    ("n8000_fp01", 8000, 0.01, 8000),
+    ("undersized_n500_load8000", 500, 0.01, 8000),
+]
+
+
+def _sizing_sql() -> str:
+    """The full DuckDB twin of bloom_sizing_design, generated from the
+    SAME grid + hash family.  m and k in the OUTPUT are re-derived in
+    SQL from the bound's repr'd literals (operators/bloom.py sizing
+    constants) — if the Python helper and the SQL formula ever
+    disagree on a ceil/floor boundary, the hash check fails; the
+    hash-position CTEs necessarily use the Python-derived values
+    (they are plan-time text), which is exactly what the equality
+    certifies."""
+    from ..operators.bloom import (
+        LN2,
+        LN2_SQ,
+        NEG_LN_FP,
+        bit_position_sql,
+        bloom_sizing,
+    )
+
+    members, bits, probe, sizing = [], [], [], []
+    for cfg, n_design, p, n_load in _SIZING_GRID:
+        m, k = bloom_sizing(n_design, p)
+        members.append(
+            f"SELECT '{cfg}' AS cfg, key FROM "
+            f"(SELECT o_orderkey AS key FROM orders ORDER BY 1 LIMIT {n_load})"
+        )
+        for i in range(k):
+            bp = bit_position_sql("key", i, m)
+            bits.append(
+                f"SELECT cfg, {bp} AS bitpos FROM members WHERE cfg = '{cfg}'"
+            )
+            probe.append(
+                f"SELECT cfg, key, is_member, {bp} AS bitpos"
+                f" FROM probes WHERE cfg = '{cfg}'"
+            )
+        neg_ln_p = NEG_LN_FP[p]
+        m_sql = (
+            f"CAST(CEIL(CAST({n_design} AS DOUBLE)"
+            f" * CAST({neg_ln_p!r} AS DOUBLE)"
+            f" / CAST({LN2_SQ!r} AS DOUBLE)) AS BIGINT)"
+        )
+        k_sql = (
+            f"GREATEST(1, CAST(FLOOR((CAST({m_sql} AS DOUBLE) / {n_design})"
+            f" * CAST({LN2!r} AS DOUBLE) + 0.5) AS BIGINT))"
+        )
+        exp_arg = -(k * n_design) / m
+        sizing.append(
+            f"SELECT '{cfg}' AS cfg, CAST({n_design} AS BIGINT) AS n_design,"
+            f" CAST({p!r} AS DOUBLE) AS target_fp,"
+            f" {m_sql} AS m, {k_sql} AS k,"
+            f" round(POWER(1 - EXP(CAST({exp_arg!r} AS DOUBLE)), {k}), 6)"
+            f" AS predicted_fp"
+        )
+    return (
+        "WITH members AS ("
+        + " UNION ALL ".join(members)
+        + "),\n    thr AS (SELECT cfg, max(key) AS thr FROM members GROUP BY 1),\n"
+        + "    probes AS (SELECT t.cfg, o.o_orderkey AS key,"
+        + " o.o_orderkey <= t.thr AS is_member FROM orders o CROSS JOIN thr t),\n"
+        + "    bits AS (SELECT DISTINCT cfg, bitpos FROM ("
+        + " UNION ALL ".join(bits)
+        + ")),\n    probe_bits AS (SELECT DISTINCT cfg, key, is_member, bitpos FROM ("
+        + " UNION ALL ".join(probe)
+        + """)),
+    verdicts AS (
+      SELECT pb.cfg, pb.key, pb.is_member,
+             count(*) = count(b.bitpos) AS positive
+      FROM probe_bits pb
+      LEFT JOIN bits b ON b.cfg = pb.cfg AND b.bitpos = pb.bitpos
+      GROUP BY pb.cfg, pb.key, pb.is_member
+    ),
+    bitcounts AS (
+      SELECT cfg, CAST(count(*) AS BIGINT) AS bits_set FROM bits GROUP BY cfg
+    ),
+    stats AS (
+      SELECT cfg,
+             CAST(count(*) FILTER (WHERE is_member) AS BIGINT) AS n_members,
+             CAST(count(*) AS BIGINT) AS n_probes,
+             CAST(count(*) FILTER (WHERE NOT is_member AND positive)
+                  AS BIGINT) AS false_pos,
+             CAST(count(*) FILTER (WHERE is_member AND NOT positive)
+                  AS BIGINT) AS false_neg
+      FROM verdicts GROUP BY cfg
+    ),
+    sizing AS ("""
+        + " UNION ALL ".join(sizing)
+        + """)
+    SELECT z.cfg, z.n_design, z.target_fp, z.m, z.k,
+           s.n_members, b.bits_set,
+           round(CAST(b.bits_set AS DOUBLE) / z.m, 6) AS fill_ratio,
+           s.false_neg,
+           CASE WHEN s.n_probes - s.n_members > 0
+                THEN round(CAST(s.false_pos AS DOUBLE)
+                           / (s.n_probes - s.n_members), 6)
+           END AS measured_fp,
+           z.predicted_fp,
+           round(CAST(s.n_members AS DOUBLE) / z.m, 6) AS saturation
+    FROM sizing z
+    JOIN stats s ON s.cfg = z.cfg
+    JOIN bitcounts b ON b.cfg = z.cfg
+    ORDER BY z.cfg
+    """
+    )
+
+
+@query(
+    "bloom_sizing_design",
+    _sizing_sql(),
+    survey="llm-bloom-filter,S8",
+    tags=("dedup", "sketch"),
+)
+def bloom_sizing_design(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom SIZING — the design-tool inverse of the FP audit
+    (VERDICT r08 item 4): given a key count n and a target FP, derive
+    (m, k) from the standard bound (operators/bloom.py:bloom_sizing),
+    build the filter at that size, and emit the chosen config next to
+    its MEASURED false-positive rate, the bound's predicted rate, and
+    the saturation alarm n/m.
+
+    The grid sweeps n × target_fp so the certified artifact shows
+    predicted FP TRACKING measured FP as n grows (same m/n ratio ⇒
+    same predicted curve; the measurement should stay on it), and one
+    deliberately undersized row — (m, k) designed for 500 keys,
+    loaded with 8000 — shows how the failure presents: saturation
+    ≈ 1.7 vs the healthy ≈ 0.1, fill ratio ≈ 1, measured FP near 1
+    while the design-point prediction still claims 0.01.  At 100 TB
+    the seen-set n grows per snapshot; the alarm threshold is
+    saturation approaching the design point, which fires BEFORE the
+    measured FP leaves the curve.
+
+    Determinism: m and k are ceil/floor over repr'd double literals
+    (never a live log()), re-derived independently in the oracle's
+    SQL; predicted_fp's exponent is a plan-time literal with only
+    EXP/POWER evaluated in-engine; every hash position is the exact
+    int64 LCG family; the measured-FP division is ANSI-guarded for
+    the degenerate all-members case (sf0.001 loads the whole orders
+    table into the larger grids).  Plan/scale: identical to the FP
+    audit — per config ONE distinct agg over a k-way explode bounded
+    at m rows, broadcast back over the probe explode; the member
+    threshold is a 1-row broadcast."""
+    import math
+
+    from ..operators.bloom import bloom_bits, bloom_probe, bloom_sizing
+
+    orders = load_table(spark, sf_dir, "orders")
+    keys = orders.select(F.col("o_orderkey").alias("key"))
+    parts = []
+    for cfg, n_design, p, n_load in _SIZING_GRID:
+        m, k = bloom_sizing(n_design, p)
+        members = keys.orderBy("key").limit(n_load)
+        thr = members.agg(F.max("key").alias("_thr"))
+        probes = keys.crossJoin(F.broadcast(thr)).select(
+            "key", (F.col("key") <= F.col("_thr")).alias("is_member")
+        )
+        bits = bloom_bits(members, "key", m, k)
+        bits_set = bits.agg(F.count(F.lit(1)).cast("long").alias("bits_set"))
+        verdicts = bloom_probe(probes, "key", bits, m, k)
+        mem, pos = F.col("is_member"), F.col("bloom_positive")
+        stats = verdicts.agg(
+            F.sum(F.when(mem, 1).otherwise(0)).cast("long").alias("n_members"),
+            F.count(F.lit(1)).cast("long").alias("n_probes"),
+            F.sum(F.when(~mem & pos, 1).otherwise(0))
+            .cast("long")
+            .alias("false_pos"),
+            F.sum(F.when(mem & ~pos, 1).otherwise(0))
+            .cast("long")
+            .alias("false_neg"),
+        )
+        predicted = round(
+            (1 - math.exp(-(k * n_design) / m)) ** k, 6
+        )
+        parts.append(
+            stats.crossJoin(F.broadcast(bits_set)).select(
+                F.lit(cfg).alias("cfg"),
+                F.lit(n_design).cast("long").alias("n_design"),
+                F.lit(p).cast("double").alias("target_fp"),
+                F.lit(m).cast("long").alias("m"),
+                F.lit(k).cast("long").alias("k"),
+                "n_members",
+                "bits_set",
+                F.round(
+                    F.col("bits_set").cast("double") / F.lit(m).cast("long"), 6
+                ).alias("fill_ratio"),
+                "false_neg",
+                F.when(
+                    (F.col("n_probes") - F.col("n_members")) > 0,
+                    F.round(
+                        F.col("false_pos").cast("double")
+                        / (F.col("n_probes") - F.col("n_members")),
+                        6,
+                    ),
+                ).alias("measured_fp"),
+                F.lit(predicted).cast("double").alias("predicted_fp"),
+                F.round(
+                    F.col("n_members").cast("double") / F.lit(m).cast("long"),
+                    6,
+                ).alias("saturation"),
+            )
+        )
+    from functools import reduce
+
+    return reduce(lambda a, b: a.unionByName(b), parts).orderBy("cfg")
+
+
+# ---------------------------------------------------------------------------
 # Exact substring containment (token-aligned) — fingerprint-blocked
 # ---------------------------------------------------------------------------
 
@@ -4215,6 +4520,89 @@ def streaming_ann_enrichment(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = spark.read.parquet(out_dir).select(
         "query_id", "neighbor_id", "cos_sim", "rank"
     ).orderBy("query_id", "rank")
+    rows = out.collect()
+    schema = out.schema
+    shutil.rmtree(workdir, ignore_errors=True)
+    return spark.createDataFrame(rows, schema)
+
+
+@query(
+    "streaming_ann_enrichment_ivf",
+    _RANK1_GATE_SQL,
+    survey="§2.12,llm-ann-ivf",
+    tags=("similarity", "streaming"),
+)
+def streaming_ann_enrichment_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.12 × IVF: the streaming ANN enrichment with the IVF index
+    swapped in — the substitution ``streaming_ann_enrichment``'s
+    docstring promises, executed.  The index (KMeans cells +
+    centroids, operators/similarity.py:ivf_index) is built ONCE in
+    setup and localCheckpointed; each micro-batch then runs only
+    ``ivf_search`` — broadcast(batch) ⋈ the n_probe/n_centroids
+    fraction of the checkpointed assignment — under the SAME
+    idempotent ``batch=<id>`` overwrite publish as the exact variant.
+
+    Correctness gate: the planted-duplicate invariant (an exact copy
+    of every query vector lives in the corpus at vec_id + offset).
+    The copy assigns to the query's own nearest cell, which
+    n_probe ≥ 1 always probes, so rank-1 = planted copy at cosine
+    1.0 whatever the file batching — the same index-soundness
+    statement the batch ``embedding_ann_ivf`` row certifies, and one
+    DuckDB can make without modelling the index.  The recall
+    operating point for non-planted neighbors at (8 cells, n_probe=2)
+    is measured by ``embedding_ann_recall_cost``.
+
+    Scale: per trigger the exact variant scores |batch| × |corpus|
+    pairs; this one scores |batch| × (probed-cell mass) — the
+    scripts/scale_probe.py streaming-ANN column measures the
+    candidate-count drop at 10× corpus.  At 100 TB the assignment
+    persists WITH the corpus (a parquet column, not a checkpoint) and
+    triggers pay only the probed cells' scan."""
+    import shutil
+    import tempfile
+
+    from ..benchmeta import setup_span
+    from ..operators.similarity import ivf_index, ivf_search
+    from ..streaming.ingest import stream_source
+
+    corpus, queries = _planted_embeddings(spark, sf_dir)
+
+    with setup_span("streaming_ann_enrichment_ivf"):
+        workdir = tempfile.mkdtemp(prefix="stream_ann_ivf_")
+        drop_dir = f"{workdir}/queries"
+        out_dir = f"{workdir}/topk"
+        checkpoint = f"{workdir}/checkpoint"
+        # 4 files at 2 files/trigger => multiple real micro-batches
+        queries.repartition(4).write.parquet(drop_dir)
+        # Index build is a SETUP cost by design — that is the point of
+        # an IVF index.  localCheckpoint: one materialization, every
+        # trigger reuses it (multi-consumer rule).
+        assigned, centers = ivf_index(
+            corpus, n_centroids=8, seed=42, max_iter=4
+        )
+        assigned = assigned.localCheckpoint()
+
+    stream = stream_source(
+        spark, drop_dir, queries.schema, fmt="parquet", maxFilesPerTrigger=2
+    )
+
+    def publish(batch_df: DataFrame, batch_id: int) -> None:
+        ivf_search(assigned, centers, batch_df, k=5, n_probe=2).write.mode(
+            "overwrite"
+        ).parquet(f"{out_dir}/batch={batch_id}")
+
+    q = (
+        stream.writeStream.foreachBatch(publish)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    topk = spark.read.parquet(out_dir).select(
+        "query_id", "neighbor_id", "cos_sim", "rank"
+    )
+    out = _rank1_gate(topk)
     rows = out.collect()
     schema = out.schema
     shutil.rmtree(workdir, ignore_errors=True)

@@ -107,7 +107,93 @@ def main() -> None:
 
     hybrid_vs_exact(spark)
     bloom_vs_exact(spark)
+    streaming_ann_probe(spark)
     streaming_probe(spark)
+
+
+def streaming_ann_probe(spark) -> None:
+    """VERDICT r08 item 3: per-TRIGGER scan cost of the streaming ANN
+    enrichment, exact vs IVF, as the corpus grows.  One availableNow
+    trigger processes an 8-query batch; the exact variant scores
+    |batch| x |corpus| pairs per trigger while the IVF variant scores
+    only the probed cells' mass (n_probe/n_centroids of the corpus in
+    expectation).  The index build is timed separately — it is the
+    amortized setup cost, paid once across all triggers.  Candidate
+    counts are deterministic; walls carry machine noise."""
+    from real_estate_etl_dev_spark.operators.similarity import (
+        cosine_topk,
+        ivf_index,
+        ivf_scored_from_cells,
+        ivf_search,
+    )
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet").select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias(
+            "embedding"
+        ),
+    )
+    queries = emb.filter(F.col("vec_id") < 8).localCheckpoint()
+
+    print()
+    print(
+        "| corpus | exact cand/trigger | exact s | ivf cand/trigger "
+        "| ivf s | index-build s |"
+    )
+    print("|---|---|---|---|---|---|")
+    for k in (1, 4, 16):
+        reps = spark.range(k).select(F.col("id").alias("rep"))
+        corpus = (
+            emb.crossJoin(reps)  # k-row side: replica fan-out
+            .select(
+                (F.col("vec_id") + F.col("rep") * 10_000_000).alias("vec_id"),
+                "embedding",
+            )
+            .localCheckpoint()
+        )
+        n = corpus.count()
+
+        t0 = time.perf_counter()
+        exact_cand = n * 8 - 8  # broadcast(q) x corpus minus self-matches
+        cosine_topk(corpus, queries, k=5).count()
+        t_exact = time.perf_counter() - t0
+
+        t0 = time.perf_counter()
+        assigned, centers = ivf_index(
+            corpus, n_centroids=8, seed=42, max_iter=4
+        )
+        assigned = assigned.localCheckpoint()
+        t_index = time.perf_counter() - t0
+
+        # probed candidate mass: the scored frame pre-rank
+        q8 = queries.select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("__qvec"),
+        )
+        from pyspark.sql import Window as _W
+        from real_estate_etl_dev_spark.operators.similarity import cosine
+
+        qc = q8.join(F.broadcast(centers))
+        wq = _W.partitionBy("query_id").orderBy(
+            F.desc(cosine(F.col("__qvec"), F.col("__center"))),
+            F.asc("__cell"),
+        )
+        probes = (
+            qc.withColumn("__cr", F.row_number().over(wq))
+            .filter(F.col("__cr") <= 2)
+            .select("query_id", "__qvec", "__cell")
+        )
+        ivf_cand = ivf_scored_from_cells(assigned, probes).count()
+
+        t0 = time.perf_counter()
+        ivf_search(assigned, centers, queries, k=5, n_probe=2).count()
+        t_ivf = time.perf_counter() - t0
+
+        print(
+            f"| {n:,} | {exact_cand:,} | {t_exact:.1f} | {ivf_cand:,} "
+            f"| {t_ivf:.1f} | {t_index:.1f} |",
+            flush=True,
+        )
 
 
 def bloom_vs_exact(spark) -> None:

@@ -1036,3 +1036,64 @@ def test_frame_schedule_zero_frames_is_empty(spark):
     assert rows[1] == []  # 10ms @ 23.976fps -> 0 frames
     assert rows[3] == []  # 999ms @ 1fps -> floor(0.999) = 0 frames
     assert [(f["frame_idx"], f["ts_ms"]) for f in rows[2]] == [(0, 0)]
+
+
+def test_bpe_merge_mechanics_hand_computed(spark):
+    """Pin the BPE tokenizer against hand-derived merges: full-word
+    merges ('the', 'hash', 'join'), the chaining case (adjacent
+    occurrences merge in ONE replace pass because every token keeps
+    both delimiters), and a partial compression ('order' -> or,d,er).
+    Space is its own token."""
+    from real_estate_etl_dev_spark.functions.bpe import (
+        bpe_token_count,
+        bpe_tokenized,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, "the hash join"),  # 3 words + 2 spaces = 5 tokens
+            (2, "rowrow"),         # r,o,w,r,o,w -> ro,w,ro,w -> row,row
+            (3, "order"),          # o,r,d,e,r -> o,r,d,er -> or,d,er
+            (4, "xyz"),            # no merges apply: 3 char tokens
+        ],
+        "doc_id long, text string",
+    )
+    rows = {
+        r["doc_id"]: (r["n"], r["m"])
+        for r in df.select(
+            "doc_id",
+            bpe_token_count(F.col("text")).alias("n"),
+            bpe_tokenized(F.col("text")).alias("m"),
+        ).collect()
+    }
+    assert rows[1][0] == 5, rows[1]
+    assert rows[1][1] == "_the__ __hash__ __join_"
+    assert rows[2] == (2, "_row__row_")
+    assert rows[3] == (3, "_or__d__er_")
+    assert rows[4] == (3, "_x__y__z_")
+
+
+def test_bpe_budget_cut_differs_from_whitespace(spark, sf_dir):
+    """The certified artifact must PROVE the tokenizer moves the cut:
+    at least one document is kept under the whitespace budget but cut
+    under the BPE budget (same budget, same ordering)."""
+    from real_estate_etl_dev_spark.plans.catalog import CATALOG
+
+    rows = CATALOG["token_budget_bpe"].fn(spark, sf_dir).collect()
+    assert any(r["kept_ws"] and not r["kept_bpe"] for r in rows)
+    # same ordering + faster-growing cumsum => BPE-kept is a subset
+    assert all(r["kept_ws"] for r in rows if r["kept_bpe"])
+
+
+def test_bloom_sizing_matches_bound_and_alarms(spark):
+    """bloom_sizing must reproduce the standard bound at the grid
+    points (hand-checked) and scale linearly in n at fixed target;
+    k depends only on the target."""
+    from real_estate_etl_dev_spark.operators.bloom import bloom_sizing
+
+    assert bloom_sizing(500, 0.01) == (4793, 7)
+    assert bloom_sizing(500, 0.05) == (3118, 4)
+    m1, k1 = bloom_sizing(1000, 0.01)
+    m2, k2 = bloom_sizing(100000, 0.01)
+    assert k1 == k2 == 7  # optimal k is a pure function of target_fp
+    assert abs(m2 / m1 - 100) < 0.01  # m linear in n
