@@ -793,6 +793,86 @@ def token_budget_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _bpe_fertility_sql() -> str:
+    from ..functions.bpe import bpe_token_count_sql, bpe_tokenized_sql
+
+    return f"""
+    WITH rendered AS (
+      SELECT lang, text, {bpe_tokenized_sql("text")} AS merged
+      FROM documents
+    ),
+    tok AS (
+      SELECT lang,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
+             CAST(length(replace(text, ' ', '')) AS BIGINT) AS n_letters,
+             {bpe_token_count_sql("merged")} AS n_bpe
+      FROM rendered
+    )
+    SELECT lang,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_words) AS BIGINT) AS total_words,
+           CAST(sum(n_bpe - (n_words - 1)) AS BIGINT) AS total_word_tokens,
+           round(CAST(sum(n_bpe - (n_words - 1)) AS DOUBLE)
+                 / sum(n_words), 4) AS fertility,
+           round(CAST(sum(n_letters) AS DOUBLE)
+                 / sum(n_bpe - (n_words - 1)), 4) AS chars_per_token
+    FROM tok GROUP BY lang ORDER BY lang
+    """
+
+
+@query(
+    "bpe_fertility_by_lang",
+    _bpe_fertility_sql(),
+    survey="llm-tokenizer",
+    tags=("text-analysis",),
+)
+def bpe_fertility_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer FERTILITY audit: per language, BPE tokens per word
+    and characters per token — the two numbers every tokenizer/corpus
+    pairing is judged by (a vocab tuned for one language runs fertile
+    — more tokens per word — on another, inflating its effective
+    training cost; the merge table here is tuned to the fixture's
+    vocabulary, so per-lang differences expose per-lang word-mix
+    skew).  Space tokens are subtracted (n_bpe - (n_words - 1)) so
+    fertility counts WORD tokens only, the standard convention.
+
+    Companion to ``token_budget_bpe``: the budget query shows the cut
+    moving; this one quantifies WHY by the per-language exchange rate
+    between words and tokenizer tokens.  Determinism: all-integer
+    sums, two final double divisions rounded to 4dp (denominators
+    strictly positive — every doc has ≥ 1 word).  Plan/scale: the
+    tokenizer chain is map-side; ONE shuffle onto the ~4-row lang
+    key with full map-side combine."""
+    from ..functions.bpe import bpe_token_count
+
+    docs = load_table(spark, sf_dir, "documents")
+    n_words = F.size(F.split("text", " ")).cast("long")
+    n_letters = F.length(F.replace(F.col("text"), F.lit(" "), F.lit(""))).cast(
+        "long"
+    )
+    tok = docs.select(
+        "lang",
+        n_words.alias("n_words"),
+        n_letters.alias("n_letters"),
+        (bpe_token_count(F.col("text")) - (n_words - 1)).alias("n_wtok"),
+    )
+    return (
+        tok.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n_words").cast("long").alias("total_words"),
+            F.sum("n_wtok").cast("long").alias("total_word_tokens"),
+            F.round(
+                F.sum("n_wtok").cast("double") / F.sum("n_words"), 4
+            ).alias("fertility"),
+            F.round(
+                F.sum("n_letters").cast("double") / F.sum("n_wtok"), 4
+            ).alias("chars_per_token"),
+        )
+        .orderBy("lang")
+    )
+
+
 @query(
     "hash_split_counts",
     """
@@ -3426,6 +3506,326 @@ def embedding_int8_quantization_error(spark: SparkSession, sf_dir: str) -> DataF
             F.round(F.min("cos_dq").cast("double"), 6).alias("worst_cos"),
         )
         .orderBy("label")
+    )
+
+
+_PQ_S, _PQ_D, _PQ_K = 8, 8, 16  # subspaces x dims-per-subspace, codewords
+
+
+@query(
+    "embedding_pq_adc_recall",
+    f"""
+    WITH
+    c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    q AS (SELECT vec_id, v FROM c WHERE vec_id < 8),
+    -- element tables: subspace s = (idx-1) // {_PQ_D}, within-sub i
+    el AS (
+      SELECT vec_id, (idx - 1) // {_PQ_D} AS s, (idx - 1) % {_PQ_D} AS i, val
+      FROM (SELECT vec_id, unnest(v) AS val,
+                   unnest(generate_series(1, len(v))) AS idx FROM c)
+    ),
+    -- codebook: the {_PQ_K} data vectors at vec_id 100..{100 + _PQ_K - 1},
+    -- sliced per subspace (data-vector codewords, the recall_cost trick)
+    cwel AS (
+      SELECT s, vec_id - 100 AS k, i, val AS y FROM el
+      WHERE vec_id BETWEEN 100 AND {100 + _PQ_K - 1}
+    ),
+    cwn2 AS (
+      SELECT s, k, sum(CAST(round(y * y, 6) AS DECIMAL(24,6))) AS n2
+      FROM cwel GROUP BY s, k
+    ),
+    -- per (vector, subspace): argmin codeword by exact decimal sq dist
+    dist AS (
+      SELECT e.vec_id, e.s, w.k,
+             sum(CAST(round((e.val - w.y) * (e.val - w.y), 6)
+                      AS DECIMAL(24,6))) AS d
+      FROM el e JOIN cwel w ON w.s = e.s AND w.i = e.i
+      GROUP BY e.vec_id, e.s, w.k
+    ),
+    codes AS (
+      SELECT vec_id, s, k FROM (
+        SELECT vec_id, s, k,
+               row_number() OVER (PARTITION BY vec_id, s ORDER BY d, k) AS rk
+        FROM dist
+      ) WHERE rk = 1
+    ),
+    qn AS (
+      SELECT vec_id AS query_id,
+             sum(CAST(round(val * val, 6) AS DECIMAL(24,6))) AS qn2
+      FROM el WHERE vec_id < 8 GROUP BY 1
+    ),
+    -- the ADC lookup table: dot of each query subvector with each
+    -- codeword (per-term 6dp decimal — order-independent)
+    qdot AS (
+      SELECT e.vec_id AS query_id, e.s, w.k,
+             sum(CAST(round(e.val * w.y, 6) AS DECIMAL(24,6))) AS dt
+      FROM el e JOIN cwel w ON w.s = e.s AND w.i = e.i
+      WHERE e.vec_id < 8
+      GROUP BY 1, 2, 3
+    ),
+    adc AS (
+      SELECT qd.query_id, cd.vec_id AS neighbor_id,
+             round(CAST(sum(qd.dt) AS DOUBLE)
+                   / (sqrt(CAST(any_value(qn.qn2) AS DOUBLE))
+                      * sqrt(CAST(sum(n2.n2) AS DOUBLE))), 6) AS adc_cos
+      FROM codes cd
+      JOIN qdot qd ON qd.s = cd.s AND qd.k = cd.k
+      JOIN cwn2 n2 ON n2.s = cd.s AND n2.k = cd.k
+      JOIN qn ON qn.query_id = qd.query_id
+      WHERE cd.vec_id <> qd.query_id
+      GROUP BY 1, 2
+    ),
+    adc_ranked AS (
+      SELECT query_id, neighbor_id,
+             row_number() OVER (PARTITION BY query_id
+               ORDER BY adc_cos DESC, neighbor_id) AS rk
+      FROM adc
+    ),
+    pq5 AS (SELECT query_id, neighbor_id FROM adc_ranked WHERE rk <= 5),
+    -- funnel: ADC top-50 candidates re-ranked at full precision
+    rerank AS (
+      SELECT a.query_id, a.neighbor_id,
+             row_number() OVER (PARTITION BY a.query_id
+               ORDER BY round(list_cosine_similarity(qq.v, cc.v), 6) DESC,
+                        a.neighbor_id) AS rk
+      FROM adc_ranked a
+      JOIN q qq ON qq.vec_id = a.query_id
+      JOIN c cc ON cc.vec_id = a.neighbor_id
+      WHERE a.rk <= 50
+    ),
+    funnel5 AS (SELECT query_id, neighbor_id FROM rerank WHERE rk <= 5),
+    exact5 AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT qq.vec_id AS query_id, cc.vec_id AS neighbor_id,
+               row_number() OVER (PARTITION BY qq.vec_id
+                 ORDER BY round(list_cosine_similarity(qq.v, cc.v), 6) DESC,
+                          cc.vec_id) AS rk
+        FROM q qq JOIN c cc ON cc.vec_id <> qq.vec_id
+      ) WHERE rk <= 5
+    )
+    SELECT q.vec_id AS query_id,
+           CAST(coalesce(ha.hits, 0) AS BIGINT) AS adc_hits_at5,
+           round(CAST(coalesce(ha.hits, 0) AS DOUBLE) / 5.0, 4)
+             AS adc_recall_at5,
+           CAST(coalesce(hf.hits, 0) AS BIGINT) AS funnel_hits_at5,
+           round(CAST(coalesce(hf.hits, 0) AS DOUBLE) / 5.0, 4)
+             AS funnel_recall_at5,
+           CAST(128.0 AS DOUBLE) AS compression_x
+    FROM q
+    LEFT JOIN (SELECT p.query_id, count(*) AS hits FROM pq5 p
+               JOIN exact5 e ON e.query_id = p.query_id
+                            AND e.neighbor_id = p.neighbor_id
+               GROUP BY 1) ha ON ha.query_id = q.vec_id
+    LEFT JOIN (SELECT f.query_id, count(*) AS hits FROM funnel5 f
+               JOIN exact5 e ON e.query_id = f.query_id
+                            AND e.neighbor_id = f.neighbor_id
+               GROUP BY 1) hf ON hf.query_id = q.vec_id
+    ORDER BY query_id
+    """,
+    survey="llm-ann-audit,llm-pq",
+    tags=("similarity",),
+)
+def embedding_pq_adc_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization retrieval audit — the third leg of the
+    embedding-compression tier (matryoshka = fewer DIMENSIONS, int8 =
+    narrower SCALARS, PQ = subvector CODEBOOKS): split each 64-dim
+    vector into 8 subspaces of 8 dims, assign every subvector to its
+    nearest of 16 data-vector codewords (exact-decimal sq dist, the
+    recall_cost trick that keeps k-means out of the oracle), then
+    retrieve by ASYMMETRIC distance — the query stays full-precision
+    and the neighbor's cosine decomposes as
+
+        cos(q, rec(n)) = sum_s dot(q_s, cw[s, code_n(s)])
+                         / (|q| * sqrt(sum_s |cw|^2))
+
+    so the scan never reconstructs a vector: per (query, subspace,
+    codeword) dots are a 16x8-entry lookup table, which is exactly
+    how a production PQ/ADC scan runs at 100 TB — the corpus is read
+    as 8 4-bit codes per vector (128x compression vs float64) and
+    scoring is table lookups + adds.  The audit emits BOTH operating
+    points per query: direct ADC top-5 overlap with the exact
+    full-precision top-5 (honestly low on this unclusterable random
+    fixture — that IS the 128x price) and the production funnel —
+    ADC top-50 re-ranked at full precision, then top-5 — which
+    recovers most of it (the matryoshka audit's two-stage layout with
+    PQ as the first stage).
+
+    Determinism: every cross-partition sum is per-term 6dp-rounded
+    DECIMAL(24,6) (codeword norms, ADC dot terms, query norms,
+    assignment distances — ties by codeword id); the single division
+    happens once in double and sqrt is IEEE-correctly-rounded, so
+    both engines rank identical numbers.  Plan/scale: codebook and
+    query side broadcast; assignment is one map-side argmin over a
+    16-way broadcast join; the ADC join is codes ⋈ broadcast(ADC
+    lookup table) with one (query, neighbor) agg — the corpus is
+    touched once, shuffled never; the funnel re-reads full vectors
+    for only 50 candidates per query."""
+    from ..operators.similarity import cosine
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("v"),
+    )
+    queries = emb.filter(F.col("vec_id") < 8)
+    dec = "decimal(24,6)"
+
+    def dec_sum(arr):
+        return F.aggregate(
+            arr, F.lit(0).cast(dec), lambda a, x: (a + x).cast(dec)
+        )
+
+    def sub(v, s):
+        return F.slice(v, s * _PQ_D + 1, _PQ_D)
+
+    subs = F.explode(F.array(*[F.lit(s) for s in range(_PQ_S)])).alias("s")
+
+    cw = (
+        emb.filter(F.col("vec_id").between(100, 100 + _PQ_K - 1))
+        .select((F.col("vec_id") - 100).alias("k"), "v", subs)
+        .select("s", "k", sub(F.col("v"), F.col("s")).alias("w"))
+        .withColumn(
+            "n2",
+            dec_sum(F.transform("w", lambda x: F.round(x * x, 6).cast(dec))),
+        )
+    )
+
+    tall = emb.select("vec_id", "v", subs).select(
+        "vec_id", "s", sub(F.col("v"), F.col("s")).alias("sv")
+    )
+    d = dec_sum(
+        F.zip_with(
+            "sv", "w", lambda x, y: F.round((x - y) * (x - y), 6).cast(dec)
+        )
+    )
+    w_arg = Window.partitionBy("vec_id", "s").orderBy("d", "k")
+    codes = (
+        tall.join(F.broadcast(cw.select("s", "k", "w")), "s")
+        .select("vec_id", "s", "k", d.alias("d"))
+        .withColumn("__r", F.row_number().over(w_arg))
+        .filter(F.col("__r") == 1)
+        .select("vec_id", "s", "k")
+    )
+
+    qsubs = queries.select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv"), subs
+    ).select("query_id", "s", sub(F.col("qv"), F.col("s")).alias("qs"))
+    qn = queries.select(
+        F.col("vec_id").alias("query_id"),
+        dec_sum(
+            F.transform("v", lambda x: F.round(x * x, 6).cast(dec))
+        ).alias("qn2"),
+    )
+    # the ADC lookup table: 8 queries x 8 subspaces x 16 codewords
+    qdot = (
+        qsubs.join(F.broadcast(cw.select("s", "k", "w", "n2")), "s")
+        .select(
+            "query_id",
+            "s",
+            "k",
+            dec_sum(
+                F.zip_with(
+                    "qs", "w", lambda x, y: F.round(x * y, 6).cast(dec)
+                )
+            ).alias("dt"),
+            "n2",
+        )
+    )
+
+    adc_cos = F.round(
+        F.col("num").cast("double")
+        / (
+            F.sqrt(F.col("qn2").cast("double"))
+            * F.sqrt(F.col("cn2").cast("double"))
+        ),
+        6,
+    )
+    adc = (
+        codes.withColumnRenamed("vec_id", "neighbor_id")
+        .join(F.broadcast(qdot), ["s", "k"])
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .groupBy("query_id", "neighbor_id")
+        .agg(F.sum("dt").alias("num"), F.sum("n2").alias("cn2"))
+        .join(F.broadcast(qn), "query_id")
+        .select("query_id", "neighbor_id", adc_cos.alias("adc_cos"))
+    )
+    w_adc = Window.partitionBy("query_id").orderBy(
+        F.desc("adc_cos"), F.asc("neighbor_id")
+    )
+    adc_ranked = adc.withColumn(
+        "__r", F.row_number().over(w_adc)
+    ).localCheckpoint(eager=True)
+    pq5 = adc_ranked.filter(F.col("__r") <= 5).select(
+        "query_id", "neighbor_id"
+    )
+
+    q = queries.select(F.col("vec_id").alias("query_id"), F.col("v").alias("qv"))
+    c = emb.select(F.col("vec_id").alias("neighbor_id"), F.col("v").alias("cv"))
+
+    # funnel: ADC top-50 re-ranked at full precision
+    w_rr = Window.partitionBy("query_id").orderBy(
+        F.desc("cos_full"), F.asc("neighbor_id")
+    )
+    funnel5 = (
+        adc_ranked.filter(F.col("__r") <= 50)
+        .select("query_id", "neighbor_id")
+        .join(F.broadcast(q), "query_id")
+        .join(c, "neighbor_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(cosine(F.col("qv"), F.col("cv")), 6).alias("cos_full"),
+        )
+        .withColumn("__r", F.row_number().over(w_rr))
+        .filter(F.col("__r") <= 5)
+        .select("query_id", "neighbor_id")
+    )
+
+    w_full = Window.partitionBy("query_id").orderBy(
+        F.desc("cos_full"), F.asc("neighbor_id")
+    )
+    exact5 = (
+        c.join(F.broadcast(q), F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(cosine(F.col("qv"), F.col("cv")), 6).alias("cos_full"),
+        )
+        .withColumn("__r", F.row_number().over(w_full))
+        .filter(F.col("__r") <= 5)
+        .select("query_id", "neighbor_id")
+        .localCheckpoint(eager=True)
+    )
+
+    def hits_of(top5, name):
+        return (
+            top5.join(exact5, ["query_id", "neighbor_id"], "left_semi")
+            .groupBy("query_id")
+            .agg(F.count(F.lit(1)).cast("long").alias(name))
+        )
+
+    return (
+        queries.select(F.col("vec_id").alias("query_id"))
+        .join(F.broadcast(hits_of(pq5, "ha")), "query_id", "left")
+        .join(F.broadcast(hits_of(funnel5, "hf")), "query_id", "left")
+        .select(
+            "query_id",
+            F.coalesce(F.col("ha"), F.lit(0))
+            .cast("long")
+            .alias("adc_hits_at5"),
+            F.round(
+                F.coalesce(F.col("ha"), F.lit(0)).cast("double") / F.lit(5.0),
+                4,
+            ).alias("adc_recall_at5"),
+            F.coalesce(F.col("hf"), F.lit(0))
+            .cast("long")
+            .alias("funnel_hits_at5"),
+            F.round(
+                F.coalesce(F.col("hf"), F.lit(0)).cast("double") / F.lit(5.0),
+                4,
+            ).alias("funnel_recall_at5"),
+            F.lit(128.0).cast("double").alias("compression_x"),
+        )
+        .orderBy("query_id")
     )
 
 

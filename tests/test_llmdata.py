@@ -1097,3 +1097,16 @@ def test_bloom_sizing_matches_bound_and_alarms(spark):
     m2, k2 = bloom_sizing(100000, 0.01)
     assert k1 == k2 == 7  # optimal k is a pure function of target_fp
     assert abs(m2 / m1 - 100) < 0.01  # m linear in n
+
+
+def test_pq_funnel_dominates_direct(spark, sf_dir):
+    """Any exact-top-5 member that survives into the ADC top-5 is a
+    fortiori in the ADC top-50, and the funnel re-ranks by TRUE
+    cosine — where exact-top-5 members beat every non-member — so
+    funnel hits can never fall below direct hits, per query."""
+    from real_estate_etl_dev_spark.plans.catalog import CATALOG
+
+    rows = CATALOG["embedding_pq_adc_recall"].fn(spark, sf_dir).collect()
+    assert len(rows) == 8
+    for r in rows:
+        assert r["funnel_hits_at5"] >= r["adc_hits_at5"], r
