@@ -3765,11 +3765,18 @@ def embedding_pq_adc_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     w_rr = Window.partitionBy("query_id").orderBy(
         F.desc("cos_full"), F.asc("neighbor_id")
     )
+    # candidates (≤50/query) broadcast INTO the corpus scan — the
+    # direction that survives a corpus 10^6× this size
     funnel5 = (
-        adc_ranked.filter(F.col("__r") <= 50)
-        .select("query_id", "neighbor_id")
+        c.join(
+            F.broadcast(
+                adc_ranked.filter(F.col("__r") <= 50).select(
+                    "query_id", "neighbor_id"
+                )
+            ),
+            "neighbor_id",
+        )
         .join(F.broadcast(q), "query_id")
-        .join(c, "neighbor_id")
         .select(
             "query_id",
             "neighbor_id",
@@ -3798,7 +3805,9 @@ def embedding_pq_adc_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     def hits_of(top5, name):
         return (
-            top5.join(exact5, ["query_id", "neighbor_id"], "left_semi")
+            top5.join(
+                F.broadcast(exact5), ["query_id", "neighbor_id"], "left_semi"
+            )
             .groupBy("query_id")
             .agg(F.count(F.lit(1)).cast("long").alias(name))
         )

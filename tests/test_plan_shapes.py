@@ -861,3 +861,39 @@ def test_partsupp_tpch_shapes_plan_as_documented(spark, sf_dir):
     assert q20.count("LeftSemi") >= 2
     fmt20 = formatted(spark, sf_dir, "potential_promotion_q20")
     assert "GreaterThanOrEqual(l_shipdate,1995-01-01" in fmt20
+
+
+def test_r09_llm_additions_plan_as_documented(spark, sf_dir):
+    """Shape pins for the r09 LLM-tier additions: the BPE tier stays
+    map-side string expressions (no Python, no extra exchange beyond
+    the documented lang shuffle / output sort), the Bloom sizing
+    query keeps the audit's broadcast-probe plan, and the PQ audit
+    never shuffles the corpus for scoring (its exchanges are the
+    window ranks and small aggs, all post-broadcast)."""
+    # token_budget_bpe: tokenizer is codegen string ops; the window
+    # shuffle on lang and the output sort are the only exchanges.
+    bpe = plan_of(spark, sf_dir, "token_budget_bpe")
+    assert "Python" not in bpe
+    assert bpe.count("Exchange hashpartitioning") == 1  # lang window
+    assert "replace(" in bpe  # the merge chain compiled JVM-side
+
+    fert = plan_of(spark, sf_dir, "bpe_fertility_by_lang")
+    assert "Python" not in fert
+    # partial agg before the single lang exchange (map-side combine)
+    first_ex = fert.find("Exchange")
+    assert first_ex >= 0 and "HashAggregate" in fert[first_ex:]
+
+    # bloom_sizing_design: bit sets broadcast back over the probe
+    # explode, same as the certified FP audit; threshold is broadcast.
+    bs = plan_of(spark, sf_dir, "bloom_sizing_design")
+    assert "Python" not in bs
+    assert bs.count("BroadcastHashJoin") >= 7  # one bit-set probe per config
+    assert "CartesianProduct" not in bs
+
+    # embedding_pq_adc_recall: codebook/query sides broadcast; the
+    # corpus-bearing joins are all broadcast joins (corpus itself is
+    # never the build side of a shuffle join).
+    pq = plan_of(spark, sf_dir, "embedding_pq_adc_recall")
+    assert "Python" not in pq
+    assert "SortMergeJoin" not in pq
+    assert "CartesianProduct" not in pq
