@@ -50,7 +50,9 @@ HEADLINE = [
     # still timed on stderr) to make stdout room for the hybrid
     "dedup_setsim_hybrid",         # hot-token hybrid setsim join (r08)
     "streaming_merge_scd1",        # §2.12 streaming upsert path
-    "tag_reconcile",               # R2 tag reconcile
+    # tag_reconcile rotated out r09 (R2 family twin of
+    # dq_identify_issues, still timed on stderr) for the BPE budget
+    "token_budget_bpe",            # tokenizer-count budgeting (r09)
     "dq_identify_issues",          # R2 13-rule DQ
     "price_extraction_cases",      # F-tier scalar battery
     "dedup_exact_groups",          # exact dedup
@@ -69,17 +71,25 @@ HEADLINE = [
     # streaming_incremental_dedup rotated out r08 (streaming-dedup
     # family twin of streaming_watermark_dedup, still on stderr) to
     # make stdout room for the streaming ANN enrichment path
-    "streaming_ann_enrichment",    # per-micro-batch ANN top-k (r08)
+    # streaming_ann_enrichment (exact) rotated out r09 for its own
+    # IVF scale path (same family, still timed on stderr)
+    "streaming_ann_enrichment_ivf",  # per-trigger IVF ANN search (r09)
     "fuzzy_title_pairs",           # edit-distance entity resolution
     "zorder_bucket_stats",         # Morton 2-D layout key
-    "shipping_priority_topn",      # TPC-H Q3 composite
+    # shipping_priority_topn rotated out r09 (TPC-H composite twin
+    # of local_supplier_volume, still on stderr) for the widest new
+    # derived-partsupp join
+    "product_profit_q9",           # TPC-H Q9 six-table profit (r09)
     # returned_item_losses rotated out r08 (TPC-H composite twin of
     # shipping_priority_topn, still on stderr) for the containment join
     "doc_containment_pairs",       # blocked exact-substr containment (r08)
     # kll_quantile_sketch_prices rotated out r08 (mergeable-sketch
     # family twin of cms_heavy_hitters_users, still on stderr) for the
     # bloom-filter audit — the sketch slot stays a sketch
-    "bloom_filter_fp_audit",       # bloom filter FP/fill audit (r08)
+    # bloom_filter_fp_audit rotated out r09 for its design-tool
+    # inverse (same family + measured-vs-predicted columns; audit
+    # still timed on stderr)
+    "bloom_sizing_design",         # bloom sizing + saturation alarm (r09)
     "streaming_watermark_dedup",   # engine-native streaming dedup
     "streaming_session_windows",   # native streaming sessionization
     "streaming_static_enrichment",  # stream-static broadcast join
@@ -87,7 +97,9 @@ HEADLINE = [
     "streaming_stream_stream_join",  # watermarked two-stream join
     "revenue_grouping_sets",       # multi-grain single-pass agg
     "snapshot_time_travel",        # versioned-table commit protocol
-    "snapshot_change_feed",        # CDC derived between versions
+    # snapshot_change_feed rotated out r09 (snapshot family twin of
+    # snapshot_time_travel, still on stderr) for the PQ audit
+    "embedding_pq_adc_recall",     # PQ/ADC compression audit (r09)
     "incremental_agg_maintenance",  # IVM from CDC deltas
     "embedding_kmeans",            # certified Lloyd k-means
     "dedup_ngram_coverage",        # ExactSubstr dup accounting

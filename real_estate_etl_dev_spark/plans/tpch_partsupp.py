@@ -211,8 +211,13 @@ def product_profit_q9(spark: SparkSession, sf_dir: str) -> DataFrame:
     Plan/scale: part ('%rod%', ~1/8) and supplier⋈nation broadcast
     onto the fact stream map-side; partsupp arrives pre-partitioned
     on (partkey, suppkey) from its defining distinct, the SAME
-    composite key this join uses; orders joins on orderkey — the one
-    unavoidable big-big shuffle (Q8 precedent).  Determinism: revenue
+    composite key this join uses.  At fixture scale the optimizer
+    broadcasts EVERY join side including partsupp and orders (read
+    from the plan: four BroadcastHashJoins, the only exchanges are
+    the defining distinct, the group-by, and the output sort); at
+    100 TB AQE swaps partsupp and orders to shuffle joins — partsupp
+    reusing its defining exchange, orders shuffling on orderkey, the
+    one unavoidable big-big shuffle (Q8 precedent).  Determinism: revenue
     and cost are kept as SEPARATE exact decimal sums and subtracted
     once — a fused per-row decimal difference would push Spark's
     result width past 38 digits and each engine degrades differently
