@@ -108,7 +108,70 @@ def main() -> None:
     hybrid_vs_exact(spark)
     bloom_vs_exact(spark)
     streaming_ann_probe(spark)
+    tpch_growth_probe(spark)
     streaming_probe(spark)
+
+
+def tpch_growth_probe(spark) -> None:
+    """r09: growth shape of the CERTIFIED TPC-H plans (not probe
+    re-implementations — the catalog functions run against a tempdir
+    fixture whose lineitem/orders are replicated kx with disjoint
+    orderkeys; dims unchanged, so join fan-out and group cardinality
+    hold while fact mass grows).  Q9 (six-table profit — the widest
+    fact chain) and Q10 (returned-item top-20) should grow ~linearly
+    in lineitem bytes: their per-row work is map-side joins + one
+    partial agg; the derived-partsupp distinct is the only
+    fact-derived shuffle and also grows linearly."""
+    import shutil
+    import tempfile
+
+    from real_estate_etl_dev_spark.plans.catalog import CATALOG
+    from real_estate_etl_dev_spark.sources.readers import load_table
+
+    print()
+    print("| lineitem rows | q9 s (rows) | q10 s | q20 s |")
+    print("|---|---|---|---|")
+    for k in (1, 4, 16):
+        workdir = tempfile.mkdtemp(prefix=f"tpch_scale_{k}_")
+        reps = spark.range(k).select(F.col("id").alias("rep"))
+        li = load_table(spark, SF_DIR, "lineitem")
+        o = load_table(spark, SF_DIR, "orders")
+        (
+            li.crossJoin(reps)  # k-row side: replica fan-out
+            .withColumn(
+                "l_orderkey",
+                F.col("l_orderkey") + F.col("rep") * F.lit(10**12).cast("long"),
+            )
+            .drop("rep")
+            .write.parquet(f"{workdir}/lineitem.parquet")
+        )
+        (
+            o.crossJoin(reps)
+            .withColumn(
+                "o_orderkey",
+                F.col("o_orderkey") + F.col("rep") * F.lit(10**12).cast("long"),
+            )
+            .drop("rep")
+            .write.parquet(f"{workdir}/orders.parquet")
+        )
+        for t in ("part", "supplier", "nation", "region", "customer"):
+            load_table(spark, SF_DIR, t).write.parquet(f"{workdir}/{t}.parquet")
+        n_li = spark.read.parquet(f"{workdir}/lineitem.parquet").count()
+
+        t0 = time.perf_counter()
+        n9 = CATALOG["product_profit_q9"].fn(spark, workdir).count()
+        t9 = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        CATALOG["returned_item_reporting_q10"].fn(spark, workdir).count()
+        t10 = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        CATALOG["potential_promotion_q20"].fn(spark, workdir).count()
+        t20 = time.perf_counter() - t0
+        shutil.rmtree(workdir, ignore_errors=True)
+        print(
+            f"| {n_li:,} | {t9:.1f} ({n9:,}) | {t10:.1f} | {t20:.1f} |",
+            flush=True,
+        )
 
 
 def streaming_ann_probe(spark) -> None:
