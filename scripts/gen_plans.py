@@ -214,6 +214,32 @@ SHOWCASE = [
         "per-customer count (partitioning reuse); the histogram agg "
         "collapses to a few dozen count-classes.",
     ),
+    (
+        "product_profit_q9",
+        "TPC-H Q9 (r09, derived partsupp): the six-table profit chain "
+        "plans as FOUR BroadcastHashJoins on the lineitem stream — "
+        "part ('%rod%' pushed to its scan), the composite-key derived "
+        "partsupp, supplier⋈nation, then orders; the only exchanges "
+        "are partsupp's defining distinct, the (nation, year) group, "
+        "and the output sort.  At 100 TB AQE swaps partsupp/orders to "
+        "shuffle joins, partsupp reusing its defining exchange.",
+    ),
+    (
+        "min_cost_supplier_q2",
+        "TPC-H Q2 (r09): the correlated per-part min-cost subquery "
+        "decorrelated into an aggregate over the candidate frame, "
+        "broadcast BACK over that same frame — the base table is "
+        "never re-scanned and every join side is a broadcast; the "
+        "(size, type) predicates reach the part scan.",
+    ),
+    (
+        "token_budget_bpe",
+        "BPE budgeting (r09): the 18-rule merge chain compiles to "
+        "nested JVM replace() calls inside whole-stage codegen — the "
+        "tokenizer costs zero exchanges; the single hashpartitioning "
+        "exchange is the per-language cumulative window, shared by "
+        "both budget columns.",
+    ),
 ]
 
 _TRIM = re.compile(r", \[plan_id=\d+\]| \[id=#\d+\]")
