@@ -31,6 +31,17 @@ A production engine would swap the merge table for a real
 tokenizer's (the mechanics — ordered pair merges — are the same
 algorithm); the fixed table keeps the operator oracle-checkable with
 DuckDB evaluating the SAME nested replace chain.
+
+INPUT-ALPHABET PRECONDITION (r09 ADVICE): the delimiter arithmetic
+assumes the input contains no literal ``'_'`` (it would render as
+``___``, contributing 1.5 delimiter pairs) and no newline (``(.)``
+matches neither in Java regex nor RE2, so newline chars are silently
+skipped by the wrap).  Both engines agree in either case — the
+failure is semantic miscounting, not an oracle divergence.  The
+committed fixtures are lowercase ``[a-z ]`` text, which satisfies
+the precondition; a caller tokenizing arbitrary text must pre-strip
+or escape ``'_'`` and newlines (e.g. ``regexp_replace(text,
+'[_\\n]', ' ')``) before calling these builders.
 """
 
 from __future__ import annotations

@@ -112,6 +112,14 @@ def bloom_probe(probes: DataFrame, key: str, bits: DataFrame, m: int, k: int) ->
     probe rows still collapse to one verdict row (groupBy semantics —
     same as every engine's ``GROUP BY ALL``).
 
+    CALLER CONTRACT (r09 ADVICE): a probe frame whose duplicate rows
+    are semantically distinct events MUST carry a distinguishing
+    column (a doc_id, a batch id, a ``monotonically_increasing_id``
+    salt); without one, identical rows collapse and per-row
+    accounting undercounts.  Every in-repo caller satisfies this —
+    the dedup gates probe (doc_id, key) and the audits probe the
+    orders key space where ``key`` itself is unique.
+
     The join against ``bits`` is broadcast (≤ m rows); the verdict
     agg rides the explode's own key, so the only exchange is one hash
     partition on the probe row."""

@@ -850,17 +850,19 @@ def schema_inventory(spark: SparkSession, sf_dir: str) -> DataFrame:
 _WINDOW_SIZE = 50
 _SMOKE_GATE = "schema_inventory"
 # Canaries: certified queries whose implementation was touched this
-# round — force them into the window ahead of pure aging.  r09: the
-# r08-advisor bloom_probe fix (duplicate-keyed probe rows now each
-# get a verdict) and the frame_sample_schedule zero-frame guard touch
-# four r08-certified queries; outputs are unchanged on the sf0.01
-# fixtures (full-sweep re-verified) but the implementations changed,
-# so they re-certify this round per the VERDICT item-6 policy.
+# round — force them into the window ahead of pure aging.  r10: the
+# r09-advisor predicted_fp rounding fix changed bloom_sizing_design's
+# oracle SQL (the Python-rounded literal is now embedded instead of
+# DuckDB re-evaluating round(POWER(1-EXP(...)))); output values are
+# unchanged at every committed SF but the check changed, so it
+# re-certifies per the post-certification-change policy.
+# (dedup_bucket_audit's oracle also changed — scale-aware skip pins,
+# VERDICT r09 item 2 — but it is an aged r06 row already at the head
+# of the r10 window, so forcing it would be a no-op.)
+# Doc-only changes this round (bpe.py precondition note, bloom.py
+# caller contract note) change no behavior and force nothing.
 _FORCE_WINDOW: list[str] = [
-    "bloom_filter_fp_audit",
-    "dedup_bloom_prefilter",
-    "streaming_bloom_dedup",
-    "multimodal_frame_schedule",
+    "bloom_sizing_design",
 ]
 
 

@@ -109,7 +109,53 @@ def main() -> None:
     bloom_vs_exact(spark)
     streaming_ann_probe(spark)
     tpch_growth_probe(spark)
+    merge_growth_probe(spark)
     streaming_probe(spark)
+
+
+def merge_growth_probe(spark) -> None:
+    """VERDICT r09 item 4: the batch merge engine's growth shape on
+    16× the ROW MASS (the streaming probe next door grows batch
+    COUNT; this one grows the rows a single merge swallows).  Both
+    sides replicate k× into disjoint url namespaces, so the merge is
+    an exact k-fold tiling of the k=1 merge — output rows scale
+    exactly k×, change/insert mix fixed — and the only thing allowed
+    to grow is the url-keyed full-outer shuffle (current side + the
+    staging side; both map-side partitioned, no window, no
+    broadcast-side growth).  A superlinear bend would mean the change
+    detection or tab re-classification secretly does per-key
+    quadratic work."""
+    from real_estate_etl_dev_spark.operators.merge import merge_listings
+    from real_estate_etl_dev_spark.plans.merging import (
+        RUN_DATE,
+        current_fixture,
+        staging_fixture,
+    )
+
+    print()
+    print("| current+staging rows | merge wall s | output rows |")
+    print("|---|---|---|")
+    cur0 = current_fixture(spark, SF_DIR)
+    stg0 = staging_fixture(spark, SF_DIR)
+    for k in (1, 4, 16):
+        reps = spark.range(k).select(F.col("id").alias("rep"))
+        cur = (
+            cur0.crossJoin(reps)
+            .withColumn("url", F.concat_ws("#", "url", "rep"))
+            .drop("rep")
+            .localCheckpoint()
+        )
+        stg = (
+            stg0.crossJoin(reps)
+            .withColumn("url", F.concat_ws("#", "url", "rep"))
+            .drop("rep")
+            .localCheckpoint()
+        )
+        n_in = cur.count() + stg.count()
+        t0 = time.perf_counter()
+        n_out = merge_listings(cur, stg, run_date=RUN_DATE).count()
+        wall = time.perf_counter() - t0
+        print(f"| {n_in:,} | {wall:.1f} | {n_out:,} |", flush=True)
 
 
 def tpch_growth_probe(spark) -> None:

@@ -15,10 +15,11 @@ Usage:
 
 Exit code 0 iff every oracle-backed query matches.
 
-Known intentional divergence at --sf sf0.1: ``dedup_bucket_audit``
-reports the SimHash cap biting (nonzero skip mass) while its oracle
-pins the zero-skip invariant of the certification corpus — the alarm
-firing, not a defect (see plans/llmdata.py docstring).
+All scales are expected green with zero exceptions: the one formerly
+documented sf0.1 divergence (``dedup_bucket_audit``'s SimHash cap
+biting at the bench corpus) is now pinned by its scale-aware oracle
+(VERDICT r09 item 2 — keyed on corpus row count, see the query
+docstring in plans/llmdata.py).
 """
 
 from __future__ import annotations
