@@ -850,19 +850,25 @@ def schema_inventory(spark: SparkSession, sf_dir: str) -> DataFrame:
 _WINDOW_SIZE = 50
 _SMOKE_GATE = "schema_inventory"
 # Canaries: certified queries whose implementation was touched this
-# round — force them into the window ahead of pure aging.  r10: the
-# r09-advisor predicted_fp rounding fix changed bloom_sizing_design's
-# oracle SQL (the Python-rounded literal is now embedded instead of
-# DuckDB re-evaluating round(POWER(1-EXP(...)))); output values are
-# unchanged at every committed SF but the check changed, so it
-# re-certifies per the post-certification-change policy.
-# (dedup_bucket_audit's oracle also changed — scale-aware skip pins,
-# VERDICT r09 item 2 — but it is an aged r06 row already at the head
-# of the r10 window, so forcing it would be a no-op.)
+# round — force them into the window ahead of pure aging.  r10:
+# (1) the r09-advisor predicted_fp rounding fix changed
+# bloom_sizing_design's oracle SQL (the Python-rounded literal is now
+# embedded instead of DuckDB re-evaluating round(POWER(1-EXP(...))));
+# (2) the round's first full sf0.1 sweep caught pricing_summary_q1's
+# four money sums one decimal→double conversion ulp apart between
+# engines, and the fix (round-to-2dp in decimal before the one exact
+# double conversion) changed both sides.  Output values are unchanged
+# at every committed SF for (1) and changed at the 7th decimal of 7
+# of 24 sums for (2); both re-certify per the
+# post-certification-change policy.
+# (dedup_bucket_audit and pit_segment_revenue also changed — but both
+# are aged r06 rows already at the head of the r10 window, so forcing
+# them would be a no-op.)
 # Doc-only changes this round (bpe.py precondition note, bloom.py
 # caller contract note) change no behavior and force nothing.
 _FORCE_WINDOW: list[str] = [
     "bloom_sizing_design",
+    "pricing_summary_q1",
 ]
 
 

@@ -5827,12 +5827,19 @@ def setsim_zipf_bucket_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "dedup_minhash_pairs_zipf",
-    _INJECTED_GATE_SQL,
-    survey="llm-dedup-near",
-    tags=("llm-dedup",),
-)
+# NOTE (r10 window arithmetic): this query's CATALOG registration is
+# deferred to r11 — the r10 window had exactly 5 free slots (1 smoke +
+# 44 aged r06 rows) and the round needed 4 new queries + 2 forced
+# canaries (bloom_sizing_design's rounding fix AND the
+# pricing_summary_q1 decimal-emission fix found by the first sf0.1
+# sweep), which is 6.  Rather than let one r06 row age past the
+# retirement guarantee, the least-critical new query waits one round;
+# its behavior is pinned NOW by
+# tests/test_llmdata.py::test_minhash_zipf_recall_gate (the same gate
+# the catalog row will certify), and its oracle below is ready.
+# To register in r11: wrap with
+#   @query("dedup_minhash_pairs_zipf", _INJECTED_GATE_SQL,
+#          survey="llm-dedup-near", tags=("llm-dedup",))
 def dedup_minhash_pairs_zipf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash banding on the ZIPFIAN corpus (VERDICT r09 item 5) —
     same operator and parameters as the certified

@@ -992,8 +992,8 @@ def merge_scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT v.segment AS segment_at_order_time,
            count(*) AS n_orders,
-           CAST(sum(CAST(o.o_totalprice AS DECIMAL(20,8))) AS DOUBLE)
-             AS revenue
+           CAST(round(sum(CAST(o.o_totalprice AS DECIMAL(20,8))), 2)
+                AS DOUBLE) AS revenue
     FROM orders o
     JOIN versions v
       ON v.ck = o.o_custkey
@@ -1018,7 +1018,16 @@ def pit_segment_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     operator, never a fan-out-then-window.  Per-key fan-out equals
     that key's version count (≤2 here); at deep histories, sort the
     versions and as-of join on valid_from instead (operators/asof.py
-    — same output, one keyed shuffle).  Revenue sums exact decimal."""
+    — same output, one keyed shuffle).  Revenue sums exact decimal,
+    is rounded to 2dp IN DECIMAL (HALF_UP == half-away for positive
+    values on both engines), and only then converts to double: the
+    r10 sf0.1 sweep caught the engines' wide-scale decimal→double
+    conversions one ulp apart at ~7e9 magnitude (Spark
+    7043080884.77 vs DuckDB ...7699995 — DuckDB divides the int128
+    by 1e8 through double, losing the low bits), a divergence 6dp
+    rounding cannot absorb above ~1e7.  At scale 2 the scaled
+    integer stays below 2^53 for sums under ~9e13, so the one
+    conversion is exact on both engines."""
     c = load_table(spark, sf_dir, "customer")
     hist = c.select(
         F.col("c_custkey").alias("ck"),
@@ -1066,7 +1075,7 @@ def pit_segment_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         pit.groupBy(F.col("segment").alias("segment_at_order_time"))
         .agg(
             F.count(F.lit(1)).alias("n_orders"),
-            F.sum(F.col("o_totalprice").cast("decimal(20,8)"))
+            F.round(F.sum(F.col("o_totalprice").cast("decimal(20,8)")), 2)
             .cast("double")
             .alias("revenue"),
         )

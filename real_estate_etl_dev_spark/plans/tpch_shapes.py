@@ -1225,14 +1225,16 @@ def small_quantity_revenue_q17(spark: SparkSession, sf_dir: str) -> DataFrame:
     "pricing_summary_q1",
     """
     SELECT l_returnflag, l_linestatus,
-           CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE)
+           CAST(round(sum(CAST(l_quantity AS DECIMAL(12,2))), 2) AS DOUBLE)
              AS sum_qty,
-           CAST(sum(CAST(l_extendedprice AS DECIMAL(20,8))) AS DOUBLE)
-             AS sum_base_price,
-           CAST(sum(CAST(l_extendedprice * (1 - l_discount)
-                         AS DECIMAL(20,8))) AS DOUBLE) AS sum_disc_price,
-           CAST(sum(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax)
-                         AS DECIMAL(20,8))) AS DOUBLE) AS sum_charge,
+           CAST(round(sum(CAST(l_extendedprice AS DECIMAL(20,8))), 2)
+                AS DOUBLE) AS sum_base_price,
+           CAST(round(sum(CAST(l_extendedprice * (1 - l_discount)
+                         AS DECIMAL(20,8))), 2) AS DOUBLE)
+             AS sum_disc_price,
+           CAST(round(sum(CAST(l_extendedprice * (1 - l_discount)
+                              * (1 + l_tax) AS DECIMAL(20,8))), 2)
+                AS DOUBLE) AS sum_charge,
            round(CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE)
                  / count(*), 6) AS avg_qty,
            round(CAST(sum(CAST(l_extendedprice AS DECIMAL(20,8))) AS DOUBLE)
@@ -1258,7 +1260,14 @@ def pricing_summary_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
     Determinism: every sum is exact DECIMAL (charge's 3-factor product
     is computed in double — identical per-row in both engines — then
     cast once); averages divide the exact sums by the count in double
-    and round 6dp, so no digit depends on partial-agg order."""
+    and round 6dp, so no digit depends on partial-agg order.  Each
+    sum is rounded to 2dp IN DECIMAL before its one double
+    conversion: the r10 sf0.1 sweep caught the wide-scale
+    decimal→double conversions one ulp apart at ~5e9 magnitude
+    (DuckDB divides the int128 by 1e8 through double, losing low
+    bits); at scale 2 the scaled integer stays below 2^53 and the
+    conversion is exact on both engines (pit_segment_revenue got the
+    same fix — the scale-proof emission recipe for big money sums)."""
     li = T(spark, sf_dir, "lineitem").filter(
         F.col("l_shipdate") <= F.lit("2001-08-01").cast("timestamp")
     )
@@ -1270,10 +1279,14 @@ def pricing_summary_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         li.groupBy("l_returnflag", "l_linestatus")
         .agg(
-            sum_qty.cast("double").alias("sum_qty"),
-            sum_price.cast("double").alias("sum_base_price"),
-            F.sum(disc_price.cast(_DEC)).cast("double").alias("sum_disc_price"),
-            F.sum(charge.cast(_DEC)).cast("double").alias("sum_charge"),
+            F.round(sum_qty, 2).cast("double").alias("sum_qty"),
+            F.round(sum_price, 2).cast("double").alias("sum_base_price"),
+            F.round(F.sum(disc_price.cast(_DEC)), 2)
+            .cast("double")
+            .alias("sum_disc_price"),
+            F.round(F.sum(charge.cast(_DEC)), 2)
+            .cast("double")
+            .alias("sum_charge"),
             F.round(sum_qty.cast("double") / n, 6).alias("avg_qty"),
             F.round(sum_price.cast("double") / n, 6).alias("avg_price"),
             F.round(

@@ -240,6 +240,26 @@ SHOWCASE = [
         "exchange is the per-language cumulative window, shared by "
         "both budget columns.",
     ),
+    (
+        "dedup_setsim_prefix_zipf",
+        "Zipfian PPJoin (r10): the SAME prefix plan as the dense "
+        "fixture — rarest-first rank broadcast, candidate shuffle on "
+        "xxhash64(ptok) — but the vocabulary is realistic, so the "
+        "equality join's fan-out concentrates on genuinely-shared "
+        "rare tokens (audit: hottest bucket 4 docs vs the dense "
+        "fixture's 403).  The corpus itself is derived map-side from "
+        "the parquet scan: LCG token synthesis is pure codegen "
+        "string work, no fixture files.",
+    ),
+    (
+        "seq_pack_bpe_windows",
+        "Sequence packing (r10): the sequential next-fit recurrence "
+        "runs as an F.aggregate LEFT FOLD over each (lang, shard, "
+        "counter) group's sorted collect_list — ObjectHashAggregate "
+        "+ one exchange on the group key, zero Python, state bounded "
+        "by the shard.  The BPE tokenizer rides the same scan "
+        "project as token_budget_bpe.",
+    ),
 ]
 
 _TRIM = re.compile(r", \[plan_id=\d+\]| \[id=#\d+\]")

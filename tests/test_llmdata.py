@@ -1228,3 +1228,18 @@ def test_seq_pack_invariants(spark):
     assert overflow["ws"] > 0 and overflow["bpe"] > 0
     # the tokenizer moves the packing: BPE needs far more windows
     assert n_windows["bpe"] > n_windows["ws"] * 2
+
+
+def test_minhash_zipf_recall_gate(spark):
+    """The gate dedup_minhash_pairs_zipf's catalog row will certify in
+    r11 (registration deferred one round for window arithmetic — see
+    the note above the function): every planted verbatim copy on the
+    Zipfian corpus band-collides and survives the verify, per lang."""
+    from real_estate_etl_dev_spark.plans.llmdata import (
+        dedup_minhash_pairs_zipf,
+    )
+
+    rows = dedup_minhash_pairs_zipf(spark, "/root/testdata/sf0.001").collect()
+    assert len(rows) >= 3
+    for r in rows:
+        assert r["all_found"] and r["found_pairs"] == r["injected_pairs"] > 0
