@@ -107,6 +107,10 @@ HEADLINE = [
     "partition_pruned_scan",       # Hive-partition pruning
     "local_supplier_volume",       # TPC-H Q5 co-location join
     "salted_skew_user_join",       # manual skew-split join
+    # dedup_setsim_prefix stays on stderr (dense adversarial twin);
+    # the Zipfian twin is the realistic-vocabulary operating point
+    "dedup_setsim_prefix_zipf",    # PPJoin on realistic vocab (r10)
+    "seq_pack_bpe_windows",        # next-fit context-window packing (r10)
 ]
 
 

@@ -897,3 +897,27 @@ def test_r09_llm_additions_plan_as_documented(spark, sf_dir):
     assert "Python" not in pq
     assert "SortMergeJoin" not in pq
     assert "CartesianProduct" not in pq
+
+
+def test_r10_flagship_plans_as_documented(spark, sf_dir):
+    """r10 shape pins: the Zipfian PPJoin must keep the dense twin's
+    audited plan (hashed 8-byte candidate keys, no sort-merge pair
+    join at fixture scale) with the LCG corpus synthesis staying
+    map-side; sequence packing must run its sequential recurrence as
+    ONE grouped fold — a single hashpartitioning exchange into
+    ObjectHashAggregate(collect_list), zero Python, no extra shuffle
+    between the fold and the window rollup."""
+    zipf = plan_of(spark, sf_dir, "dedup_setsim_prefix_zipf")
+    assert "xxhash64" in zipf          # candidate shuffle on hashed tokens
+    assert "CartesianProduct" not in zipf
+    # corpus synthesis is codegen string work over the scan — no
+    # Python evaluation anywhere in the plan
+    assert "BatchEvalPython" not in zipf and "ArrowEvalPython" not in zipf
+
+    pack = plan_of(spark, sf_dir, "seq_pack_bpe_windows")
+    assert "ObjectHashAggregate" in pack          # the collect_list fold
+    assert "BatchEvalPython" not in pack and "ArrowEvalPython" not in pack
+    # exactly one hashpartitioning exchange (the group-key shuffle);
+    # the only other exchange is the output-order rangepartitioning
+    assert pack.count("hashpartitioning") == 1, pack
+    assert pack.count("rangepartitioning") == 1, pack
