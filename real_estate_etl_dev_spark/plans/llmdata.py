@@ -5868,6 +5868,42 @@ def dedup_minhash_pairs_zipf(spark: SparkSession, sf_dir: str) -> DataFrame:
 _PACK_CAP = 512
 
 
+def next_fit_fold(xs, cap: int):
+    """The next-fit packing recurrence as ONE pure-codegen
+    ``F.aggregate`` left fold over a sorted ``array<struct<doc_id,
+    n_tok>>``: a doc joins the current window if it fits, else opens a
+    new one; a doc alone exceeding ``cap`` gets a window to itself
+    (its over-cap fill forces the NEXT doc to open fresh — no special
+    case).  Returns the ``array<struct<doc_id, n_tok, wid>>`` of
+    assignments with dense window ids from 0.  Property-pinned
+    against a pure-Python reference on arbitrary integer lists by
+    tests/test_properties.py::test_next_fit_fold_matches_reference."""
+    init = F.struct(
+        F.lit(-1).cast("long").alias("wid"),
+        F.lit(cap + 1).cast("long").alias("fill"),
+        F.expr(
+            "cast(array() as array<struct<doc_id:bigint,n_tok:bigint,wid:bigint>>)"
+        ).alias("asg"),
+    )
+
+    def step(acc, x):
+        fits = (acc["fill"] + x["n_tok"]) <= cap
+        wid = F.when(fits, acc["wid"]).otherwise(acc["wid"] + 1)
+        fill = F.when(fits, acc["fill"] + x["n_tok"]).otherwise(x["n_tok"])
+        entry = F.struct(
+            x["doc_id"].alias("doc_id"),
+            x["n_tok"].alias("n_tok"),
+            wid.alias("wid"),
+        )
+        return F.struct(
+            wid.alias("wid"),
+            fill.alias("fill"),
+            F.array_append(acc["asg"], entry).alias("asg"),
+        )
+
+    return F.aggregate(xs, init, step)["asg"]
+
+
 def _seq_pack_sql() -> str:
     from ..functions.bpe import bpe_token_count_sql, bpe_tokenized_sql
 
@@ -6006,32 +6042,9 @@ def seq_pack_bpe_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.collect_list(F.struct(F.col("doc_id"), F.col("n_tok")))
         ).alias("xs")
     )
-    init = F.struct(
-        F.lit(-1).cast("long").alias("wid"),
-        F.lit(C + 1).cast("long").alias("fill"),
-        F.expr(
-            "cast(array() as array<struct<doc_id:bigint,n_tok:bigint,wid:bigint>>)"
-        ).alias("asg"),
-    )
-
-    def step(acc, x):
-        fits = (acc["fill"] + x["n_tok"]) <= C
-        wid = F.when(fits, acc["wid"]).otherwise(acc["wid"] + 1)
-        fill = F.when(fits, acc["fill"] + x["n_tok"]).otherwise(x["n_tok"])
-        entry = F.struct(
-            x["doc_id"].alias("doc_id"),
-            x["n_tok"].alias("n_tok"),
-            wid.alias("wid"),
-        )
-        return F.struct(
-            wid.alias("wid"),
-            fill.alias("fill"),
-            F.array_append(acc["asg"], entry).alias("asg"),
-        )
-
     asg = grp.select(
         "lang", "shard", "counter",
-        F.explode(F.aggregate("xs", init, step)["asg"]).alias("e"),
+        F.explode(next_fit_fold(F.col("xs"), C)).alias("e"),
     )
     return (
         asg.groupBy(

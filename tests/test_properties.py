@@ -385,3 +385,38 @@ def test_bloom_bit_positions_match_python_model(spark, keys):
     for r in rows:
         for i in range(3):
             assert r[f"h{i}"] == _bit_position_model(r["key"], i, m)
+
+
+@given(
+    toks=st.lists(st.integers(min_value=1, max_value=900), min_size=1, max_size=60),
+    cap=st.sampled_from([64, 512]),
+)
+@H
+def test_next_fit_fold_matches_reference(spark, toks, cap):
+    """For ANY token-count stream hypothesis builds, the pure-codegen
+    F.aggregate next-fit fold (plans/llmdata.py:next_fit_fold — the
+    exact expression seq_pack_bpe_windows runs) assigns every doc the
+    same window a pure-Python next-fit does, ids dense from 0 and
+    no window over cap unless it is a lone overflow doc."""
+    from real_estate_etl_dev_spark.plans.llmdata import next_fit_fold
+
+    # Python reference: stream next-fit
+    expect, wid, fill = [], -1, cap + 1
+    for i, n in enumerate(toks):
+        if fill + n <= cap:
+            fill += n
+        else:
+            wid, fill = wid + 1, n
+        expect.append((i, n, wid))
+
+    df = spark.createDataFrame(
+        [(list(enumerate(toks)),)],
+        "xs array<struct<doc_id:long,n_tok:long>>",
+    )
+    got = [
+        (r["e"]["doc_id"], r["e"]["n_tok"], r["e"]["wid"])
+        for r in df.select(
+            F.explode(next_fit_fold(F.col("xs"), cap)).alias("e")
+        ).collect()
+    ]
+    assert got == expect
