@@ -850,26 +850,18 @@ def schema_inventory(spark: SparkSession, sf_dir: str) -> DataFrame:
 _WINDOW_SIZE = 50
 _SMOKE_GATE = "schema_inventory"
 # Canaries: certified queries whose implementation was touched this
-# round — force them into the window ahead of pure aging.  r10:
-# (1) the r09-advisor predicted_fp rounding fix changed
-# bloom_sizing_design's oracle SQL (the Python-rounded literal is now
-# embedded instead of DuckDB re-evaluating round(POWER(1-EXP(...))));
-# (2) the round's first full sf0.1 sweep caught pricing_summary_q1's
-# four money sums one decimal→double conversion ulp apart between
-# engines, and the fix (round-to-2dp in decimal before the one exact
-# double conversion) changed both sides.  Output values are unchanged
-# at every committed SF for (1) and changed at the 7th decimal of 7
-# of 24 sums for (2); both re-certify per the
-# post-certification-change policy.
-# (dedup_bucket_audit and pit_segment_revenue also changed — but both
-# are aged r06 rows already at the head of the r10 window, so forcing
-# them would be a no-op.)
-# Doc-only changes this round (bpe.py precondition note, bloom.py
-# caller contract note) change no behavior and force nothing.
-_FORCE_WINDOW: list[str] = [
-    "bloom_sizing_design",
-    "pricing_summary_q1",
-]
+# round — force them into the window ahead of pure aging.  r11: EMPTY
+# by design.  The r10 canaries (bloom_sizing_design,
+# pricing_summary_q1) re-certified green in CORRECTNESS_r10 and their
+# force flags are retired; the r11 window must be exactly
+# 1 smoke + 49 r07-aged rows = 50 (VERDICT r10 item 1), so this round
+# makes ZERO behavior-changing edits to certified query plans/oracles.
+# The two r10 ADVICE oracle-text items (dedup_bucket_audit pin-key
+# discriminator, _ZIPF_CTE alias qualification) are deferred to r12,
+# where the window head is the 44 r08 rows ⇒ 5 free slots:
+# 1 for the deferred dedup_minhash_pairs_zipf registration + up to 4
+# for forced canaries.
+_FORCE_WINDOW: list[str] = []
 
 
 def _cert_history() -> dict[str, int]:

@@ -5999,8 +5999,14 @@ def seq_pack_bpe_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     accumulator carries (wid, fill, assignments).  One shuffle on
     (lang, shard, counter); the rollup reuses the fold's output.
     At 100 TB shard count grows (hash_split-style), groups stay
-    ~10³-10⁴ docs, and the fold stays linear per group with zero
-    extra exchanges.  The ORACLE replays the identical recurrence as
+    ~10³-10⁴ docs, with zero extra exchanges.  Honest per-group
+    bound (r10 ADVICE): the fold's step does ``F.array_append`` on
+    the accumulator's assignments array, copying it each step — the
+    real cost is O(n²) struct copies per group, not linear; fine at
+    10³-10⁴ docs/group (measured: the whole query is 2-4s at sf0.1),
+    but if groups ever grow past ~10⁵ the fold should emit only
+    (wid, fill) and reconstruct assignments in a second
+    ``F.transform`` pass over the prefix sums.  The ORACLE replays the identical recurrence as
     a DuckDB recursive CTE (anchor rn=1: wid 0, fill = n_tok;
     step: fit-or-open), all-integer, engine-exact; its input CTEs
     are AS MATERIALIZED — without the hint DuckDB re-evaluates the
