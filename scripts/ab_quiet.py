@@ -28,6 +28,14 @@ Attribution logic: if HEAD ≈ r08 within jitter on a quiet window,
 the r09 deltas were tenancy (expected).  If HEAD is consistently
 slower at equal steal/load, something outside the two modules (a
 session conf, a catalog-order effect) regressed — bisect from there.
+
+r11 reuse (VERDICT r10 item 2): ``--suspects`` generalizes the
+query list so the same harness adjudicates the r10 driver-bench
+movers (streaming_ann_enrichment_ivf 4.13->9.39s,
+bloom_sizing_design 4.59->6.57s) against the r09 verdict commit:
+
+    python scripts/ab_quiet.py --label r09 --repo /tmp/ab_r09 \\
+        --suspects streaming_ann_enrichment_ivf,bloom_sizing_design
 """
 
 from __future__ import annotations
@@ -40,7 +48,7 @@ import time
 
 os.environ.setdefault("SPARK_SUBMIT_OPTS", "-Dlog4j2.level=error")
 
-SUSPECTS = ["dedup_setsim_hybrid", "streaming_stream_stream_join"]
+DEFAULT_SUSPECTS = ["dedup_setsim_hybrid", "streaming_stream_stream_join"]
 
 
 def _cpu_stat() -> tuple[int, int]:
@@ -53,7 +61,13 @@ def main() -> None:
     ap.add_argument("--repo", default="/root/repo")
     ap.add_argument("--label", required=True)
     ap.add_argument("--sf-dir", default="/root/testdata/sf0.1")
+    ap.add_argument(
+        "--suspects",
+        default=",".join(DEFAULT_SUSPECTS),
+        help="comma-separated catalog query names to time",
+    )
     args = ap.parse_args()
+    suspects = [s for s in args.suspects.split(",") if s]
 
     sys.path.insert(0, args.repo)
     os.chdir(args.repo)
@@ -64,7 +78,7 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
     qs = e.queries()
     for pass_no in (1, 2):
-        for name in SUSPECTS:
+        for name in suspects:
             s0, t0 = _cpu_stat()
             load0 = os.getloadavg()[0]
             w0 = time.perf_counter()

@@ -111,6 +111,8 @@ def main() -> None:
     tpch_growth_probe(spark)
     merge_growth_probe(spark)
     streaming_probe(spark)
+    streaming_state_probe(spark)
+    zipf_ppjoin_growth_probe(spark)
 
 
 def merge_growth_probe(spark) -> None:
@@ -508,5 +510,239 @@ def streaming_probe(spark) -> None:
         )
 
 
+def streaming_state_probe(spark) -> None:
+    """VERDICT r10 item 5a: does streaming-dedup STATE stay bounded by
+    the watermark while the stream grows 16×?  The growth axis is the
+    TIME axis (k month-long event segments, disjoint event_id
+    namespaces, each event delivered twice) — not row replication at
+    one timestamp, which would legitimately grow in-horizon state.
+    ``dropDuplicatesWithinWatermark`` on event_id with a 2-DAY delay
+    (the catalog query pins correctness with an everything-in-horizon
+    delay; this probe measures the production posture where state
+    EXPIRES).  Segments are written oldest-first so the file source's
+    mtime order advances the watermark monotonically batch over
+    batch, expiring all but the trailing 2 days of the previous
+    segment.  Observable: max ``numRowsTotal`` across micro-batch
+    progress — it should stay ~|one segment's keys| + the 2-day
+    residue (~107k here) while TOTAL input grows 16× (state cap would
+    read ~1.6M keys at k=16 if nothing expired)."""
+    import json
+    import shutil
+    import tempfile
+    import uuid
+
+    from real_estate_etl_dev_spark.sources.readers import load_table
+    from real_estate_etl_dev_spark.streaming.ingest import stream_source
+
+    base = load_table(spark, SF_DIR, "events").select(
+        "event_id", "ts", "event_type"
+    )
+    print()
+    print(
+        "| segments | input rows | deduped out | micro-batches "
+        "| max state rows | wall s |"
+    )
+    print("|---|---|---|---|---|---|")
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    for k in (1, 4, 16):
+        workdir = tempfile.mkdtemp(prefix=f"stream_state_{k}_")
+        drop_dir = f"{workdir}/incoming"
+        for seg in range(k):
+            segdf = base.select(
+                (F.col("event_id") + seg * 10**9).alias("event_id"),
+                (F.col("ts") + F.expr(f"INTERVAL {seg * 31} DAYS")).alias("ts"),
+                "event_type",
+            )
+            segdf = segdf.unionByName(segdf)  # every event delivered twice
+            # sequential appends => mtime order == event-time order
+            segdf.repartition(2).write.mode("append").parquet(drop_dir)
+        n_in = spark.read.parquet(drop_dir).count()
+
+        stream = stream_source(
+            spark, drop_dir, base.schema, fmt="parquet", maxFilesPerTrigger=2
+        )
+        deduped = stream.withWatermark(
+            "ts", "2 days"
+        ).dropDuplicatesWithinWatermark(["event_id"])
+        name = f"ssp_{uuid.uuid4().hex[:8]}"
+        spark.conf.set("spark.sql.shuffle.partitions", "8")
+        try:
+            t0 = time.perf_counter()
+            q = (
+                deduped.writeStream.format("memory")
+                .queryName(name)
+                .outputMode("append")
+                .option("checkpointLocation", f"{workdir}/checkpoint")
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+            wall = time.perf_counter() - t0
+            progress = [
+                json.loads(p.json) if hasattr(p, "json") else p
+                for p in q.recentProgress
+            ]
+            state_rows = [
+                op["numRowsTotal"]
+                for p in progress
+                for op in p.get("stateOperators", [])
+            ]
+            n_out = spark.table(name).count()
+            spark.catalog.dropTempView(name)
+        finally:
+            spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+            shutil.rmtree(workdir, ignore_errors=True)
+        print(
+            f"| {k} | {n_in:,} | {n_out:,} | {len(progress)} "
+            f"| {max(state_rows) if state_rows else 0:,} | {wall:.1f} |",
+            flush=True,
+        )
+
+
+def zipf_ppjoin_growth_probe(spark) -> None:
+    """VERDICT r10 item 5b: the Zipf PPJoin's candidate mass at 16×
+    the corpus — SCALE.md §5 predicts candidates track true-pair
+    output ~linearly on a realistic vocabulary (prefix buckets stay
+    sparse), unlike the dense 40-word fixture where they are
+    quadratic.  Growth axis: k disjoint doc_id namespaces fed through
+    the SAME LCG text generator as plans/llmdata.py:_zipf_docs — new
+    ids draw FRESH documents from the same harmonic vocabulary
+    (corpus genuinely grows; replicas would plant fake exact dups),
+    then the same %7 exact-copy / %11 near-copy planting per
+    namespace.  Cross-checked at k=1 against the certified fixture
+    row-for-row.  Observables: PPJoin candidate pairs (pre-verify),
+    true J≥0.9 pairs, naive-pair bound, wall of the full join."""
+    from real_estate_etl_dev_spark.operators.dedup import (
+        _ppjoin_candidates,
+        _setsim_prefixes,
+        setsim_join_prefix,
+    )
+    from real_estate_etl_dev_spark.plans.llmdata import _zipf_docs
+    from real_estate_etl_dev_spark.sources.readers import load_table
+
+    def corpus_at(k: int):
+        ids = load_table(spark, SF_DIR, "documents").select("doc_id", "lang")
+        if k > 1:
+            reps = spark.range(k).select(F.col("id").alias("rep"))
+            ids = ids.crossJoin(reps).select(
+                (F.col("doc_id") + F.col("rep") * 10_000_000).alias("doc_id"),
+                "lang",
+            )
+        # same LCG rendering as _zipf_docs (kept in the script so the
+        # certified module stays untouched this round; k=1 equality
+        # with _zipf_docs is asserted below)
+        A = F.lit(1103515245).cast("long")
+        M = F.lit(2147483648).cast("long")
+        d = F.col("doc_id")
+
+        def tok(i):
+            # reduce x mod M BEFORE the multiply: A*(x%M)+c ≡ A*x+c
+            # (mod M), so h1/h2 are identical for every doc_id, but
+            # A*x no longer overflows int64 once replica namespaces
+            # push doc_id past ~8e9/A (the certified fixture's ids
+            # are <5000, where the reduction is a no-op)
+            x = (d * 131 + i) % M
+            h1 = (A * x + 12345) % M
+            h2 = (A * h1 + 12345) % M
+            cap = F.shiftright(h2, 16) % 4999 + 1
+            tid = F.shiftright(h1, 16) % cap
+            return F.concat(F.lit("z"), tid.cast("string"))
+
+        n_hi = F.lit(23).cast("long") + (d * 7919) % 17
+        basedf = ids.select(
+            "doc_id",
+            "lang",
+            F.array_join(
+                F.transform(F.sequence(F.lit(0).cast("long"), n_hi), tok), " "
+            ).alias("text"),
+        )
+        off = F.broadcast(
+            basedf.agg(
+                F.greatest(F.lit(1_000_000_000), F.max("doc_id") + 1).alias("_off")
+            )
+        )
+        exact = (
+            basedf.filter(d % 7 == 0)
+            .crossJoin(off)
+            .select((d + F.col("_off")).alias("doc_id"), "lang", "text")
+        )
+        near = (
+            basedf.filter((d % 7 != 0) & (d % 11 == 0))
+            .crossJoin(off)
+            .select(
+                (d + 2 * F.col("_off")).alias("doc_id"),
+                "lang",
+                F.concat("text", F.lit(" q"), d.cast("string")).alias("text"),
+            )
+        )
+        return basedf.unionByName(exact).unionByName(near)
+
+    # k=1 sanity: the script generator must equal the certified fixture
+    # in TEXT content (ids differ only in the planted-copy offset,
+    # which is data-derived in both: subtractEqual on (lang, text)
+    # multisets)
+    probe1 = corpus_at(1).groupBy("lang", "text").count()
+    cert1 = _zipf_docs(spark, SF_DIR).groupBy("lang", "text").count()
+    assert probe1.exceptAll(cert1).isEmpty() and cert1.exceptAll(probe1).isEmpty()
+
+    print()
+    print(
+        "| docs | naive pairs | ppjoin candidates | true pairs (J>=0.9) "
+        "| cand/true | join wall s | hybrid wall s (pairs / skipped mass) |"
+    )
+    print("|---|---|---|---|---|---|---|")
+    for k in (1, 4, 16):
+        corpus = corpus_at(k).localCheckpoint()
+        n = corpus.count()
+        _, prefixes = _setsim_prefixes(corpus, "doc_id", "text", 0.9)
+        n_cand = _ppjoin_candidates(prefixes, 0.9).count()
+        t0 = time.perf_counter()
+        n_true = setsim_join_prefix(corpus, threshold=0.9).count()
+        wall = time.perf_counter() - t0
+        # the mitigation, measured on the same corpus: route hot
+        # prefix buckets to the capped MinHash tier (bounded work,
+        # audited skip) instead of paying the dense equality join
+        from real_estate_etl_dev_spark.operators.dedup import (
+            setsim_hybrid_hot_audit,
+            setsim_join_hybrid,
+        )
+
+        params = dict(
+            threshold=0.9,
+            hot_bucket_cap=64,
+            num_hashes=8,
+            band_rows=2,
+            minhash_max_bucket=1000,
+        )
+        t0 = time.perf_counter()
+        n_hy = setsim_join_hybrid(corpus, **params).count()
+        t_hy = time.perf_counter() - t0
+        skipped = sum(
+            r.pairs_skipped
+            for r in setsim_hybrid_hot_audit(corpus, **params).collect()
+        )
+        print(
+            f"| {n:,} | {n * (n - 1) // 2:,} | {n_cand:,} | {n_true:,} "
+            f"| {n_cand / max(n_true, 1):.1f} | {wall:.1f} "
+            f"| {t_hy:.1f} ({n_hy:,} / {skipped:,}) |",
+            flush=True,
+        )
+
+
 if __name__ == "__main__":
-    main()
+    import argparse
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument(
+        "--only",
+        default="",
+        help="comma-separated probe function names to run instead of main()",
+    )
+    cli = ap.parse_args()
+    if cli.only:
+        _spark = get_spark("scale-probe")
+        _spark.sparkContext.setLogLevel("ERROR")
+        for fn_name in cli.only.split(","):
+            globals()[fn_name](_spark)
+    else:
+        main()

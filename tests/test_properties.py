@@ -420,3 +420,60 @@ def test_next_fit_fold_matches_reference(spark, toks, cap):
         ).collect()
     ]
     assert got == expect
+
+
+# ---------------------------------------------------------------------------
+# BPE merge chain (functions/bpe.py) — VERDICT r10 item 6
+# ---------------------------------------------------------------------------
+
+# the fixture alphabet ([a-z ] — the documented input precondition)
+bpe_texts = st.text(
+    alphabet="abcdefghijklmnopqrstuvwxyz ", min_size=0, max_size=80
+)
+
+
+def _bpe_py(text: str) -> list[str]:
+    """Pure-Python greedy BPE reference: a TOKEN-LIST model (not a
+    string-replace mirror — re-deriving the semantics, not the
+    implementation).  Each merge rule makes one left-to-right
+    non-overlapping pass; a token produced by a merge does not
+    re-match the same rule in the same pass."""
+    from real_estate_etl_dev_spark.functions.bpe import BPE_MERGES
+
+    toks = list(text)
+    for a, b in BPE_MERGES:
+        out, i = [], 0
+        while i < len(toks):
+            if i + 1 < len(toks) and toks[i] == a and toks[i + 1] == b:
+                out.append(a + b)
+                i += 2
+            else:
+                out.append(toks[i])
+                i += 1
+        toks = out
+    return toks
+
+
+@given(text=bpe_texts)
+@H
+def test_bpe_merge_chain_matches_reference(spark, text):
+    """For ANY fixture-alphabet string, the delimited-string replace
+    chain (bpe_tokenized) renders exactly the token sequence the
+    pure-Python greedy merge produces, and bpe_token_count equals its
+    length — the same recurrence-pin posture as
+    test_next_fit_fold_matches_reference (VERDICT r10 item 6).  The
+    oracle twin needs no separate pin here: parity tests already hold
+    the DuckDB chain byte-equal to the column chain."""
+    from real_estate_etl_dev_spark.functions.bpe import (
+        bpe_token_count,
+        bpe_tokenized,
+    )
+
+    expect_toks = _bpe_py(text)
+    df = spark.createDataFrame([(text,)], "t string")
+    row = df.select(
+        bpe_tokenized(F.col("t")).alias("rendered"),
+        bpe_token_count(F.col("t")).alias("n"),
+    ).collect()[0]
+    assert row["rendered"] == "".join(f"_{t}_" for t in expect_toks)
+    assert row["n"] == len(expect_toks)
