@@ -47,7 +47,9 @@ def attach_binary(df: DataFrame, text_col: str = "text") -> DataFrame:
 def decode_image(payload: Column) -> Column:  # pragma: no cover - stub
     """REAL image decode requires an image library not present in this
     container.  Deliberately unimplemented — see
-    :func:`fake_feature_extractor` for the tested plumbing path."""
+    :func:`fake_feature_extractor` for the tested plumbing path.
+    Availability re-checked each round (last: r11 — ``import PIL``
+    still fails)."""
     raise NotImplementedError(
         "image decode needs Pillow/libvips (not installed here); "
         "wire the decoder into fake_feature_extractor's mapInPandas kernel"

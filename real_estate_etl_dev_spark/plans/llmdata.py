@@ -284,7 +284,9 @@ def dedup_bucket_audit_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     everywhere at the 572-row cert corpus) from the parquet fixture
     with a pure-Python XXH64/simhash/banding/cap model whose hash
     primitive is pinned to the public spec vector and cross-checked
-    against F.xxhash64 on every tail-length class.  The constants
+    against F.xxhash64 on every tail-length class; the minhash
+    bands' all-zero skip columns are model-derived the same way
+    (seeded-min signatures, signed array_min, cap 500).  The constants
     must be re-measured if the banding or cap parameters change —
     the model test fails loudly in that case."""
     corpus = _augmented_docs(spark, sf_dir)

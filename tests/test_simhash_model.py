@@ -17,6 +17,12 @@ trusted: the public spec's seed-0 empty-input vector, and a one-off
 cross-check against Spark's ``F.xxhash64`` (seed 42) on a token set
 covering every tail length class (0-7 residual bytes) plus >32-byte
 inputs that exercise the stripe loop.
+
+Section 3 gives the audit's MinHash half the same treatment: the
+3-gram-shingle seeded-min signatures re-derived in Python (including
+Spark's two-child xxhash64 fold and LongType's SIGNED array_min),
+deriving the all-zero minhash skip columns the oracle pins at both
+scales.
 """
 
 from __future__ import annotations
@@ -254,3 +260,98 @@ def test_skip_trio_derived_from_fixture(sf_dir, n_rows, expect_band2):
             assert (nb, rows, pairs) == expect_band2
         else:
             assert (nb, rows, pairs) == (0, 0, 0)
+
+
+# ---------------------------------------------------------------------------
+# 3. The MinHash half of the audit, same treatment: the oracle's
+# all-zero minhash skip columns (cap 500, 3 one-hash bands, 3-gram
+# word shingles, seed 42) re-derived in pure Python at both scales.
+# ---------------------------------------------------------------------------
+
+_SIG_SEED = 42
+_SIG_HASHES = 3
+_SHINGLE_N = 3
+
+
+def _shingles_py(text: str, n: int = _SHINGLE_N) -> list[str]:
+    """operators/dedup.py:shingles in Python: word n-grams of
+    split(lower(text), '\\s+'); tail grams shorten (concat_ws skips
+    the past-the-end NULLs); keep max(len-n+1, 1); distinct."""
+    toks = re.split(r"\s+", text.lower())
+    keep = max(len(toks) - n + 1, 1)
+    grams = [" ".join(toks[i : i + n]) for i in range(keep)]
+    return list(dict.fromkeys(grams))
+
+
+def _xxh64_int(value: int, seed: int) -> int:
+    """F.xxhash64's fold step for a 4-byte int child: xxh64 of the
+    little-endian int with the running hash as seed."""
+    return xxh64((value & 0xFFFFFFFF).to_bytes(4, "little"), seed)
+
+
+_SHINGLE_HASH_CACHE: dict[str, list[int]] = {}
+
+
+def minhash_signature_py(text: str) -> list[int]:
+    """minhash_signature in Python: element i = min over shingles of
+    xxhash64(shingle, lit(seed+i)) — Spark folds the two children as
+    xxh64_int(seed+i, xxh64(shingle_bytes, 42)) — with the min taken
+    over SIGNED 64-bit values, as LongType array_min compares."""
+    mins = [None] * _SIG_HASHES
+    for sh in _shingles_py(text):
+        hs = _SHINGLE_HASH_CACHE.get(sh)
+        if hs is None:
+            h0 = xxh64(sh.encode("utf-8"), _SIG_SEED)
+            hs = []
+            for i in range(_SIG_HASHES):
+                h = _xxh64_int(_SIG_SEED + i, h0)
+                hs.append(h - (1 << 64) if h >= (1 << 63) else h)
+            _SHINGLE_HASH_CACHE[sh] = hs
+        for i in range(_SIG_HASHES):
+            if mins[i] is None or hs[i] < mins[i]:
+                mins[i] = hs[i]
+    return mins
+
+
+def test_minhash_signature_matches_spark(spark, sf_dir):
+    """End-to-end model check against the operator's own signature
+    column on every sf0.001 document."""
+    from real_estate_etl_dev_spark.operators.dedup import minhash_signature, shingles
+    from real_estate_etl_dev_spark.sources.readers import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    rows = docs.select(
+        "text",
+        minhash_signature(
+            shingles("text", _SHINGLE_N), _SIG_HASHES, _SIG_SEED
+        ).alias("sig"),
+    ).collect()
+    assert rows
+    for r in rows:
+        assert list(r["sig"]) == minhash_signature_py(r["text"]), r["text"][:60]
+
+
+@pytest.mark.parametrize(
+    "sf_dir,n_rows",
+    [("/root/testdata/sf0.01", 572), ("/root/testdata/sf0.1", 5715)],
+)
+def test_minhash_zero_skip_derived_from_fixture(sf_dir, n_rows):
+    """The audit's OTHER half: dedup_bucket_audit pins ALL-ZERO skip
+    columns for the three minhash bands at cap 500 at both committed
+    scales — re-derived here from the parquet fixture alone (band i's
+    bucket key is signature element i)."""
+    texts = _augmented_texts(sf_dir)
+    assert len(texts) == n_rows
+    sig_cache: dict[str, list[int]] = {}
+    hist = [Counter() for _ in range(_SIG_HASHES)]
+    for t in texts:
+        sig = sig_cache.get(t)
+        if sig is None:
+            sig = minhash_signature_py(t)
+            sig_cache[t] = sig
+        for i in range(_SIG_HASHES):
+            hist[i][sig[i]] += 1
+    for i in range(_SIG_HASHES):
+        assert sum(hist[i].values()) == n_rows
+        over = [c for c in hist[i].values() if c > 500]
+        assert over == [], f"minhash band {i} unexpectedly over cap: {over}"
