@@ -737,3 +737,71 @@ def lloyd_kmeans(
         F.round(F.col("cval").cast("double"), 6).alias("c"),
         F.col("n_members").cast("long").alias("n_members"),
     ).orderBy("cluster", "pos")
+
+
+def lloyd_assignments(
+    vectors: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 4,
+    iterations: int = 3,
+) -> DataFrame:
+    """The final (vid, cluster) ASSIGNMENT of :func:`lloyd_kmeans`'s
+    exact-decimal Lloyd loop — the data-derived blocking key
+    SemDeDup-style semantic dedup needs (cluster the corpus first,
+    prune near-dups WITHIN clusters; gold labels don't exist at
+    pretraining scale).  Identical determinism recipe and unrolled
+    plan as :func:`lloyd_kmeans` (the two match round for round —
+    ``cents`` there is aggregated FROM this assignment); kept as a
+    separate function rather than a return-mode flag because
+    lloyd_kmeans feeds a certified catalog row and r11 is a no-touch
+    round for certified operators (COVERAGE.md round-11 record; fold
+    the two bodies together in a rotation round).
+
+    Returns (vid, cluster) after ``iterations`` assign-then-recompute
+    rounds — one row per input vector, cluster ids from the k
+    smallest-id seeds (a cluster can go empty mid-loop and drop out,
+    the documented Lloyd degeneracy)."""
+    dec = "decimal(12,8)"
+    x = vectors.select(
+        F.col(id_col).alias("vid"),
+        F.posexplode(
+            F.transform(vec_col, lambda v: v.cast("double").cast(dec))
+        ).alias("pos", "val"),
+    )
+    seed_ids = (
+        vectors.select(F.col(id_col).alias("vid"))
+        .orderBy("vid")
+        .limit(k)
+        .withColumn("cluster", F.row_number().over(Window.orderBy("vid")) - 1)
+    )
+    x = x.localCheckpoint(eager=False)
+    cents = (
+        x.join(F.broadcast(seed_ids), "vid")
+        .select("cluster", "pos", F.col("val").alias("cval"))
+    )
+    assign = None
+    for _ in range(iterations):
+        d = (
+            x.join(F.broadcast(cents), "pos")
+            .groupBy("vid", "cluster")
+            .agg(
+                F.sum(
+                    (F.col("val") - F.col("cval")) * (F.col("val") - F.col("cval"))
+                ).alias("dist")
+            )
+        )
+        assign = d.groupBy("vid").agg(
+            F.min(F.struct("dist", "cluster")).getField("cluster").alias("cluster")
+        )
+        cents = (
+            x.join(assign, "vid")
+            .groupBy("cluster", "pos")
+            .agg(
+                (F.sum("val").cast("double") / F.count(F.lit(1)))
+                .cast(dec)
+                .alias("cval")
+            )
+            .localCheckpoint(eager=False)
+        )
+    return assign.select("vid", F.col("cluster").cast("long").alias("cluster"))

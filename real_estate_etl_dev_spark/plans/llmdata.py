@@ -5870,6 +5870,195 @@ def dedup_minhash_pairs_zipf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# SemDeDup on DATA-DERIVED clusters — built r11, REGISTRATION DEFERRED
+# to r12 (the r11 window is exactly full: 1 smoke + 49 r07-aged rows,
+# VERDICT r10 item 1 — a new registration would evict an aged row).
+# Behavior is pinned NOW by tests/test_llmdata.py::
+# test_semdedup_kmeans_oracle_parity (the exact compare the catalog
+# row will certify) and the oracle below is ready.
+# To register in r12: wrap with
+#   @query("dedup_semantic_kmeans", _semdedup_kmeans_oracle_sql(),
+#          survey="llm-dedup-semantic", tags=("llm-dedup",))
+# ---------------------------------------------------------------------------
+
+
+def _semdedup_kmeans_oracle_sql(k: int = 4, rounds: int = 3) -> str:
+    """Unrolled Lloyd assignment chain over the AUGMENTED embedding
+    corpus (the embedding_kmeans oracle's CTE shape, re-based onto
+    the near-dup fixture), then within-cluster cosine pairs and the
+    greedy keep rule — all engine-exact."""
+    body = [
+        f"""
+    WITH base AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ),
+    corpus AS (
+      SELECT vec_id, v FROM base
+      UNION ALL
+      SELECT vec_id + {_VEC_OFF_SQL} AS vec_id,
+             list_transform(v, x -> x * 1.0 + 0.02) AS v
+      FROM base WHERE vec_id % 20 = 0
+    ),
+    x AS (
+      SELECT vec_id AS vid, u.i AS pos,
+             CAST(CAST(v[u.i + 1] AS DOUBLE) AS DECIMAL(12,8)) AS val
+      FROM corpus, unnest(range(0, len(v))) AS u(i)
+    ),
+    seeds AS (
+      SELECT vid, row_number() OVER (ORDER BY vid) - 1 AS cluster
+      FROM (SELECT DISTINCT vid FROM x ORDER BY vid LIMIT {k})
+    ),
+    c0 AS (
+      SELECT s.cluster, x.pos, x.val AS cval
+      FROM x JOIN seeds s USING (vid)
+    )"""
+    ]
+    prev = "c0"
+    for i in range(1, rounds + 1):
+        body.append(f""",
+    d{i} AS (
+      SELECT x.vid, c.cluster,
+             sum((x.val - c.cval) * (x.val - c.cval)) AS dist
+      FROM x JOIN {prev} c USING (pos) GROUP BY x.vid, c.cluster
+    ),
+    a{i} AS (
+      SELECT vid, cluster FROM (
+        SELECT vid, cluster,
+               row_number() OVER (PARTITION BY vid
+                                  ORDER BY dist, cluster) AS rn
+        FROM d{i}) WHERE rn = 1
+    ),
+    c{i} AS (
+      SELECT a.cluster, x.pos,
+             CAST(CAST(sum(x.val) AS DOUBLE) / count(*) AS DECIMAL(12,8))
+               AS cval
+      FROM x JOIN a{i} a USING (vid) GROUP BY a.cluster, x.pos
+    )""")
+        prev = f"c{i}"
+    body.append(f""",
+    pairs AS (
+      SELECT aa.cluster, a.vec_id AS id_a, b.vec_id AS id_b
+      FROM corpus a JOIN a{rounds} aa ON a.vec_id = aa.vid
+      JOIN a{rounds} ab ON ab.cluster = aa.cluster
+      JOIN corpus b ON b.vec_id = ab.vid
+      WHERE a.vec_id < b.vec_id
+        AND round(list_cosine_similarity(a.v, b.v), 6) >= 0.9
+    ),
+    members AS (
+      SELECT cluster, count(*) AS n_members FROM a{rounds} GROUP BY cluster
+    ),
+    pstat AS (
+      SELECT cluster,
+             count(*) AS n_dup_pairs,
+             count(DISTINCT id_b) AS n_dropped
+      FROM pairs GROUP BY cluster
+    )
+    SELECT CAST(m.cluster AS BIGINT) AS cluster,
+           CAST(m.n_members AS BIGINT) AS n_members,
+           CAST(coalesce(p.n_dup_pairs, 0) AS BIGINT) AS n_dup_pairs,
+           CAST(coalesce(p.n_dropped, 0) AS BIGINT) AS n_dropped,
+           CAST(m.n_members - coalesce(p.n_dropped, 0) AS BIGINT) AS n_kept
+    FROM members m LEFT JOIN pstat p USING (cluster)
+    ORDER BY cluster""")
+    return "".join(body)
+
+
+def dedup_semantic_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup as the paper actually runs it (Abbas et al., 2023):
+    k-means the corpus FIRST (no gold labels at pretraining scale),
+    then prune cosine near-duplicates WITHIN each cluster with a
+    greedy keep rule — a vector is dropped iff a SMALLER-id
+    ε-neighbor (cos ≥ 0.9) shares its cluster.  Deliberately NOT the
+    connected-components policy: SemDeDup keeps one point per ε-ball
+    greedily, without transitive closure — ``dedup_semantic_keepers``
+    next door is the closure variant on gold-label blocks; together
+    they bracket the semantic-dedup design space.  Per cluster:
+    members, qualifying pairs, dropped, kept.
+
+    Composition of certified machinery: the exact-decimal Lloyd loop
+    (``lloyd_assignments`` — the assignment twin of the certified
+    ``embedding_kmeans``; every distance and centroid bit-identical
+    cross-engine) blocks the corpus, and the within-block pair stage
+    is the certified ``embedding_near_dup_pairs`` recipe (normalize
+    once map-side, round(dot, 6) vs DuckDB list_cosine_similarity).
+
+    Scale: the Lloyd loop is 2 keyed shuffles of |corpus|·dim·k cells
+    per unrolled round; the pair stage is Σ cluster² — at 100 TB, k
+    grows with the corpus (SemDeDup uses ~100k clusters for LAION)
+    precisely so clusters stay bounded and the quadratic term stays
+    flat per cluster; the greedy drop rule needs no extra exchange
+    (dropped = distinct right ends of the pair frame, computed in
+    the same per-cluster aggregation).  The r12 registration gate:
+    oracle replays the identical unrolled chain + pair stage."""
+    from ..functions.core import let_
+    from ..operators.similarity import dot, l2_norm, lloyd_assignments
+
+    base = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("v"),
+    )
+    perturbed = (
+        base.filter(F.col("vec_id") % 20 == 0)
+        .crossJoin(F.broadcast(_id_offset(base, "vec_id")))
+        .select(
+            (F.col("vec_id") + F.col("_off")).alias("vec_id"),
+            F.transform("v", lambda x: x * 1.0 + 0.02).alias("v"),
+        )
+    )
+    # corpus feeds the Lloyd loop (4 joins/round) AND the pair stage —
+    # materialize once, the _setsim_prefixes posture
+    corpus = base.unionByName(perturbed).localCheckpoint(eager=False)
+
+    assign = lloyd_assignments(corpus, id_col="vec_id", vec_col="v", k=4, iterations=3)
+
+    normalized = corpus.select(
+        "vec_id",
+        let_(
+            l2_norm(F.col("v")), lambda n: F.transform("v", lambda x: x / n)
+        ).alias("__n"),
+    )
+    m = normalized.join(assign, normalized["vec_id"] == assign["vid"]).select(
+        "cluster", "vec_id", "__n"
+    )
+    a = m.select(
+        "cluster", F.col("vec_id").alias("id_a"), F.col("__n").alias("__na")
+    )
+    b = m.select(
+        "cluster", F.col("vec_id").alias("id_b"), F.col("__n").alias("__nb")
+    )
+    pairs = (
+        a.join(b, "cluster")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select(
+            "cluster",
+            "id_b",
+            F.round(dot(F.col("__na"), F.col("__nb")), 6).alias("cos_sim"),
+        )
+        .filter(F.col("cos_sim") >= 0.9)
+    )
+    members = assign.groupBy("cluster").agg(
+        F.count(F.lit(1)).cast("long").alias("n_members")
+    )
+    pstat = pairs.groupBy("cluster").agg(
+        F.count(F.lit(1)).cast("long").alias("n_dup_pairs"),
+        F.countDistinct("id_b").cast("long").alias("n_dropped"),
+    )
+    return (
+        members.join(pstat, "cluster", "left")
+        .select(
+            F.col("cluster").cast("long").alias("cluster"),
+            "n_members",
+            F.coalesce("n_dup_pairs", F.lit(0)).cast("long").alias("n_dup_pairs"),
+            F.coalesce("n_dropped", F.lit(0)).cast("long").alias("n_dropped"),
+            (F.col("n_members") - F.coalesce("n_dropped", F.lit(0)))
+            .cast("long")
+            .alias("n_kept"),
+        )
+        .orderBy("cluster")
+    )
+
+
+# ---------------------------------------------------------------------------
 # Sequence packing under the BPE count (VERDICT r09 item 6)
 # ---------------------------------------------------------------------------
 

@@ -1243,3 +1243,38 @@ def test_minhash_zipf_recall_gate(spark):
     assert len(rows) >= 3
     for r in rows:
         assert r["all_found"] and r["found_pairs"] == r["injected_pairs"] > 0
+
+
+def test_semdedup_kmeans_oracle_parity(spark, sf_dir, oracle_sf_dir):
+    """The exact compare dedup_semantic_kmeans's catalog row will
+    certify in r12 (registration deferred — the r11 window is exactly
+    full; see the note above the function), run at BOTH local scales
+    now so the deferral carries zero correctness risk."""
+    from real_estate_etl_dev_spark.plans.llmdata import (
+        _semdedup_kmeans_oracle_sql,
+        dedup_semantic_kmeans,
+    )
+
+    from tests.oracle_harness import compare
+
+    for d in (sf_dir, oracle_sf_dir):
+        problems = compare(spark, d, dedup_semantic_kmeans, _semdedup_kmeans_oracle_sql())
+        assert not problems, f"{d}: " + "; ".join(problems)
+
+
+def test_semdedup_kmeans_drops_planted_copies(spark, sf_dir):
+    """Every planted perturbed copy (vec_id % 20 == 0, cos ~ 1 with
+    its source, larger id by construction) must be caught by the
+    greedy drop rule, so total dropped >= planted; bookkeeping must
+    balance per cluster."""
+    from real_estate_etl_dev_spark.plans.llmdata import dedup_semantic_kmeans
+    from real_estate_etl_dev_spark.sources.readers import load_table
+
+    rows = dedup_semantic_kmeans(spark, sf_dir).collect()
+    base_n = load_table(spark, sf_dir, "embeddings").count()
+    planted = load_table(spark, sf_dir, "embeddings").filter("vec_id % 20 = 0").count()
+    assert sum(r["n_members"] for r in rows) == base_n + planted
+    assert sum(r["n_dropped"] for r in rows) >= planted > 0
+    for r in rows:
+        assert r["n_kept"] == r["n_members"] - r["n_dropped"]
+        assert r["n_dup_pairs"] >= r["n_dropped"]
