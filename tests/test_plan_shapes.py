@@ -921,3 +921,24 @@ def test_r10_flagship_plans_as_documented(spark, sf_dir):
     # the only other exchange is the output-order rangepartitioning
     assert pack.count("hashpartitioning") == 1, pack
     assert pack.count("rangepartitioning") == 1, pack
+
+
+def test_semdedup_kmeans_plan_shape(spark, sf_dir):
+    """Pre-registration plan pin for the r12-deferred
+    dedup_semantic_kmeans (built r11 — see the deferral note in
+    plans/llmdata.py): the whole SemDeDup composition — unrolled
+    exact-decimal Lloyd rounds, within-cluster pair stage, greedy
+    drop aggregation — must stay JVM-side (zero Python evaluation)
+    with no cartesian product: the pair stage is an equality join on
+    the cluster key, the Lloyd centroid tables ride broadcasts."""
+    from real_estate_etl_dev_spark.plans.llmdata import dedup_semantic_kmeans
+
+    df = dedup_semantic_kmeans(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    # the k x dim centroid / seed sides of the Lloyd rounds broadcast
+    # (5 at fixture scale: seeds + 3 rounds of centroids + the 1-row
+    # id-offset combine); only the vid-keyed joins may sort-merge
+    assert plan.count("BroadcastHashJoin") >= 4, plan
