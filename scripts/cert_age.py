@@ -53,6 +53,36 @@ def main() -> None:
     for n in CATALOG:
         age = f"r{hist[n]:02d}" if n in hist else "never"
         print(f"| `{n}` | {age} | {'yes' if n in window else 'no'} |")
+    print()
+    _next_round_budget(hist, window)
+
+
+def _next_round_budget(hist: dict[str, int], window: set[str]) -> None:
+    """The forward arithmetic every round states by hand (COVERAGE.md
+    round records): IF every window row certifies green this round,
+    what does the next window look like and how many free slots does
+    it leave for new registrations + forced canaries?  Computed from
+    the same inputs as the rotation so the statement can't drift."""
+    from real_estate_etl_dev_spark.plans.catalog import _WINDOW_SIZE
+
+    this_round = max(hist.values(), default=0) + 1
+    projected = dict(hist)
+    for n in window:
+        projected[n] = this_round
+    aged = sorted(v for n, v in projected.items() if n in CATALOG)
+    if not aged:
+        return
+    oldest = aged[0]
+    head = sum(1 for v in aged if v == oldest)
+    free = _WINDOW_SIZE - 1 - head  # 1 = the smoke gate
+    print(
+        f"Next-round budget (if all {len(window)} window rows certify "
+        f"as r{this_round:02d}): window head = {head} rows last-green "
+        f"r{oldest:02d}; 1 smoke + {head} aged = {1 + head}, leaving "
+        f"**{free} free slots** for new registrations + forced "
+        f"canaries before an aged row slips past the retirement "
+        f"guarantee."
+    )
 
 
 if __name__ == "__main__":
