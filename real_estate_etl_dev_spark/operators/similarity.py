@@ -761,7 +761,11 @@ def lloyd_assignments(
     Returns (vid, cluster) after ``iterations`` assign-then-recompute
     rounds — one row per input vector, cluster ids from the k
     smallest-id seeds (a cluster can go empty mid-loop and drop out,
-    the documented Lloyd degeneracy)."""
+    the documented Lloyd degeneracy).  ``iterations`` must be ≥ 1
+    (the assignment is DEFINED by a distance round; match the
+    oracle's unrolled a{rounds} CTE count 1:1)."""
+    if iterations < 1:
+        raise ValueError("lloyd_assignments needs iterations >= 1")
     dec = "decimal(12,8)"
     x = vectors.select(
         F.col(id_col).alias("vid"),

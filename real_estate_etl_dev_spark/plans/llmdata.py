@@ -5886,7 +5886,9 @@ def _semdedup_kmeans_oracle_sql(k: int = 4, rounds: int = 3) -> str:
     """Unrolled Lloyd assignment chain over the AUGMENTED embedding
     corpus (the embedding_kmeans oracle's CTE shape, re-based onto
     the near-dup fixture), then within-cluster cosine pairs and the
-    greedy keep rule — all engine-exact."""
+    dominance drop rule — all engine-exact.  ``rounds`` must be ≥ 1
+    (the final select reads the a{rounds} CTE)."""
+    assert rounds >= 1, "the assignment CTE chain needs rounds >= 1"
     body = [
         f"""
     WITH base AS (
@@ -5964,15 +5966,23 @@ def _semdedup_kmeans_oracle_sql(k: int = 4, rounds: int = 3) -> str:
 
 
 def dedup_semantic_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SemDeDup as the paper actually runs it (Abbas et al., 2023):
-    k-means the corpus FIRST (no gold labels at pretraining scale),
-    then prune cosine near-duplicates WITHIN each cluster with a
-    greedy keep rule — a vector is dropped iff a SMALLER-id
-    ε-neighbor (cos ≥ 0.9) shares its cluster.  Deliberately NOT the
-    connected-components policy: SemDeDup keeps one point per ε-ball
-    greedily, without transitive closure — ``dedup_semantic_keepers``
-    next door is the closure variant on gold-label blocks; together
-    they bracket the semantic-dedup design space.  Per cluster:
+    """SemDeDup-style semantic dedup on DATA-DERIVED clusters (Abbas
+    et al., 2023: k-means FIRST — no gold labels at pretraining
+    scale — then prune cosine near-duplicates WITHIN each cluster),
+    with an order-free DOMINANCE drop rule: a vector is dropped iff
+    ANY smaller-id ε-neighbor (cos ≥ 0.9) shares its cluster,
+    whether or not that neighbor itself survives.  Stated precisely
+    because it is NEITHER of the adjacent policies: the paper's
+    sequential greedy would KEEP the tail of a similarity chain
+    whose dropped middle was its only smaller neighbor (a<b<c with
+    a~b, b~c, a≁c keeps {a, c}; this rule keeps {a} — strictly more
+    aggressive on chains, identical on isolated pairs and on
+    ε-cliques), and connected components
+    (``dedup_semantic_keepers`` next door) is the transitive-closure
+    extreme.  The dominance form is the one that needs NO iteration
+    in either engine — one pair frame, one aggregate — which is what
+    makes it oracle-certifiable cell-for-cell; the three rules
+    together bracket the semantic-dedup design space.  Per cluster:
     members, qualifying pairs, dropped, kept.
 
     Composition of certified machinery: the exact-decimal Lloyd loop
@@ -5986,7 +5996,7 @@ def dedup_semantic_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     per unrolled round; the pair stage is Σ cluster² — at 100 TB, k
     grows with the corpus (SemDeDup uses ~100k clusters for LAION)
     precisely so clusters stay bounded and the quadratic term stays
-    flat per cluster; the greedy drop rule needs no extra exchange
+    flat per cluster; the dominance drop rule needs no extra exchange
     (dropped = distinct right ends of the pair frame, computed in
     the same per-cluster aggregation).  The r12 registration gate:
     oracle replays the identical unrolled chain + pair stage."""

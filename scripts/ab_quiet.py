@@ -67,16 +67,23 @@ def main() -> None:
         help="comma-separated catalog query names to time",
     )
     args = ap.parse_args()
-    suspects = [s for s in args.suspects.split(",") if s]
+    suspects = [s.strip() for s in args.suspects.split(",") if s.strip()]
 
     sys.path.insert(0, args.repo)
     os.chdir(args.repo)
     import __spark_entry__ as e
     from real_estate_etl_dev_spark.session import get_spark
 
+    qs = e.queries()
+    unknown = [s for s in suspects if s not in qs]
+    if unknown:
+        # fail BEFORE the JVM spins up or any timing prints — a
+        # mid-run KeyError after the first suspect's samples would
+        # corrupt the interleaved design
+        sys.exit(f"unknown suspects (not in queries()): {unknown}")
+
     spark = get_spark("ab-quiet")
     spark.sparkContext.setLogLevel("ERROR")
-    qs = e.queries()
     for pass_no in (1, 2):
         for name in suspects:
             s0, t0 = _cpu_stat()

@@ -69,19 +69,32 @@ def _next_round_budget(hist: dict[str, int], window: set[str]) -> None:
     projected = dict(hist)
     for n in window:
         projected[n] = this_round
+    # never-certified rows OUTSIDE the current window (window
+    # overflow) take next-round slots AHEAD of aged rows, per
+    # front_window's policy — they must charge the budget first
+    never_out = [n for n in CATALOG if n not in projected]
     aged = sorted(v for n, v in projected.items() if n in CATALOG)
     if not aged:
         return
     oldest = aged[0]
     head = sum(1 for v in aged if v == oldest)
-    free = _WINDOW_SIZE - 1 - head  # 1 = the smoke gate
+    free = _WINDOW_SIZE - 1 - len(never_out) - head  # 1 = smoke gate
+    never_note = (
+        f" {len(never_out)} never-certified overflow rows claim slots"
+        f" first ({', '.join(never_out)});" if never_out else ""
+    )
+    slip_note = (
+        " NEGATIVE: the oldest cohort itself overflows the window — "
+        f"{-free} of its rows slip a round even with zero new "
+        "registrations." if free < 0 else ""
+    )
     print(
         f"Next-round budget (if all {len(window)} window rows certify "
         f"as r{this_round:02d}): window head = {head} rows last-green "
-        f"r{oldest:02d}; 1 smoke + {head} aged = {1 + head}, leaving "
-        f"**{free} free slots** for new registrations + forced "
-        f"canaries before an aged row slips past the retirement "
-        f"guarantee."
+        f"r{oldest:02d};{never_note} 1 smoke + {len(never_out)} "
+        f"never-certified + {head} aged leaves **{free} free slots** "
+        f"for new registrations + forced canaries before an aged row "
+        f"slips past the retirement guarantee.{slip_note}"
     )
 
 

@@ -1278,3 +1278,59 @@ def test_semdedup_kmeans_drops_planted_copies(spark, sf_dir):
     for r in rows:
         assert r["n_kept"] == r["n_members"] - r["n_dropped"]
         assert r["n_dup_pairs"] >= r["n_dropped"]
+
+
+def test_lloyd_assignments_stays_in_sync_with_lloyd_kmeans(spark, sf_dir):
+    """lloyd_assignments duplicates lloyd_kmeans's exact-decimal loop
+    (deliberately — the certified operator is untouchable in a
+    full-window round; see its docstring).  This is the MECHANICAL
+    sync guard the duplication needs: centroids + member counts
+    recomputed FROM the assignment with the same decimal recipe must
+    equal lloyd_kmeans's output cell for cell, so any future edit to
+    one copy that diverges the recurrence fails here instead of
+    surfacing as a silent oracle drift in r12."""
+    from real_estate_etl_dev_spark.operators.similarity import (
+        lloyd_assignments,
+        lloyd_kmeans,
+    )
+    from real_estate_etl_dev_spark.sources.readers import load_table
+
+    vecs = load_table(spark, sf_dir, "embeddings")
+    expect = {
+        (r["cluster"], r["pos"]): (r["c"], r["n_members"])
+        for r in lloyd_kmeans(vecs, k=4, iterations=3).collect()
+    }
+    assign = lloyd_assignments(vecs, k=4, iterations=3)
+    dec = "decimal(12,8)"
+    cells = vecs.select(
+        F.col("vec_id").alias("vid"),
+        F.posexplode(
+            F.transform("embedding", lambda v: v.cast("double").cast(dec))
+        ).alias("pos", "val"),
+    )
+    got = {
+        (r["cluster"], r["pos"]): (r["c"], r["n_members"])
+        for r in cells.join(assign, "vid")
+        .groupBy("cluster", "pos")
+        .agg(
+            F.round(
+                (F.sum("val").cast("double") / F.count(F.lit(1)))
+                .cast(dec)
+                .cast("double"),
+                6,
+            ).alias("c"),
+            F.count(F.lit(1)).cast("long").alias("n_members"),
+        )
+        .collect()
+    }
+    assert got == expect
+
+
+def test_lloyd_assignments_rejects_zero_iterations(spark, sf_dir):
+    from real_estate_etl_dev_spark.operators.similarity import lloyd_assignments
+    from real_estate_etl_dev_spark.sources.readers import load_table
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="iterations"):
+        lloyd_assignments(load_table(spark, sf_dir, "embeddings"), iterations=0)
