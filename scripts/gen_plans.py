@@ -260,6 +260,27 @@ SHOWCASE = [
         "by the shard.  The BPE tokenizer rides the same scan "
         "project as token_budget_bpe.",
     ),
+    (
+        "dedup_minhash_pairs_zipf",
+        "MinHash banding on the Zipfian corpus (built r10, registers "
+        "r12; unregistered — resolved from plans.llmdata): the SAME "
+        "banded-bucket equality join as the certified dense twin, "
+        "but long-tail shingles make band buckets sparse, so bucket "
+        "mass concentrates on true duplicates; the recall gate's "
+        "planted J=1 copies collide deterministically on every band.",
+    ),
+    (
+        "dedup_semantic_kmeans",
+        "SemDeDup on data-derived clusters (built r11, registers "
+        "r12; unregistered — resolved from plans.llmdata): the "
+        "exact-decimal Lloyd loop unrolls into the plan — per round "
+        "one broadcast join of k*dim centroid cells on pos plus two "
+        "keyed exchanges, lineage truncated per round by "
+        "localCheckpoint — and feeds a within-cluster pair join "
+        "whose quadratic term is bounded per cluster (k grows with "
+        "the corpus at scale); the corpus is checkpoint-pinned ONCE "
+        "for the loop's 4-joins-per-round and the pair stage alike.",
+    ),
 ]
 
 _TRIM = re.compile(r", \[plan_id=\d+\]| \[id=#\d+\]")
@@ -300,8 +321,14 @@ def main() -> None:
         f"`{SF_DIR}`; AQE final plans may differ only in partition "
         "coalescing.\n",
     ]
+    from real_estate_etl_dev_spark.plans import llmdata
+
     for name, note in SHOWCASE:
-        df = CATALOG[name].fn(spark, SF_DIR)
+        # Deferred-registration flagships (window-budget bookkeeping,
+        # COVERAGE.md round records) are showcased from the module
+        # before their catalog row lands.
+        fn = CATALOG[name].fn if name in CATALOG else getattr(llmdata, name)
+        df = fn(spark, SF_DIR)
         parts.append(f"## {name}\n\n{note}\n\n```\n{trimmed_plan(df)}\n```\n")
     with open(os.path.join(ROOT, "PLANS.md"), "w") as f:
         f.write("\n".join(parts))
