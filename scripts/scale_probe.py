@@ -113,6 +113,7 @@ def main() -> None:
     streaming_probe(spark)
     streaming_state_probe(spark)
     zipf_ppjoin_growth_probe(spark)
+    semdedup_growth_probe(spark)
 
 
 def merge_growth_probe(spark) -> None:
@@ -725,6 +726,119 @@ def zipf_ppjoin_growth_probe(spark) -> None:
             f"| {n:,} | {n * (n - 1) // 2:,} | {n_cand:,} | {n_true:,} "
             f"| {n_cand / max(n_true, 1):.1f} | {wall:.1f} "
             f"| {t_hy:.1f} ({n_hy:,} / {skipped:,}) |",
+            flush=True,
+        )
+
+
+def semdedup_growth_probe(spark) -> None:
+    """Growth shape of the SemDeDup composition ahead of its r12
+    registration (``dedup_semantic_kmeans``, plans/llmdata.py): with
+    the cluster count k FIXED, the within-cluster pair stage is
+    Σ cluster² — quadratic in corpus size; the published mitigation
+    (Abbas et al., 2023 — ~100k clusters for LAION) is k GROWING with
+    the corpus so per-cluster occupancy stays flat and candidate mass
+    tracks the linearly-growing output.  This probe measures BOTH
+    axes on the real embeddings table.
+
+    Fixture: k_rep disjoint vec_id namespaces; each replica's vectors
+    get a per-replica CYCLIC COMPONENT SHIFT (a random vector is
+    near-orthogonal to its own rotation, so namespaces are NOT mutual
+    near-dups — unlike the minhash probe, whose output explosion is
+    the point there), then the composition's own +0.02 planting per
+    namespace (vec_id % 20), so true-pair mass grows exactly linearly
+    in k_rep.  Same exact-decimal Lloyd + normalized-pair plan as the
+    composition, parametrized by (corpus, k_clusters).
+
+    Rows: (1×, k=4) the registration-gate shape; (4×, k=4) the
+    fixed-k quadratic axis; (16×, k=64) the k∝n mitigation — designed
+    so the mitigation row's EXPECTED candidate mass matches the 4×
+    fixed-k row (occupancy ~525 vs ~2,100: 64·C(525,2) ≈ 4·C(2100,2)
+    /4² … i.e. ~8.8M both) while data is 4× larger."""
+    from real_estate_etl_dev_spark.functions.core import let_
+    from real_estate_etl_dev_spark.operators.similarity import (
+        dot,
+        l2_norm,
+        lloyd_assignments,
+    )
+
+    dim = 64
+    base = spark.read.parquet(f"{SF_DIR}/embeddings.parquet").select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("v"),
+    )
+
+    def corpus_at(k_rep: int):
+        c = base
+        if k_rep > 1:
+            reps = spark.range(k_rep).select(F.col("id").alias("rep"))
+            shift = (F.col("rep") % dim).cast("int")
+            c = c.crossJoin(reps).select(
+                (F.col("vec_id") + F.col("rep") * 10_000_000).alias("vec_id"),
+                F.concat(
+                    F.slice(F.col("v"), shift + F.lit(1), F.lit(dim)),
+                    F.slice(F.col("v"), F.lit(1), shift),
+                ).alias("v"),
+            )
+        planted = c.filter(F.col("vec_id") % 20 == 0).select(
+            (F.col("vec_id") + F.lit(1_000_000_000)).alias("vec_id"),
+            F.transform("v", lambda x: x * 1.0 + 0.02).alias("v"),
+        )
+        return c.unionByName(planted).localCheckpoint()
+
+    print(
+        "| vectors | k | lloyd s | pair-stage s | Σcluster² (cand bound) "
+        "| max cluster | cos≥0.9 pairs | dropped |"
+    )
+    print("|---|---|---|---|---|---|---|---|")
+    for k_rep, k_clusters in ((1, 4), (4, 4), (16, 64)):
+        corpus = corpus_at(k_rep)
+        n = corpus.count()
+
+        t0 = time.perf_counter()
+        assign = lloyd_assignments(
+            corpus, id_col="vec_id", vec_col="v", k=k_clusters, iterations=3
+        ).localCheckpoint()
+        assign.count()
+        t_lloyd = time.perf_counter() - t0
+
+        occ = assign.groupBy("cluster").count().collect()
+        cand_bound = sum(r["count"] * (r["count"] - 1) // 2 for r in occ)
+        max_occ = max(r["count"] for r in occ)
+
+        t0 = time.perf_counter()
+        normalized = corpus.select(
+            "vec_id",
+            let_(
+                l2_norm(F.col("v")), lambda nn: F.transform("v", lambda x: x / nn)
+            ).alias("__n"),
+        )
+        m = normalized.join(
+            assign, normalized["vec_id"] == assign["vid"]
+        ).select("cluster", "vec_id", "__n")
+        a = m.select(
+            "cluster", F.col("vec_id").alias("id_a"), F.col("__n").alias("__na")
+        )
+        b = m.select(
+            "cluster", F.col("vec_id").alias("id_b"), F.col("__n").alias("__nb")
+        )
+        pairs = (
+            a.join(b, "cluster")
+            .filter(F.col("id_a") < F.col("id_b"))
+            .select(
+                "cluster",
+                "id_b",
+                F.round(dot(F.col("__na"), F.col("__nb")), 6).alias("cos_sim"),
+            )
+            .filter(F.col("cos_sim") >= 0.9)
+            .localCheckpoint()
+        )
+        n_pairs = pairs.count()
+        n_dropped = pairs.select("id_b").distinct().count()
+        t_pairs = time.perf_counter() - t0
+
+        print(
+            f"| {n:,} | {k_clusters} | {t_lloyd:.1f} | {t_pairs:.1f} "
+            f"| {cand_bound:,} | {max_occ:,} | {n_pairs:,} | {n_dropped:,} |",
             flush=True,
         )
 
