@@ -5875,7 +5875,11 @@ def dedup_minhash_pairs_zipf(spark: SparkSession, sf_dir: str) -> DataFrame:
 # VERDICT r10 item 1 — a new registration would evict an aged row).
 # Behavior is pinned NOW by tests/test_llmdata.py::
 # test_semdedup_kmeans_oracle_parity (the exact compare the catalog
-# row will certify) and the oracle below is ready.
+# row will certify), independently re-derived zero-Spark/zero-SQL by
+# tests/test_lloyd_model.py (pure-Python exact-decimal Lloyd + the
+# dominance rule, integer-exact end to end), growth-probed at 16×
+# (SCALE.md §10: fixed-k pair bound is quadratic, k∝n pins it flat),
+# and the oracle below is ready.
 # To register in r12: wrap with
 #   @query("dedup_semantic_kmeans", _semdedup_kmeans_oracle_sql(),
 #          survey="llm-dedup-semantic", tags=("llm-dedup",))
