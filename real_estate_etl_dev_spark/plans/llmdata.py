@@ -5845,7 +5845,11 @@ def setsim_zipf_bucket_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 # its behavior is pinned NOW by
 # tests/test_llmdata.py::test_minhash_zipf_recall_gate (the same gate
 # the catalog row will certify), and its oracle below is ready.
-# To register in r11: wrap with
+# r11 UPDATE: the r11 window came back EXACTLY full too (1 smoke + 49
+# aged r07 rows — VERDICT r10 item 1 demanded zero registrations), so
+# the registration slides one more round, into r12's budgeted 2
+# registration slots (COVERAGE.md "r12 arithmetic").
+# To register in r12: wrap with
 #   @query("dedup_minhash_pairs_zipf", _INJECTED_GATE_SQL,
 #          survey="llm-dedup-near", tags=("llm-dedup",))
 def dedup_minhash_pairs_zipf(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -5969,6 +5973,56 @@ def _semdedup_kmeans_oracle_sql(k: int = 4, rounds: int = 3) -> str:
     return "".join(body)
 
 
+def semdedup_cluster_pairs(
+    corpus: DataFrame,
+    assign: DataFrame,
+    threshold: float = 0.9,
+    id_col: str = "vec_id",
+    vec_col: str = "v",
+) -> DataFrame:
+    """The SemDeDup pair stage: ``(cluster, id_a, id_b, cos_sim)``
+    within-cluster cosine pairs at or above ``threshold``, given a
+    ``(vid, cluster)`` assignment.  Normalizes ONCE map-side
+    (``let_`` binds the l2 norm so it isn't recomputed per
+    reference), joins the assignment, per-cluster self-join with
+    ``id_a < id_b``, ``round(dot, 6)`` against the threshold — the
+    exact recipe the DuckDB oracle and tests/test_lloyd_model.py
+    replay.  Shared by :func:`dedup_semantic_kmeans` and
+    scripts/scale_probe.py's ``semdedup_growth_probe`` so the probe
+    measures the composition's OWN plan and can never silently drift
+    from it (r11 code-review finding)."""
+    from ..functions.core import let_
+    from ..operators.similarity import dot, l2_norm
+
+    normalized = corpus.select(
+        F.col(id_col).alias("__vid"),
+        let_(
+            l2_norm(F.col(vec_col)),
+            lambda n: F.transform(vec_col, lambda x: x / n),
+        ).alias("__n"),
+    )
+    m = normalized.join(assign, normalized["__vid"] == assign["vid"]).select(
+        "cluster", F.col("__vid").alias("__id"), "__n"
+    )
+    a = m.select(
+        "cluster", F.col("__id").alias("id_a"), F.col("__n").alias("__na")
+    )
+    b = m.select(
+        "cluster", F.col("__id").alias("id_b"), F.col("__n").alias("__nb")
+    )
+    return (
+        a.join(b, "cluster")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select(
+            "cluster",
+            "id_a",
+            "id_b",
+            F.round(dot(F.col("__na"), F.col("__nb")), 6).alias("cos_sim"),
+        )
+        .filter(F.col("cos_sim") >= threshold)
+    )
+
+
 def dedup_semantic_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup-style semantic dedup on DATA-DERIVED clusters (Abbas
     et al., 2023: k-means FIRST — no gold labels at pretraining
@@ -6004,8 +6058,7 @@ def dedup_semantic_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     (dropped = distinct right ends of the pair frame, computed in
     the same per-cluster aggregation).  The r12 registration gate:
     oracle replays the identical unrolled chain + pair stage."""
-    from ..functions.core import let_
-    from ..operators.similarity import dot, l2_norm, lloyd_assignments
+    from ..operators.similarity import lloyd_assignments
 
     base = load_table(spark, sf_dir, "embeddings").select(
         "vec_id",
@@ -6025,31 +6078,7 @@ def dedup_semantic_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     assign = lloyd_assignments(corpus, id_col="vec_id", vec_col="v", k=4, iterations=3)
 
-    normalized = corpus.select(
-        "vec_id",
-        let_(
-            l2_norm(F.col("v")), lambda n: F.transform("v", lambda x: x / n)
-        ).alias("__n"),
-    )
-    m = normalized.join(assign, normalized["vec_id"] == assign["vid"]).select(
-        "cluster", "vec_id", "__n"
-    )
-    a = m.select(
-        "cluster", F.col("vec_id").alias("id_a"), F.col("__n").alias("__na")
-    )
-    b = m.select(
-        "cluster", F.col("vec_id").alias("id_b"), F.col("__n").alias("__nb")
-    )
-    pairs = (
-        a.join(b, "cluster")
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select(
-            "cluster",
-            "id_b",
-            F.round(dot(F.col("__na"), F.col("__nb")), 6).alias("cos_sim"),
-        )
-        .filter(F.col("cos_sim") >= 0.9)
-    )
+    pairs = semdedup_cluster_pairs(corpus, assign)
     members = assign.groupBy("cluster").agg(
         F.count(F.lit(1)).cast("long").alias("n_members")
     )

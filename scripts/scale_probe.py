@@ -754,12 +754,8 @@ def semdedup_growth_probe(spark) -> None:
     so the mitigation row's EXPECTED candidate mass matches the 4×
     fixed-k row (occupancy ~525 vs ~2,100: 64·C(525,2) ≈ 4·C(2100,2)
     /4² … i.e. ~8.8M both) while data is 4× larger."""
-    from real_estate_etl_dev_spark.functions.core import let_
-    from real_estate_etl_dev_spark.operators.similarity import (
-        dot,
-        l2_norm,
-        lloyd_assignments,
-    )
+    from real_estate_etl_dev_spark.operators.similarity import lloyd_assignments
+    from real_estate_etl_dev_spark.plans.llmdata import semdedup_cluster_pairs
 
     dim = 64
     base = spark.read.parquet(f"{SF_DIR}/embeddings.parquet").select(
@@ -806,32 +802,9 @@ def semdedup_growth_probe(spark) -> None:
         max_occ = max(r["count"] for r in occ)
 
         t0 = time.perf_counter()
-        normalized = corpus.select(
-            "vec_id",
-            let_(
-                l2_norm(F.col("v")), lambda nn: F.transform("v", lambda x: x / nn)
-            ).alias("__n"),
-        )
-        m = normalized.join(
-            assign, normalized["vec_id"] == assign["vid"]
-        ).select("cluster", "vec_id", "__n")
-        a = m.select(
-            "cluster", F.col("vec_id").alias("id_a"), F.col("__n").alias("__na")
-        )
-        b = m.select(
-            "cluster", F.col("vec_id").alias("id_b"), F.col("__n").alias("__nb")
-        )
-        pairs = (
-            a.join(b, "cluster")
-            .filter(F.col("id_a") < F.col("id_b"))
-            .select(
-                "cluster",
-                "id_b",
-                F.round(dot(F.col("__na"), F.col("__nb")), 6).alias("cos_sim"),
-            )
-            .filter(F.col("cos_sim") >= 0.9)
-            .localCheckpoint()
-        )
+        # the composition's OWN pair stage — shared helper, so this
+        # probe can never measure a drifted recipe
+        pairs = semdedup_cluster_pairs(corpus, assign).localCheckpoint()
         n_pairs = pairs.count()
         n_dropped = pairs.select("id_b").distinct().count()
         t_pairs = time.perf_counter() - t0
@@ -854,9 +827,16 @@ if __name__ == "__main__":
     )
     cli = ap.parse_args()
     if cli.only:
+        # validate BEFORE the JVM starts (the ab_quiet --suspects
+        # pattern): a typo or stray space must not cost a completed
+        # probe's run to a KeyError mid-sequence
+        names = [s.strip() for s in cli.only.split(",") if s.strip()]
+        bad = [s for s in names if not callable(globals().get(s))]
+        if bad:
+            ap.error(f"unknown probe(s): {bad}")
         _spark = get_spark("scale-probe")
         _spark.sparkContext.setLogLevel("ERROR")
-        for fn_name in cli.only.split(","):
+        for fn_name in names:
             globals()[fn_name](_spark)
     else:
         main()
