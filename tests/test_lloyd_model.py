@@ -38,8 +38,18 @@ from functools import reduce
 
 import pyarrow.parquet as pq
 import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from pyspark.sql import functions as F
 
 from tests.conftest import SF_SMALL
+
+H = settings(
+    max_examples=20,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
+)
 
 # ---------------------------------------------------------------------------
 # Model primitives
@@ -188,6 +198,31 @@ def test_lloyd_kmeans_centroids_match_python_model(spark, sf_dir, py_corpus):
         ).collect()
     }
     assert got == expect
+
+
+@given(
+    xs=st.lists(
+        st.floats(min_value=-999, max_value=999, allow_nan=False),
+        min_size=1,
+        max_size=8,
+    )
+)
+@H
+def test_dec8_and_round6_match_spark_casts(spark, xs):
+    """The model's riskiest assumption, property-pinned: Python
+    ``repr`` (shortest round-trip decimal) HALF_UP-quantized equals
+    Spark's double → DECIMAL(12,8) cast and F.round(x, 6) for
+    arbitrary doubles in the embedding magnitude range — including
+    hypothesis-found near-tie values, where a divergent conversion
+    recipe would first show."""
+    df = spark.createDataFrame([(float(x),) for x in xs], "x double")
+    got = df.select(
+        F.col("x").cast("decimal(12,8)").alias("d8"),
+        F.round(F.col("x"), 6).alias("r6"),
+    ).collect()
+    for x, r in zip(xs, got):
+        assert r["d8"] == _dec8(x), (x, r["d8"])
+        assert _round6(r["r6"]) == _round6(x), (x, r["r6"])
 
 
 def test_semdedup_kmeans_matches_python_model(spark, sf_dir):
