@@ -816,6 +816,65 @@ def semdedup_growth_probe(spark) -> None:
         )
 
 
+def next_fit_fold_probe(spark) -> None:
+    """ADVICE r10 quantified: next_fit_fold's accumulator appends to
+    the full assignments array every step — O(n²) struct copies per
+    group, flagged in the docstring as the real per-group bound.
+    This measures WHERE that bound starts to matter: the full fold
+    vs a scalar-state twin (same recurrence, accumulator is only
+    (wid, fill) — the shape the r13 rewrite would emit) on ONE group
+    of n docs, n = 1k → 64k.  The delta column is the pure
+    array-copy cost; the decision input for whether the rewrite is
+    worth a forced re-certification slot."""
+    from real_estate_etl_dev_spark.plans.llmdata import _PACK_CAP, next_fit_fold
+
+    def xs_expr(n: int):
+        return F.transform(
+            F.sequence(F.lit(0).cast("long"), F.lit(n - 1).cast("long")),
+            lambda i: F.struct(
+                i.alias("doc_id"), (i % 97 + 1).cast("long").alias("n_tok")
+            ),
+        )
+
+    def scalar_fold(xs):
+        # the same recurrence with NO per-step array: final (wid, fill)
+        init = F.struct(
+            F.lit(-1).cast("long").alias("wid"),
+            F.lit(_PACK_CAP + 1).cast("long").alias("fill"),
+        )
+
+        def step(acc, x):
+            fits = (acc["fill"] + x["n_tok"]) <= _PACK_CAP
+            return F.struct(
+                F.when(fits, acc["wid"]).otherwise(acc["wid"] + 1).alias("wid"),
+                F.when(fits, acc["fill"] + x["n_tok"])
+                .otherwise(x["n_tok"])
+                .alias("fill"),
+            )
+
+        return F.aggregate(xs, init, step)
+
+    print("| docs in group | full fold s (windows) | scalar-state fold s (windows) |")
+    print("|---|---|---|")
+    for n in (1_000, 4_000, 16_000, 64_000):
+        one = spark.range(1)
+        t0 = time.perf_counter()
+        full = one.select(
+            F.element_at(next_fit_fold(xs_expr(n), _PACK_CAP), -1)["wid"].alias("w")
+        ).collect()[0]["w"]
+        t_full = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        scal = one.select(
+            scalar_fold(xs_expr(n))["wid"].alias("w")
+        ).collect()[0]["w"]
+        t_scal = time.perf_counter() - t0
+        assert full == scal, (full, scal)
+        print(
+            f"| {n:,} | {t_full:.2f} ({full + 1:,}) | {t_scal:.2f} ({scal + 1:,}) |",
+            flush=True,
+        )
+
+
 if __name__ == "__main__":
     import argparse
 
