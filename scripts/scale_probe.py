@@ -113,6 +113,7 @@ def main() -> None:
     streaming_probe(spark)
     streaming_state_probe(spark)
     zipf_ppjoin_growth_probe(spark)
+    zipf_minhash_growth_probe(spark)
     semdedup_growth_probe(spark)
 
 
@@ -600,6 +601,114 @@ def streaming_state_probe(spark) -> None:
         )
 
 
+def zipf_corpus_at(spark, k: int):
+    """k disjoint doc_id namespaces through the SAME LCG text
+    generator as plans/llmdata.py:_zipf_docs — new ids draw FRESH
+    documents from the same harmonic ~5k-type vocabulary (the corpus
+    genuinely grows; replicas would plant fake exact dups), then the
+    same %7 exact-copy / %11 near-copy planting per namespace.
+    Shared by zipf_ppjoin_growth_probe (which asserts k=1 equality
+    with the certified fixture's text multiset every run) and
+    zipf_minhash_growth_probe.  Kept in the script so the certified
+    module stays untouched."""
+    from real_estate_etl_dev_spark.sources.readers import load_table
+
+    ids = load_table(spark, SF_DIR, "documents").select("doc_id", "lang")
+    if k > 1:
+        reps = spark.range(k).select(F.col("id").alias("rep"))
+        ids = ids.crossJoin(reps).select(
+            (F.col("doc_id") + F.col("rep") * 10_000_000).alias("doc_id"),
+            "lang",
+        )
+    A = F.lit(1103515245).cast("long")
+    M = F.lit(2147483648).cast("long")
+    d = F.col("doc_id")
+
+    def tok(i):
+        # reduce x mod M BEFORE the multiply: A*(x%M)+c ≡ A*x+c
+        # (mod M), so h1/h2 are identical for every doc_id, but
+        # A*x no longer overflows int64 once replica namespaces
+        # push doc_id past ~8e9/A (the certified fixture's ids
+        # are <5000, where the reduction is a no-op)
+        x = (d * 131 + i) % M
+        h1 = (A * x + 12345) % M
+        h2 = (A * h1 + 12345) % M
+        cap = F.shiftright(h2, 16) % 4999 + 1
+        tid = F.shiftright(h1, 16) % cap
+        return F.concat(F.lit("z"), tid.cast("string"))
+
+    n_hi = F.lit(23).cast("long") + (d * 7919) % 17
+    basedf = ids.select(
+        "doc_id",
+        "lang",
+        F.array_join(
+            F.transform(F.sequence(F.lit(0).cast("long"), n_hi), tok), " "
+        ).alias("text"),
+    )
+    off = F.broadcast(
+        basedf.agg(
+            F.greatest(F.lit(1_000_000_000), F.max("doc_id") + 1).alias("_off")
+        )
+    )
+    exact = (
+        basedf.filter(d % 7 == 0)
+        .crossJoin(off)
+        .select((d + F.col("_off")).alias("doc_id"), "lang", "text")
+    )
+    near = (
+        basedf.filter((d % 7 != 0) & (d % 11 == 0))
+        .crossJoin(off)
+        .select(
+            (d + 2 * F.col("_off")).alias("doc_id"),
+            "lang",
+            F.concat("text", F.lit(" q"), d.cast("string")).alias("text"),
+        )
+    )
+    return basedf.unionByName(exact).unionByName(near)
+
+
+def zipf_minhash_growth_probe(spark) -> None:
+    """Growth evidence for `dedup_minhash_pairs_zipf` (built r10,
+    registers r12), the same pre-registration leg the SemDeDup row
+    has: MinHash banding on the GROWING Zipfian corpus — fresh
+    documents per namespace (Heaps-flavored: vocabulary use grows
+    with the corpus), so band buckets stay sparse and pair output is
+    dominated by the planted dups, unlike the dense-replica probe in
+    main() whose output explodes quadratically BY DESIGN.  Expect:
+    wall ~linear in docs, planted J=1 recall exactly 100% at every
+    size (J=1 ⇒ identical signatures ⇒ all bands collide —
+    deterministic, the query's certified gate)."""
+    print()
+    print(
+        "| docs | minhash wall s | pairs out | planted J=1 found/expected |"
+    )
+    print("|---|---|---|---|")
+    for k in (1, 4, 16):
+        corpus = zipf_corpus_at(spark, k).localCheckpoint()
+        n = corpus.count()
+        expected = corpus.filter(
+            (F.col("doc_id") < 1_000_000_000) & (F.col("doc_id") % 7 == 0)
+        ).count()
+        t0 = time.perf_counter()
+        pairs = dedup_minhash_pairs(
+            corpus, threshold=0.5, seed=42, shingle_n=3, num_hashes=3
+        ).localCheckpoint()
+        n_pairs = pairs.count()
+        wall = time.perf_counter() - t0
+        # planted exact copies live at id + 1e9 (the data-derived
+        # namespace offset): count them among the output pairs
+        lo = F.least("id_a", "id_b")
+        hi = F.greatest("id_a", "id_b")
+        found = pairs.filter(
+            (hi - lo == 1_000_000_000) & (lo % 7 == 0)
+        ).count()
+        print(
+            f"| {n:,} | {wall:.1f} | {n_pairs:,} | {found:,}/{expected:,} |",
+            flush=True,
+        )
+        assert found == expected, (found, expected)
+
+
 def zipf_ppjoin_growth_probe(spark) -> None:
     """VERDICT r10 item 5b: the Zipf PPJoin's candidate mass at 16×
     the corpus — SCALE.md §5 predicts candidates track true-pair
@@ -619,64 +728,9 @@ def zipf_ppjoin_growth_probe(spark) -> None:
         setsim_join_prefix,
     )
     from real_estate_etl_dev_spark.plans.llmdata import _zipf_docs
-    from real_estate_etl_dev_spark.sources.readers import load_table
 
     def corpus_at(k: int):
-        ids = load_table(spark, SF_DIR, "documents").select("doc_id", "lang")
-        if k > 1:
-            reps = spark.range(k).select(F.col("id").alias("rep"))
-            ids = ids.crossJoin(reps).select(
-                (F.col("doc_id") + F.col("rep") * 10_000_000).alias("doc_id"),
-                "lang",
-            )
-        # same LCG rendering as _zipf_docs (kept in the script so the
-        # certified module stays untouched this round; k=1 equality
-        # with _zipf_docs is asserted below)
-        A = F.lit(1103515245).cast("long")
-        M = F.lit(2147483648).cast("long")
-        d = F.col("doc_id")
-
-        def tok(i):
-            # reduce x mod M BEFORE the multiply: A*(x%M)+c ≡ A*x+c
-            # (mod M), so h1/h2 are identical for every doc_id, but
-            # A*x no longer overflows int64 once replica namespaces
-            # push doc_id past ~8e9/A (the certified fixture's ids
-            # are <5000, where the reduction is a no-op)
-            x = (d * 131 + i) % M
-            h1 = (A * x + 12345) % M
-            h2 = (A * h1 + 12345) % M
-            cap = F.shiftright(h2, 16) % 4999 + 1
-            tid = F.shiftright(h1, 16) % cap
-            return F.concat(F.lit("z"), tid.cast("string"))
-
-        n_hi = F.lit(23).cast("long") + (d * 7919) % 17
-        basedf = ids.select(
-            "doc_id",
-            "lang",
-            F.array_join(
-                F.transform(F.sequence(F.lit(0).cast("long"), n_hi), tok), " "
-            ).alias("text"),
-        )
-        off = F.broadcast(
-            basedf.agg(
-                F.greatest(F.lit(1_000_000_000), F.max("doc_id") + 1).alias("_off")
-            )
-        )
-        exact = (
-            basedf.filter(d % 7 == 0)
-            .crossJoin(off)
-            .select((d + F.col("_off")).alias("doc_id"), "lang", "text")
-        )
-        near = (
-            basedf.filter((d % 7 != 0) & (d % 11 == 0))
-            .crossJoin(off)
-            .select(
-                (d + 2 * F.col("_off")).alias("doc_id"),
-                "lang",
-                F.concat("text", F.lit(" q"), d.cast("string")).alias("text"),
-            )
-        )
-        return basedf.unionByName(exact).unionByName(near)
+        return zipf_corpus_at(spark, k)
 
     # k=1 sanity: the script generator must equal the certified fixture
     # in TEXT content (ids differ only in the planted-copy offset,
