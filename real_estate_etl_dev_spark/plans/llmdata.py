@@ -6308,3 +6308,160 @@ def seq_pack_bpe_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang", "shard", "counter", "window_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# BPE merge LEARNING (tokenizer training) — built late r11,
+# REGISTRATION DEFERRED to r13 (r12's 5 window slots are fully
+# budgeted: 2 deferred registrations + 3 ADVICE canaries, COVERAGE.md
+# "r12 arithmetic"; r13's head is 48 r09-aged rows ⇒ exactly 1 free
+# slot, which this row takes).  Behavior is pinned NOW by
+# tests/test_llmdata.py::test_bpe_learn_oracle_parity (the exact
+# compare the catalog row will certify, both local scales) and
+# re-derived zero-Spark/zero-SQL by tests/test_lloyd_model.py's
+# sibling model in tests/test_bpe_learn_model.py.
+# To register in r13: wrap with
+#   @query("bpe_learn_merges", _bpe_learn_oracle_sql(),
+#          survey="llm-tokenizer-train", tags=("llm-text",))
+# ---------------------------------------------------------------------------
+
+_BPE_LEARN_ROUNDS = 4
+
+
+def _bpe_learn_oracle_sql(rounds: int = _BPE_LEARN_ROUNDS) -> str:
+    """Unrolled merge-learning replay: per round, re-tokenize the
+    delimited corpus, count adjacent non-space pairs, take the
+    (count DESC, a ASC, b ASC) argmax, apply its single-pass
+    delimited replace.  Same engine-exact arithmetic as the Spark
+    plan — integer counts, ASCII-only tokens, deterministic ties."""
+    parts = [
+        r"""
+    WITH r0 AS (
+      SELECT doc_id,
+             regexp_replace(regexp_replace(lower(text), '[_\n\r]', ' ', 'g'),
+                            '(.)', '_\1_', 'g') AS s
+      FROM documents
+    )"""
+    ]
+    for k in range(1, rounds + 1):
+        parts.append(
+            f"""
+    , tok{k} AS (
+      SELECT regexp_extract_all(s, '_([^_]+)_', 1) AS t FROM r{k - 1}
+    ),
+    best{k} AS (
+      SELECT u.pr[1] AS a, u.pr[2] AS b, CAST(count(*) AS BIGINT) AS c
+      FROM tok{k}, unnest(list_zip(t, t[2:])) AS u(pr)
+      WHERE u.pr[2] IS NOT NULL AND u.pr[1] <> ' ' AND u.pr[2] <> ' '
+      GROUP BY 1, 2
+      ORDER BY c DESC, a, b
+      LIMIT 1
+    ),
+    r{k} AS (
+      SELECT doc_id,
+             replace(s,
+                     '_' || (SELECT a FROM best{k}) || '__' ||
+                     (SELECT b FROM best{k}) || '_',
+                     '_' || (SELECT a FROM best{k}) ||
+                     (SELECT b FROM best{k}) || '_') AS s
+      FROM r{k - 1}
+    )"""
+        )
+    selects = " UNION ALL ".join(
+        f"SELECT {k} AS step, a, b, c AS pair_count FROM best{k}"
+        for k in range(1, rounds + 1)
+    )
+    parts.append(f"\n    SELECT * FROM ({selects}) ORDER BY step")
+    return "".join(parts)
+
+
+def bpe_learn_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEARN the BPE merge table from corpus pair statistics — the
+    training half of the tokenizer whose application half
+    (``functions/bpe.py``) is certified: ``rounds`` greedy rounds of
+    (count adjacent symbol pairs) → (argmax) → (merge everywhere),
+    Sennrich et al. 2016, on the same delimited-string rendering the
+    application side uses, so a learned table drops straight into
+    ``BPE_MERGES``.  Space stays its own symbol and never merges
+    (pairs touching ``' '`` are excluded) — the application side's
+    word-boundary convention.  Ties break (count DESC, a ASC, b ASC):
+    exact integers + ASCII collation ⇒ deterministic cross-engine.
+
+    Spark shape, per unrolled round: ONE map-side tokenize + pair
+    explode feeding a hash aggregate whose exchange carries at most
+    |symbol-vocab|² partial counts per task (map-side combine — the
+    shuffle is vocabulary-sized, NEVER corpus-sized), a
+    TakeOrderedAndProject(1) argmax, and the 1-row broadcast
+    crossJoin scalar-combine pattern (``_id_offset`` posture) feeding
+    a map-side single-pass ``replace`` — no driver collect, no
+    Python.  Corpus state between rounds is (doc_id, s) pinned by
+    localCheckpoint, so round k+1's lineage starts from materialized
+    strings rather than re-deriving rounds 1..k.  At 100 TB the
+    per-round cost is the two corpus map passes (tokenize+explode,
+    replace); the shuffle and the argmax stay vocabulary-bounded, and
+    executors scale the map passes horizontally.
+
+    Input precondition (``functions/bpe.py``): the render assumes no
+    literal ``'_'``; the documented pre-strip (``[_\\n\\r]`` → space)
+    is applied here on both engines.
+
+    Returns one row per learned merge: (step, a, b, pair_count)."""
+    df = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.regexp_replace(
+            F.regexp_replace(F.lower("text"), "[_\n\r]", " "), "(.)", "_$1_"
+        ).alias("s"),
+    )
+    merges = []
+    for k in range(1, _BPE_LEARN_ROUNDS + 1):
+        toks = df.select(
+            F.regexp_extract_all(F.col("s"), F.lit(r"_([^_]+)_"), 1).alias("t")
+        ).filter(F.size("t") >= 2)
+        pairs = toks.select(
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.size("t") - 1),
+                    lambda i: F.struct(
+                        F.get("t", i - 1).alias("a"), F.get("t", i).alias("b")
+                    ),
+                )
+            ).alias("p")
+        ).select("p.a", "p.b")
+        best = (
+            pairs.filter((F.col("a") != " ") & (F.col("b") != " "))
+            .groupBy("a", "b")
+            .agg(F.count(F.lit(1)).cast("long").alias("c"))
+            .orderBy(F.col("c").desc(), "a", "b")
+            .limit(1)
+            .localCheckpoint(eager=False)
+        )
+        merges.append(
+            best.select(
+                F.lit(k).cast("long").alias("step"),
+                "a",
+                "b",
+                F.col("c").alias("pair_count"),
+            )
+        )
+        df = (
+            df.crossJoin(
+                F.broadcast(
+                    best.select(F.col("a").alias("_ma"), F.col("b").alias("_mb"))
+                )
+            )
+            .select(
+                "doc_id",
+                F.replace(
+                    F.col("s"),
+                    F.concat(
+                        F.lit("_"), F.col("_ma"), F.lit("__"), F.col("_mb"), F.lit("_")
+                    ),
+                    F.concat(F.lit("_"), F.col("_ma"), F.col("_mb"), F.lit("_")),
+                ).alias("s"),
+            )
+            .localCheckpoint(eager=False)
+        )
+    out = merges[0]
+    for m in merges[1:]:
+        out = out.unionByName(m)
+    return out.orderBy("step")

@@ -1334,3 +1334,20 @@ def test_lloyd_assignments_rejects_zero_iterations(spark, sf_dir):
 
     with _pytest.raises(ValueError, match="iterations"):
         lloyd_assignments(load_table(spark, sf_dir, "embeddings"), iterations=0)
+
+
+def test_bpe_learn_oracle_parity(spark, sf_dir, oracle_sf_dir):
+    """The exact compare bpe_learn_merges's catalog row will certify
+    in r13 (registration deferred — see the note above the function),
+    run at BOTH local scales now so the deferral carries zero
+    correctness risk."""
+    from real_estate_etl_dev_spark.plans.llmdata import (
+        _bpe_learn_oracle_sql,
+        bpe_learn_merges,
+    )
+
+    from tests.oracle_harness import compare
+
+    for d in (sf_dir, oracle_sf_dir):
+        problems = compare(spark, d, bpe_learn_merges, _bpe_learn_oracle_sql())
+        assert not problems, f"{d}: " + "; ".join(problems)

@@ -942,3 +942,24 @@ def test_semdedup_kmeans_plan_shape(spark, sf_dir):
     # (5 at fixture scale: seeds + 3 rounds of centroids + the 1-row
     # id-offset combine); only the vid-keyed joins may sort-merge
     assert plan.count("BroadcastHashJoin") >= 4, plan
+
+
+def test_bpe_learn_plan_shape(spark, sf_dir):
+    """Pre-registration plan pin for the r13-deferred
+    bpe_learn_merges (built r11 — see the deferral note in
+    plans/llmdata.py): the whole unrolled learning loop stays
+    JVM-side (zero Python evaluation) with no CartesianProduct.
+    The per-round argmax rides the repo's 1-row broadcast
+    scalar-combine (crossJoin of a broadcast 1-row frame — Spark
+    plans that as a BroadcastNestedLoopJoin over ONE build row, the
+    documented `_id_offset` posture, so it is deliberately NOT
+    banned here, unlike in the pair-join pins)."""
+    from real_estate_etl_dev_spark.plans.llmdata import (
+        _BPE_LEARN_ROUNDS,
+        bpe_learn_merges,
+    )
+
+    df = bpe_learn_merges(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "CartesianProduct" not in plan
