@@ -281,6 +281,18 @@ SHOWCASE = [
         "the corpus at scale); the corpus is checkpoint-pinned ONCE "
         "for the loop's 4-joins-per-round and the pair stage alike.",
     ),
+    (
+        "bpe_learn_merges",
+        "BPE merge learning (built r11, registers r13; unregistered "
+        "— resolved from plans.llmdata): tokenizer TRAINING as an "
+        "unrolled loop — per round one map-side tokenize + pair "
+        "explode into a vocabulary-bounded hash-agg exchange "
+        "(map-side combine: the shuffle carries pair partials, never "
+        "corpus rows), a TakeOrderedAndProject(1) argmax, and the "
+        "1-row broadcast scalar-combine feeding a map-side replace "
+        "pass; corpus state is localCheckpoint-pinned between rounds "
+        "so round k+1 starts from materialized strings.",
+    ),
 ]
 
 _TRIM = re.compile(r", \[plan_id=\d+\]| \[id=#\d+\]")

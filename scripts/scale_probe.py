@@ -115,6 +115,7 @@ def main() -> None:
     zipf_ppjoin_growth_probe(spark)
     zipf_minhash_growth_probe(spark)
     semdedup_growth_probe(spark)
+    bpe_learn_growth_probe(spark)
 
 
 def merge_growth_probe(spark) -> None:
@@ -868,6 +869,49 @@ def semdedup_growth_probe(spark) -> None:
             f"| {cand_bound:,} | {max_occ:,} | {n_pairs:,} | {n_dropped:,} |",
             flush=True,
         )
+
+
+def bpe_learn_growth_probe(spark) -> None:
+    """Growth evidence for `bpe_learn_merges` (built r11, registers
+    r13): replicate the documents corpus k× with disjoint doc_ids and
+    UNCHANGED text — pair statistics scale exactly k×, so the learned
+    merge sequence must be IDENTICAL at every size with pair_count
+    exactly k× (asserted), and wall should grow ~linearly (the
+    per-round shuffle is vocabulary-bounded; only the two corpus map
+    passes grow).  A super-linear bend or a diverging merge sequence
+    flags a corpus-sized shuffle or a tie-break instability."""
+    import tempfile
+
+    from real_estate_etl_dev_spark.plans.llmdata import bpe_learn_merges
+    from real_estate_etl_dev_spark.sources.readers import load_table
+
+    print()
+    print("| docs | wall s | merges (a+b @ count) |")
+    print("|---|---|---|")
+    base_merges = None
+    for k in (1, 4, 16):
+        docs = load_table(spark, SF_DIR, "documents")
+        if k > 1:
+            reps = spark.range(k).select(F.col("id").alias("rep"))
+            docs = docs.crossJoin(reps).select(
+                (F.col("doc_id") + F.col("rep") * 10_000_000).alias("doc_id"),
+                "text",
+            )
+        tmp = tempfile.mkdtemp(prefix=f"bpe_learn_{k}x_")
+        docs.write.mode("overwrite").parquet(f"{tmp}/documents.parquet")
+        n = docs.count()
+        t0 = time.perf_counter()
+        rows = bpe_learn_merges(spark, tmp).collect()
+        wall = time.perf_counter() - t0
+        merges = [(r["step"], r["a"], r["b"]) for r in rows]
+        counts = [r["pair_count"] for r in rows]
+        if k == 1:
+            base_merges, base_counts = merges, counts
+        else:
+            assert merges == base_merges, (k, merges, base_merges)
+            assert counts == [c * k for c in base_counts], (k, counts)
+        desc = " ".join(f"{a}+{b}@{c:,}" for (_, a, b), c in zip(merges, counts))
+        print(f"| {n:,} | {wall:.1f} | {desc} |", flush=True)
 
 
 def next_fit_fold_probe(spark) -> None:
