@@ -850,18 +850,26 @@ def schema_inventory(spark: SparkSession, sf_dir: str) -> DataFrame:
 _WINDOW_SIZE = 50
 _SMOKE_GATE = "schema_inventory"
 # Canaries: certified queries whose implementation was touched this
-# round — force them into the window ahead of pure aging.  r11: EMPTY
-# by design.  The r10 canaries (bloom_sizing_design,
-# pricing_summary_q1) re-certified green in CORRECTNESS_r10 and their
-# force flags are retired; the r11 window must be exactly
-# 1 smoke + 49 r07-aged rows = 50 (VERDICT r10 item 1), so this round
-# makes ZERO behavior-changing edits to certified query plans/oracles.
-# The two r10 ADVICE oracle-text items (dedup_bucket_audit pin-key
-# discriminator, _ZIPF_CTE alias qualification) are deferred to r12,
-# where the window head is the 44 r08 rows ⇒ 5 free slots:
-# 1 for the deferred dedup_minhash_pairs_zipf registration + up to 4
-# for forced canaries.
-_FORCE_WINDOW: list[str] = []
+# round — force them into the window ahead of pure aging.  r12 (per
+# VERDICT r11 items 2 and 4): three forced re-certs —
+#   seq_pack_bpe_windows       : next_fit_fold's measured-quadratic
+#       array accumulator swapped for the probe-validated
+#       per-window scalar-state fold (behavior-preserving plan
+#       change; oracle untouched)
+#   dedup_setsim_prefix_zipf   : _ZIPF_CTE near-copy branch now
+#   setsim_zipf_bucket_audit     qualifies zipfbase.doc_id instead
+#       of relying on DuckDB's base-table-first alias precedence
+#       (byte-identical output; ADVICE r10 item 2)
+# Window arithmetic: 1 smoke + 2 never-certified registrations
+# (dedup_minhash_pairs_zipf, dedup_semantic_kmeans) + these 3 + 44
+# aged r08 rows = 50 exactly; the dedup_bucket_audit pin-key second
+# discriminator slips to r14+ (its r11 Python-model leg covers the
+# risk — VERDICT r11 item 4).
+_FORCE_WINDOW: list[str] = [
+    "seq_pack_bpe_windows",
+    "dedup_setsim_prefix_zipf",
+    "setsim_zipf_bucket_audit",
+]
 
 
 def _cert_history() -> dict[str, int]:

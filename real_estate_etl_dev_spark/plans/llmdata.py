@@ -5849,9 +5849,15 @@ def setsim_zipf_bucket_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 # aged r07 rows — VERDICT r10 item 1 demanded zero registrations), so
 # the registration slides one more round, into r12's budgeted 2
 # registration slots (COVERAGE.md "r12 arithmetic").
-# To register in r12: wrap with
-#   @query("dedup_minhash_pairs_zipf", _INJECTED_GATE_SQL,
-#          survey="llm-dedup-near", tags=("llm-dedup",))
+# r12: REGISTERED (the deferred @query below; VERDICT r11 item 1 —
+# evidence was already complete: oracle parity, pure-Python model,
+# PLANS.md showcase, 16x growth probe).
+@query(
+    "dedup_minhash_pairs_zipf",
+    _INJECTED_GATE_SQL,
+    survey="llm-dedup-near",
+    tags=("llm-dedup",),
+)
 def dedup_minhash_pairs_zipf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash banding on the ZIPFIAN corpus (VERDICT r09 item 5) —
     same operator and parameters as the certified
@@ -5884,9 +5890,8 @@ def dedup_minhash_pairs_zipf(spark: SparkSession, sf_dir: str) -> DataFrame:
 # dominance rule, integer-exact end to end), growth-probed at 16×
 # (SCALE.md §10: fixed-k pair bound is quadratic, k∝n pins it flat),
 # and the oracle below is ready.
-# To register in r12: wrap with
-#   @query("dedup_semantic_kmeans", _semdedup_kmeans_oracle_sql(),
-#          survey="llm-dedup-semantic", tags=("llm-dedup",))
+# r12: REGISTERED (the @query on dedup_semantic_kmeans below;
+# VERDICT r11 item 1).
 # ---------------------------------------------------------------------------
 
 
@@ -6023,6 +6028,12 @@ def semdedup_cluster_pairs(
     )
 
 
+@query(
+    "dedup_semantic_kmeans",
+    _semdedup_kmeans_oracle_sql(),
+    survey="llm-dedup-semantic",
+    tags=("llm-dedup",),
+)
 def dedup_semantic_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup-style semantic dedup on DATA-DERIVED clusters (Abbas
     et al., 2023: k-means FIRST — no gold labels at pretraining
