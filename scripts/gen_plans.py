@@ -253,12 +253,17 @@ SHOWCASE = [
     ),
     (
         "seq_pack_bpe_windows",
-        "Sequence packing (r10): the sequential next-fit recurrence "
-        "runs as an F.aggregate LEFT FOLD over each (lang, shard, "
-        "counter) group's sorted collect_list — ObjectHashAggregate "
-        "+ one exchange on the group key, zero Python, state bounded "
-        "by the shard.  The BPE tokenizer rides the same scan "
-        "project as token_budget_bpe.",
+        "Sequence packing (r10; fold swapped r12): the sequential "
+        "next-fit recurrence runs as an F.aggregate LEFT FOLD over "
+        "each (lang, shard, counter) group's sorted collect_list — "
+        "ObjectHashAggregate + one exchange on the group key, zero "
+        "Python, state bounded by the shard.  Since r12 the fold is "
+        "next_fit_windows (scalar running state, one small-struct "
+        "append per CLOSED window — the measured-quadratic per-doc "
+        "array accumulator is gone) and it emits per-window "
+        "aggregates directly, so the former explode->re-group second "
+        "hash aggregate no longer appears in the plan.  The BPE "
+        "tokenizer rides the same scan project as token_budget_bpe.",
     ),
     (
         "dedup_minhash_pairs_zipf",

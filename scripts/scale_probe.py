@@ -915,16 +915,21 @@ def bpe_learn_growth_probe(spark) -> None:
 
 
 def next_fit_fold_probe(spark) -> None:
-    """ADVICE r10 quantified: next_fit_fold's accumulator appends to
-    the full assignments array every step — O(n²) struct copies per
-    group, flagged in the docstring as the real per-group bound.
-    This measures WHERE that bound starts to matter: the full fold
-    vs a scalar-state twin (same recurrence, accumulator is only
-    (wid, fill) — the shape the r13 rewrite would emit) on ONE group
-    of n docs, n = 1k → 64k.  The delta column is the pure
-    array-copy cost; the decision input for whether the rewrite is
-    worth a forced re-certification slot."""
-    from real_estate_etl_dev_spark.plans.llmdata import _PACK_CAP, next_fit_fold
+    """ADVICE r10 quantified, r12 updated for the swap (VERDICT r11
+    item 2): the ORIGINAL per-doc fold (kept inline here as the
+    legacy control — it appended one assignment struct per doc,
+    copying the whole accumulator array each step, O(n²) struct
+    copies per group) vs the production ``next_fit_windows``
+    (per-window stats, scalar running state, one append per CLOSED
+    window) vs a no-array scalar twin (final (wid, fill) only — the
+    lower bound for any fold over the same recurrence), on ONE group
+    of n docs, n = 1k → 64k.  Window counts are asserted identical
+    across all three; the legacy column is the measured quadratic
+    the swap removed."""
+    from real_estate_etl_dev_spark.plans.llmdata import (
+        _PACK_CAP,
+        next_fit_windows,
+    )
 
     def xs_expr(n: int):
         return F.transform(
@@ -933,6 +938,34 @@ def next_fit_fold_probe(spark) -> None:
                 i.alias("doc_id"), (i % 97 + 1).cast("long").alias("n_tok")
             ),
         )
+
+    def legacy_fold(xs):
+        # the pre-r12 production fold: per-DOC array_append accumulator
+        init = F.struct(
+            F.lit(-1).cast("long").alias("wid"),
+            F.lit(_PACK_CAP + 1).cast("long").alias("fill"),
+            F.expr(
+                "cast(array() as "
+                "array<struct<doc_id:bigint,n_tok:bigint,wid:bigint>>)"
+            ).alias("asg"),
+        )
+
+        def step(acc, x):
+            fits = (acc["fill"] + x["n_tok"]) <= _PACK_CAP
+            wid = F.when(fits, acc["wid"]).otherwise(acc["wid"] + 1)
+            fill = F.when(fits, acc["fill"] + x["n_tok"]).otherwise(x["n_tok"])
+            entry = F.struct(
+                x["doc_id"].alias("doc_id"),
+                x["n_tok"].alias("n_tok"),
+                wid.alias("wid"),
+            )
+            return F.struct(
+                wid.alias("wid"),
+                fill.alias("fill"),
+                F.array_append(acc["asg"], entry).alias("asg"),
+            )
+
+        return F.aggregate(xs, init, step)["asg"]
 
     def scalar_fold(xs):
         # the same recurrence with NO per-step array: final (wid, fill)
@@ -952,23 +985,32 @@ def next_fit_fold_probe(spark) -> None:
 
         return F.aggregate(xs, init, step)
 
-    print("| docs in group | full fold s (windows) | scalar-state fold s (windows) |")
-    print("|---|---|---|")
+    print(
+        "| docs in group | legacy per-doc fold s (windows) "
+        "| next_fit_windows s (windows) | scalar-state twin s (windows) |"
+    )
+    print("|---|---|---|---|")
     for n in (1_000, 4_000, 16_000, 64_000):
         one = spark.range(1)
         t0 = time.perf_counter()
         full = one.select(
-            F.element_at(next_fit_fold(xs_expr(n), _PACK_CAP), -1)["wid"].alias("w")
+            F.element_at(legacy_fold(xs_expr(n)), -1)["wid"].alias("w")
         ).collect()[0]["w"]
         t_full = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        prod = one.select(
+            F.size(next_fit_windows(xs_expr(n), _PACK_CAP)).alias("w")
+        ).collect()[0]["w"]
+        t_prod = time.perf_counter() - t0
         t0 = time.perf_counter()
         scal = one.select(
             scalar_fold(xs_expr(n))["wid"].alias("w")
         ).collect()[0]["w"]
         t_scal = time.perf_counter() - t0
-        assert full == scal, (full, scal)
+        assert full == scal == prod - 1, (full, scal, prod)
         print(
-            f"| {n:,} | {t_full:.2f} ({full + 1:,}) | {t_scal:.2f} ({scal + 1:,}) |",
+            f"| {n:,} | {t_full:.2f} ({full + 1:,}) "
+            f"| {t_prod:.2f} ({prod:,}) | {t_scal:.2f} ({scal + 1:,}) |",
             flush=True,
         )
 

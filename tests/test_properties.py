@@ -394,29 +394,46 @@ def test_bloom_bit_positions_match_python_model(spark, keys):
 @H
 def test_next_fit_fold_matches_reference(spark, toks, cap):
     """For ANY token-count stream hypothesis builds, the pure-codegen
-    F.aggregate next-fit fold (plans/llmdata.py:next_fit_fold — the
-    exact expression seq_pack_bpe_windows runs) assigns every doc the
-    same window a pure-Python next-fit does, ids dense from 0 and
-    no window over cap unless it is a lone overflow doc."""
-    from real_estate_etl_dev_spark.plans.llmdata import next_fit_fold
+    per-window-stats next-fit fold (plans/llmdata.py:next_fit_windows
+    — the exact expression seq_pack_bpe_windows runs; the r12 swap of
+    the per-doc array fold, VERDICT r11 item 2) emits exactly the
+    window stats a pure-Python PER-DOC next-fit implies: the doc-level
+    recurrence stays the ground truth — assignments are simulated doc
+    by doc and rolled up to (wid, n_docs, window_tokens,
+    overflow_docs) — so ids are dense from 0 and no window exceeds cap
+    unless it is a lone overflow doc."""
+    from real_estate_etl_dev_spark.plans.llmdata import next_fit_windows
 
-    # Python reference: stream next-fit
-    expect, wid, fill = [], -1, cap + 1
+    # Python reference: stream next-fit, PER-DOC, then roll up
+    asg, wid, fill = [], -1, cap + 1
     for i, n in enumerate(toks):
         if fill + n <= cap:
             fill += n
         else:
             wid, fill = wid + 1, n
-        expect.append((i, n, wid))
+        asg.append((i, n, wid))
+    expect = []
+    for _, n, w in asg:
+        if not expect or expect[-1][0] != w:
+            expect.append([w, 0, 0, 0])
+        expect[-1][1] += 1
+        expect[-1][2] += n
+        expect[-1][3] += 1 if n > cap else 0
+    expect = [tuple(e) for e in expect]
 
     df = spark.createDataFrame(
         [(list(enumerate(toks)),)],
         "xs array<struct<doc_id:long,n_tok:long>>",
     )
     got = [
-        (r["e"]["doc_id"], r["e"]["n_tok"], r["e"]["wid"])
+        (
+            r["w"]["wid"],
+            r["w"]["n_docs"],
+            r["w"]["window_tokens"],
+            r["w"]["overflow_docs"],
+        )
         for r in df.select(
-            F.explode(next_fit_fold(F.col("xs"), cap)).alias("e")
+            F.explode(next_fit_windows(F.col("xs"), cap)).alias("w")
         ).collect()
     ]
     assert got == expect
