@@ -5655,12 +5655,17 @@ _ZIPF_CTE = f"""
   zipfcorpus AS (
     SELECT doc_id, lang, text FROM zipfbase
     UNION ALL
-    SELECT doc_id + {_DOC_OFF_SQL} AS doc_id, lang, text
-    FROM zipfbase WHERE doc_id % 7 = 0
+    SELECT zipfbase.doc_id + {_DOC_OFF_SQL} AS doc_id, lang, text
+    FROM zipfbase WHERE zipfbase.doc_id % 7 = 0
     UNION ALL
-    SELECT doc_id + 2*{_DOC_OFF_SQL} AS doc_id, lang,
-           text || ' q' || CAST(doc_id AS VARCHAR) AS text
-    FROM zipfbase WHERE doc_id % 7 <> 0 AND doc_id % 11 = 0
+    -- zipfbase.doc_id qualified everywhere (r12, ADVICE r10 item 2):
+    -- the near-copy branch's suffix must render the BASE id next to
+    -- the `+ 2*off AS doc_id` output alias, and unqualified it leaned
+    -- on DuckDB's base-table-first alias precedence — byte-identical
+    -- today, fragile across engine upgrades
+    SELECT zipfbase.doc_id + 2*{_DOC_OFF_SQL} AS doc_id, lang,
+           text || ' q' || CAST(zipfbase.doc_id AS VARCHAR) AS text
+    FROM zipfbase WHERE zipfbase.doc_id % 7 <> 0 AND zipfbase.doc_id % 11 = 0
   )
 """
 
