@@ -6409,7 +6409,8 @@ def _bpe_learn_oracle_sql(rounds: int = _BPE_LEARN_ROUNDS) -> str:
         r"""
     WITH r0 AS (
       SELECT doc_id,
-             regexp_replace(regexp_replace(lower(text), '[_\n\r]', ' ', 'g'),
+             regexp_replace(regexp_replace(lower(text),
+                            '[_\n\r\x{0085}\x{2028}\x{2029}]', ' ', 'g'),
                             '(.)', '_\1_', 'g') AS s
       FROM documents
     )"""
@@ -6473,14 +6474,34 @@ def bpe_learn_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     executors scale the map passes horizontally.
 
     Input precondition (``functions/bpe.py``): the render assumes no
-    literal ``'_'``; the documented pre-strip (``[_\\n\\r]`` → space)
-    is applied here on both engines.
+    literal ``'_'``; the documented pre-strip — widened in r12 (ADVICE
+    r11) to ``[_\\n\\r\\u0085\\u2028\\u2029]`` → space — is applied
+    here on BOTH engines.  The three Unicode line separators are in
+    the class because Java's ``'.'`` skips them while DuckDB RE2's
+    ``'.'`` matches them: left unstripped, a corpus containing NEL /
+    LINE SEPARATOR / PARAGRAPH SEPARATOR would silently drop them
+    from the Spark token stream (making their neighbors adjacent)
+    while the oracle kept them as symbols — a cross-engine divergence
+    the ASCII fixtures could never surface.
+
+    Lowercase caveat (ADVICE r11): this learner lowercases the corpus
+    before rendering, while the application side
+    (``functions/bpe.py:bpe_tokenized``) does NOT lowercase its
+    input, so a learned table "drops straight into ``BPE_MERGES``"
+    exactly when application-time input is pre-lowercased (or
+    lowercase-only, as the committed fixture alphabet is); merges
+    learned here never fire on uppercase occurrences the application
+    side leaves intact.
 
     Returns one row per learned merge: (step, a, b, pair_count)."""
     df = load_table(spark, sf_dir, "documents").select(
         "doc_id",
         F.regexp_replace(
-            F.regexp_replace(F.lower("text"), "[_\n\r]", " "), "(.)", "_$1_"
+            F.regexp_replace(
+                F.lower("text"), "[_\n\r\u0085\u2028\u2029]", " "
+            ),
+            "(.)",
+            "_$1_",
         ).alias("s"),
     )
     merges = []

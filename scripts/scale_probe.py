@@ -898,11 +898,18 @@ def bpe_learn_growth_probe(spark) -> None:
                 "text",
             )
         tmp = tempfile.mkdtemp(prefix=f"bpe_learn_{k}x_")
-        docs.write.mode("overwrite").parquet(f"{tmp}/documents.parquet")
-        n = docs.count()
-        t0 = time.perf_counter()
-        rows = bpe_learn_merges(spark, tmp).collect()
-        wall = time.perf_counter() - t0
+        try:
+            docs.write.mode("overwrite").parquet(f"{tmp}/documents.parquet")
+            n = docs.count()
+            t0 = time.perf_counter()
+            rows = bpe_learn_merges(spark, tmp).collect()
+            wall = time.perf_counter() - t0
+        finally:
+            # ADVICE r11 item 2: the replicated corpora (up to 80k
+            # docs) used to outlive the probe run, leaking disk
+            import shutil
+
+            shutil.rmtree(tmp, ignore_errors=True)
         merges = [(r["step"], r["a"], r["b"]) for r in rows]
         counts = [r["pair_count"] for r in rows]
         if k == 1:

@@ -22,7 +22,8 @@ from tests.conftest import SF_SMALL
 
 def _learn_python(texts: list[str], rounds: int):
     docs = [
-        re.sub(r"(.)", r"_\1_", re.sub(r"[_\n\r]", " ", t.lower())) for t in texts
+        re.sub(r"(.)", r"_\1_", re.sub("[_\n\r\u0085\u2028\u2029]", " ", t.lower()))
+        for t in texts
     ]
     out = []
     for step in range(1, rounds + 1):

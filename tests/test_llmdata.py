@@ -1351,3 +1351,78 @@ def test_bpe_learn_oracle_parity(spark, sf_dir, oracle_sf_dir):
     for d in (sf_dir, oracle_sf_dir):
         problems = compare(spark, d, bpe_learn_merges, _bpe_learn_oracle_sql())
         assert not problems, f"{d}: " + "; ".join(problems)
+
+
+def test_bpe_learn_unicode_line_separators(spark, tmp_path):
+    """ADVICE r11 item 1 pinned: Java regex ``'.'`` skips NEL / LINE
+    SEPARATOR / PARAGRAPH SEPARATOR while DuckDB RE2's ``'.'``
+    matches them, so before r12 a corpus containing U+0085 / U+2028 /
+    U+2029 diverged silently between the Spark plan and the oracle
+    (Spark dropped them from the token stream, DuckDB kept them as
+    symbols).  The widened pre-strip maps all three to space on BOTH
+    engines; this fixture — which the ASCII committed corpora could
+    never exercise — runs the full learner cross-engine on texts
+    where the separators sit between would-be top pairs."""
+    import os
+
+    from real_estate_etl_dev_spark.plans.llmdata import (
+        _bpe_learn_oracle_sql,
+        bpe_learn_merges,
+    )
+
+    from tests.conftest import SF_SMALL
+    from tests.oracle_harness import compare
+
+    sep = ["\u0085", "\u2028", "\u2029"]
+    texts = [
+        # 'ab' pairs straddle each separator: if either engine kept
+        # the separator as a symbol, its pair counts (and therefore
+        # the argmax sequence) would differ from the other's
+        "ab" + sep[0] + "ab cd" + sep[1] + "cd",
+        "ab" + sep[2] + "ab xy xy",
+        "cd ab" + sep[0] + "cd ab",
+    ]
+    def make_fixture(dirname, docs):
+        # single-FILE parquet (pyarrow): the oracle side reads the
+        # path directly, and Spark reads single files fine; a
+        # spark.write would produce a directory DuckDB can't open
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        d = str(tmp_path / dirname)
+        os.makedirs(d)
+        for name in os.listdir(SF_SMALL):
+            if name != "documents.parquet":
+                os.symlink(
+                    os.path.join(SF_SMALL, name), os.path.join(d, name)
+                )
+        pq.write_table(
+            pa.table(
+                {
+                    "doc_id": pa.array(
+                        range(len(docs)), type=pa.int64()
+                    ),
+                    "text": pa.array(docs, type=pa.string()),
+                    "lang": pa.array(["en"] * len(docs)),
+                    "source": pa.array(["test"] * len(docs)),
+                    "n_chars": pa.array(
+                        [len(t) for t in docs], type=pa.int64()
+                    ),
+                }
+            ),
+            os.path.join(d, "documents.parquet"),
+        )
+        return d
+
+    fixture = make_fixture("bpe_unicode", texts)
+    problems = compare(spark, fixture, bpe_learn_merges, _bpe_learn_oracle_sql())
+    assert not problems, "; ".join(problems)
+
+    # and the semantic claim: separators behave exactly like spaces
+    spaced = texts
+    for s in sep:
+        spaced = [t.replace(s, " ") for t in spaced]
+    twin = make_fixture("bpe_spaced", spaced)
+    got = [tuple(r) for r in bpe_learn_merges(spark, fixture).collect()]
+    want = [tuple(r) for r in bpe_learn_merges(spark, twin).collect()]
+    assert got == want and got, (got, want)
