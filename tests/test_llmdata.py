@@ -1353,6 +1353,54 @@ def test_bpe_learn_oracle_parity(spark, sf_dir, oracle_sf_dir):
         assert not problems, f"{d}: " + "; ".join(problems)
 
 
+def test_bucket_audit_r14_oracle_twin(spark, sf_dir, oracle_sf_dir):
+    """Pre-swap pin for the r14-deferred `dedup_bucket_audit` oracle
+    hardening (see the note above _BUCKET_AUDIT_ORACLE_R14): the
+    replacement text — row count AND sum(n_chars) as the skip-branch
+    key — must be output-identical to the certified oracle at every
+    committed fixture, and the Spark plan must match it
+    cell-for-cell at both certification scales.  Also pins the
+    discriminator fact that motivates the swap: the two cert corpora
+    share row count 572 but differ in char mass, so a count-only key
+    genuinely cannot tell fixtures apart."""
+    from real_estate_etl_dev_spark.plans.catalog import oracle_sqls
+    from real_estate_etl_dev_spark.plans.llmdata import (
+        _BUCKET_AUDIT_ORACLE_R14,
+        dedup_bucket_audit_q,
+    )
+
+    from tests.oracle_harness import compare, duckdb_conn
+
+    facts = {}
+    for d in (sf_dir, oracle_sf_dir, "/root/testdata/sf0.1"):
+        con = duckdb_conn(d)
+        cur = con.execute(oracle_sqls()["dedup_bucket_audit"]).fetchall()
+        r14 = con.execute(_BUCKET_AUDIT_ORACLE_R14).fetchall()
+        assert cur == r14, f"{d}: r14 oracle diverges from certified"
+        facts[d] = con.execute(
+            """WITH corpus AS (
+                 SELECT * FROM documents
+                 UNION ALL
+                 SELECT doc_id + (SELECT greatest(1000000, max(doc_id) + 1)
+                                  FROM documents) AS doc_id,
+                        text, lang, 'srcdup' AS source, n_chars
+                 FROM documents WHERE doc_id % 7 = 0
+               )
+               SELECT count(*), sum(n_chars) FROM corpus"""
+        ).fetchone()
+    # same row count at both cert scales, different char mass: the
+    # second discriminator separates what the first cannot
+    (c1, n1), (c2, n2) = facts[sf_dir], facts[oracle_sf_dir]
+    assert c1 == c2 == 572 and n1 != n2
+    assert facts["/root/testdata/sf0.1"] == (5715, 1699740)
+
+    for d in (sf_dir, oracle_sf_dir):
+        problems = compare(
+            spark, d, dedup_bucket_audit_q, _BUCKET_AUDIT_ORACLE_R14
+        )
+        assert not problems, f"{d}: " + "; ".join(problems)
+
+
 def test_bpe_learn_unicode_line_separators(spark, tmp_path):
     """ADVICE r11 item 1 pinned: Java regex ``'.'`` skips NEL / LINE
     SEPARATOR / PARAGRAPH SEPARATOR while DuckDB RE2's ``'.'``

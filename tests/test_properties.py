@@ -439,6 +439,39 @@ def test_next_fit_fold_matches_reference(spark, toks, cap):
     assert got == expect
 
 
+def test_next_fit_windows_edge_cases(spark):
+    """The two boundary shapes hypothesis rarely lands on, pinned
+    explicitly: (a) an EMPTY stream folds to an empty window array
+    (the finish lambda must not emit the n_docs = 0 sentinel state);
+    (b) the all-overflow degenerate stream — every doc alone exceeds
+    cap, the W = n worst case the docstring bounds — yields one
+    singleton window per doc, each flagged as overflow."""
+    from real_estate_etl_dev_spark.plans.llmdata import next_fit_windows
+
+    empty = spark.createDataFrame(
+        [([],)], "xs array<struct<doc_id:long,n_tok:long>>"
+    )
+    assert (
+        empty.select(
+            F.size(next_fit_windows(F.col("xs"), 64)).alias("n")
+        ).collect()[0]["n"]
+        == 0
+    )
+
+    over = spark.createDataFrame(
+        [([(i, 100 + i) for i in range(5)],)],
+        "xs array<struct<doc_id:long,n_tok:long>>",
+    )
+    rows = [
+        (r["w"]["wid"], r["w"]["n_docs"], r["w"]["window_tokens"],
+         r["w"]["overflow_docs"])
+        for r in over.select(
+            F.explode(next_fit_windows(F.col("xs"), 64)).alias("w")
+        ).collect()
+    ]
+    assert rows == [(i, 1, 100 + i, 1) for i in range(5)]
+
+
 # ---------------------------------------------------------------------------
 # BPE merge chain (functions/bpe.py) — VERDICT r10 item 6
 # ---------------------------------------------------------------------------
