@@ -1363,36 +1363,35 @@ def test_bucket_audit_r14_oracle_twin(spark, sf_dir, oracle_sf_dir):
     discriminator fact that motivates the swap: the two cert corpora
     share row count 572 but differ in char mass, so a count-only key
     genuinely cannot tell fixtures apart."""
+    import os
+
     from real_estate_etl_dev_spark.plans.catalog import oracle_sqls
     from real_estate_etl_dev_spark.plans.llmdata import (
+        _AUG_CTE,
         _BUCKET_AUDIT_ORACLE_R14,
         dedup_bucket_audit_q,
     )
 
     from tests.oracle_harness import compare, duckdb_conn
 
+    # same env override the sibling bench-scale tests honor
+    bench_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     facts = {}
-    for d in (sf_dir, oracle_sf_dir, "/root/testdata/sf0.1"):
+    for d in (sf_dir, oracle_sf_dir, bench_dir):
         con = duckdb_conn(d)
         cur = con.execute(oracle_sqls()["dedup_bucket_audit"]).fetchall()
         r14 = con.execute(_BUCKET_AUDIT_ORACLE_R14).fetchall()
         assert cur == r14, f"{d}: r14 oracle diverges from certified"
+        # the REAL corpus CTE, not a copy — the discriminator facts
+        # must be measured over exactly what the oracle keys on
         facts[d] = con.execute(
-            """WITH corpus AS (
-                 SELECT * FROM documents
-                 UNION ALL
-                 SELECT doc_id + (SELECT greatest(1000000, max(doc_id) + 1)
-                                  FROM documents) AS doc_id,
-                        text, lang, 'srcdup' AS source, n_chars
-                 FROM documents WHERE doc_id % 7 = 0
-               )
-               SELECT count(*), sum(n_chars) FROM corpus"""
+            f"WITH {_AUG_CTE} SELECT count(*), sum(n_chars) FROM corpus"
         ).fetchone()
     # same row count at both cert scales, different char mass: the
     # second discriminator separates what the first cannot
     (c1, n1), (c2, n2) = facts[sf_dir], facts[oracle_sf_dir]
     assert c1 == c2 == 572 and n1 != n2
-    assert facts["/root/testdata/sf0.1"] == (5715, 1699740)
+    assert facts[bench_dir] == (5715, 1699740)
 
     for d in (sf_dir, oracle_sf_dir):
         problems = compare(
