@@ -6601,3 +6601,188 @@ def bpe_learn_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     for m in merges[1:]:
         out = out.unionByName(m)
     return out.orderBy("step")
+
+
+# ---------------------------------------------------------------------------
+# End-to-end corpus CURATION FUNNEL — built r12 (slot-free session
+# work), REGISTRATION DEFERRED to r14+ (the catalog sits at its
+# practical cap after r13's `bpe_learn_merges` slot — COVERAGE.md
+# "r13 arithmetic" — so from r14 on new rows must REPLACE retired
+# ones; this is the first staged replacement candidate).  Behavior is
+# pinned NOW by tests/test_curation_funnel.py::
+# test_curation_funnel_oracle_parity (the exact compare the catalog
+# row will certify, both local scales), re-derived zero-Spark /
+# zero-SQL by test_curation_funnel_python_model, plan-pinned in
+# PLANS.md, and growth-probed by
+# scripts/scale_probe.py curation_funnel_growth_probe.
+# To register: wrap with
+#   @query("corpus_curation_funnel", _curation_funnel_oracle_sql(),
+#          survey="llm-pipeline-curation",
+#          tags=("llm-dedup", "text-analysis"))
+# ---------------------------------------------------------------------------
+
+
+def _curation_funnel_oracle_sql() -> str:
+    return f"""
+    WITH eval AS (
+      SELECT * FROM documents WHERE doc_id % 41 = 0
+    ),
+    corpus AS (
+      SELECT doc_id, text, lang, source, n_chars
+      FROM documents WHERE doc_id % 41 <> 0
+      UNION ALL
+      SELECT doc_id + {_DOC_OFF_SQL} AS doc_id,
+             text, lang, 'srcdup' AS source, n_chars
+      FROM documents WHERE doc_id % 7 = 0
+    ),
+    feat AS (
+      SELECT doc_id, lang, text,
+             len(string_split(text, ' ')) AS n_tokens,
+             length(replace(text, ' ', '')) AS alpha_len,
+             md5(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS fp
+      FROM corpus
+    ),
+    flags AS (
+      SELECT *,
+             (n_tokens BETWEEN 10 AND 5000
+              AND alpha_len BETWEEN 2 * n_tokens AND 12 * n_tokens) AS q
+      FROM feat
+    ),
+    dd AS (
+      SELECT *,
+             q AND doc_id = min(CASE WHEN q THEN doc_id END)
+                              OVER (PARTITION BY fp) AS d
+      FROM flags
+    ),
+    eg AS (
+      SELECT DISTINCT unnest({_DECON_GRAMS_SQL}) AS g
+      FROM eval WHERE len(string_split(text, ' ')) >= 8
+    ),
+    hits AS (
+      SELECT DISTINCT doc_id FROM (
+        SELECT doc_id, unnest({_DECON_GRAMS_SQL}) AS g
+        FROM corpus WHERE len(string_split(text, ' ')) >= 8
+      ) cg JOIN eg USING (g)
+    ),
+    fin AS (
+      SELECT dd.*, (d AND h.doc_id IS NULL) AS c
+      FROM dd LEFT JOIN hits h USING (doc_id)
+    )
+    SELECT lang,
+           CAST(count(*) AS BIGINT) AS n_raw,
+           CAST(sum(CASE WHEN q THEN 1 ELSE 0 END) AS BIGINT) AS n_quality,
+           CAST(sum(CASE WHEN d THEN 1 ELSE 0 END) AS BIGINT) AS n_dedup,
+           CAST(sum(CASE WHEN c THEN 1 ELSE 0 END) AS BIGINT) AS n_clean,
+           CAST(coalesce(sum(CASE WHEN c THEN n_tokens END), 0) AS BIGINT)
+             AS tokens_clean
+    FROM fin GROUP BY lang ORDER BY lang
+    """
+
+
+def corpus_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end curation funnel — the composition a pretraining
+    corpus actually ships through, as ONE plan with per-stage
+    survivor accounting (the CCNet / RefinedWeb pipeline shape:
+    quality filter -> exact dedup -> benchmark decontamination ->
+    token budget):
+
+      raw      every corpus row (base docs minus the held-out eval
+               split, plus the srcdup planted-duplicate namespace the
+               certified dedup rows use, so the dedup stage has known
+               work to do);
+      quality  the certified ``doc_quality_scores`` gate in
+               integer-exact cross-multiplied form (token count in
+               [10, 5000]; non-space chars in [2x, 12x] tokens) so
+               both engines compare integers, never rounded ratios;
+      dedup    keep the smallest doc_id per whitespace-normalized
+               lowercase md5 fingerprint (``doc_fingerprints`` key)
+               AMONG quality survivors — dup classes whose keeper
+               failed quality promote the next-smallest survivor;
+      clean    drop dedup survivors sharing any word 8-gram with the
+               eval split (``doc_decontaminate`` rule).  A srcdup
+               copy of an eval doc survives dedup (its base row is
+               not in the corpus) and MUST die here — the planted
+               proof that exact dedup alone cannot decontaminate;
+      tokens   whitespace-token budget of the final survivors.
+
+    Returns one row per lang: (lang, n_raw, n_quality, n_dedup,
+    n_clean, tokens_clean) — a monotone funnel, all BIGINT.
+
+    Stage flags are carried as booleans through a single pass, so the
+    whole funnel costs: one map-side feature projection, ONE window
+    shuffle on the 128-bit fingerprint (the exact-dedup exchange —
+    duplicate classes land on one reducer, linear in corpus rows),
+    one corpus gram explode probed against a BROADCAST of the
+    DISTINCT eval grams (eval suites are thousands of rows vs
+    billions — map-side semi-join, the exploded corpus grams are
+    NEVER shuffled), one distinct on hit doc_ids, and one final lang
+    rollup.  At 100 TB: the fingerprint exchange and the gram explode
+    scale linearly with executors; the only broadcast grows with the
+    eval suite, not the corpus (swap in the certified Bloom
+    pre-screen at the same plan position if it ever outgrows the
+    threshold).  No UDFs, no driver collect, no cartesian growth.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    eval_df = docs.filter(F.col("doc_id") % 41 == 0)
+    corpus = docs.filter(F.col("doc_id") % 41 != 0).unionByName(
+        docs.filter(F.col("doc_id") % 7 == 0)
+        .crossJoin(F.broadcast(_id_offset(docs, "doc_id")))
+        .withColumn("doc_id", F.col("doc_id") + F.col("_off"))
+        .drop("_off")
+        .withColumn("source", F.lit("srcdup"))
+    )
+
+    n_tokens = F.size(F.split("text", " ")).cast("long")
+    alpha_len = F.length(F.replace(F.col("text"), F.lit(" "), F.lit(""))).cast("long")
+    fp = F.md5(F.regexp_replace(F.lower(F.col("text")), r"\s+", " ").cast("binary"))
+    feat = corpus.select(
+        "doc_id",
+        "lang",
+        "text",
+        n_tokens.alias("n_tokens"),
+        alpha_len.alias("alpha_len"),
+        fp.alias("fp"),
+    )
+    q = F.col("n_tokens").between(10, 5000) & F.col("alpha_len").between(
+        2 * F.col("n_tokens"), 12 * F.col("n_tokens")
+    )
+    flags = feat.withColumn("q", q)
+    min_q = F.min(F.when(F.col("q"), F.col("doc_id"))).over(Window.partitionBy("fp"))
+    dd = flags.withColumn("d", F.col("q") & (F.col("doc_id") == min_q))
+
+    grams = F.expr(
+        "transform(sequence(0, size(split(text, ' ')) - 8), "
+        "i -> array_join(slice(split(text, ' '), i + 1, 8), ' '))"
+    )
+
+    def _explode(df: DataFrame, *cols: str) -> DataFrame:
+        return df.filter(F.size(F.split("text", " ")) >= 8).select(
+            *cols, F.explode(grams).alias("g")
+        )
+
+    eval_grams = _explode(eval_df).select("g").distinct()
+    hits = (
+        _explode(corpus, "doc_id")
+        .join(F.broadcast(eval_grams), "g", "left_semi")
+        .select("doc_id")
+        .distinct()
+        .withColumn("__hit", F.lit(1))
+    )
+    fin = dd.join(hits, "doc_id", "left").withColumn(
+        "c", F.col("d") & F.col("__hit").isNull()
+    )
+    return (
+        fin.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_raw"),
+            F.sum(F.when(F.col("q"), 1).otherwise(0)).cast("long").alias("n_quality"),
+            F.sum(F.when(F.col("d"), 1).otherwise(0)).cast("long").alias("n_dedup"),
+            F.sum(F.when(F.col("c"), 1).otherwise(0)).cast("long").alias("n_clean"),
+            F.coalesce(
+                F.sum(F.when(F.col("c"), F.col("n_tokens"))), F.lit(0)
+            )
+            .cast("long")
+            .alias("tokens_clean"),
+        )
+        .orderBy("lang")
+    )

@@ -287,6 +287,18 @@ SHOWCASE = [
         "for the loop's 4-joins-per-round and the pair stage alike.",
     ),
     (
+        "corpus_curation_funnel",
+        "End-to-end curation funnel (built r12, registers in an r14+ "
+        "replacement slot; unregistered — resolved from plans.llmdata): "
+        "quality gate, exact dedup, and decontamination ride as boolean "
+        "flags through ONE pass — one window exchange on the content "
+        "fingerprint (the exact-dedup stage), the DISTINCT eval grams "
+        "broadcast into a left-semi probe of the exploded corpus grams "
+        "(the corpus is never shuffled on the gram key), one lang "
+        "rollup.  The per-stage survivor counts come free from "
+        "conditional sums, not from re-running the stages.",
+    ),
+    (
         "bpe_learn_merges",
         "BPE merge learning (built r11, registers r13; unregistered "
         "— resolved from plans.llmdata): tokenizer TRAINING as an "

@@ -116,6 +116,7 @@ def main() -> None:
     zipf_minhash_growth_probe(spark)
     semdedup_growth_probe(spark)
     bpe_learn_growth_probe(spark)
+    curation_funnel_growth_probe(spark)
 
 
 def merge_growth_probe(spark) -> None:
@@ -1021,6 +1022,86 @@ def next_fit_fold_probe(spark) -> None:
             flush=True,
         )
 
+
+
+def curation_funnel_growth_probe(spark) -> None:
+    """Growth evidence for `corpus_curation_funnel` (built r12,
+    registration deferred to an r14+ replacement slot): replicate the
+    documents corpus k× with (a) doc_id offsets that are multiples of
+    41*7 so the eval-split and srcdup-namespace memberships are
+    preserved per replica, and (b) a 1-char per-replica token prefix
+    so every fingerprint and every 8-gram is replica-local — the
+    funnel at k× is then an exact k-fold tiling of the k=1 funnel:
+    every per-lang cell must scale EXACTLY k× (asserted), and wall
+    should grow ~linearly (the fingerprint window exchange and the
+    gram explode are the only corpus-sized stages; the gram probe's
+    broadcast grows with the eval split, k×140 docs here, never the
+    corpus).  A super-linear bend would flag a gram-keyed corpus
+    shuffle or a fingerprint hot spot the plan pin missed."""
+    import shutil
+    import tempfile
+
+    from real_estate_etl_dev_spark.plans.llmdata import corpus_curation_funnel
+    from real_estate_etl_dev_spark.sources.readers import load_table
+
+    print()
+    print("| base docs | wall s | sum(n_raw/n_quality/n_dedup/n_clean/tokens_clean) |")
+    print("|---|---|---|")
+    base = None
+    for k in (1, 4, 16):
+        docs = load_table(spark, SF_DIR, "documents")
+        reps = spark.range(k).select(F.col("id").alias("rep"))
+        tagged = (
+            docs.crossJoin(reps)
+            .select(
+                # 287 = 41*7: both split memberships survive the offset
+                (F.col("doc_id") + F.col("rep") * F.lit(287 * 100_000)).alias(
+                    "doc_id"
+                ),
+                F.regexp_replace(
+                    "text",
+                    "(^| )",
+                    F.concat(
+                        F.lit("$1"), F.char(F.col("rep") + 97)
+                    ),
+                ).alias("text"),
+                "lang",
+                "source",
+                "n_chars",
+            )
+        )
+        tmp = tempfile.mkdtemp(prefix=f"curation_{k}x_")
+        try:
+            tagged.write.mode("overwrite").parquet(f"{tmp}/documents.parquet")
+            n = tagged.count()
+            t0 = time.perf_counter()
+            rows = corpus_curation_funnel(spark, tmp).collect()
+            wall = time.perf_counter() - t0
+        finally:
+            shutil.rmtree(tmp, ignore_errors=True)
+        cells = {
+            r["lang"]: (
+                r["n_raw"],
+                r["n_quality"],
+                r["n_dedup"],
+                r["n_clean"],
+                r["tokens_clean"],
+            )
+            for r in rows
+        }
+        if k == 1:
+            base = cells
+        else:
+            want = {
+                lg: tuple(v * k for v in cell) for lg, cell in base.items()
+            }
+            assert cells == want, (k, cells, want)
+        tot = tuple(sum(c[i] for c in cells.values()) for i in range(5))
+        print(
+            f"| {n:,} | {wall:.1f} | {tot[0]:,}/{tot[1]:,}/{tot[2]:,}"
+            f"/{tot[3]:,}/{tot[4]:,} |",
+            flush=True,
+        )
 
 if __name__ == "__main__":
     import argparse

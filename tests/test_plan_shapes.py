@@ -963,3 +963,29 @@ def test_bpe_learn_plan_shape(spark, sf_dir):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_curation_funnel_plan_shape(spark, sf_dir):
+    """Pre-registration plan pin for the r14-deferred
+    corpus_curation_funnel (built r12 — see the deferral note in
+    plans/llmdata.py): the whole funnel stays JVM-side (zero Python
+    evaluation), the exact-dedup stage is ONE window exchange on the
+    content fingerprint, the decontamination probe BROADCASTS the
+    distinct eval grams into a left-semi join (the exploded corpus
+    grams are never shuffled on the gram key), and the only
+    BroadcastNestedLoopJoin is the 1-row `_id_offset` scalar combine
+    (the documented srcdup-namespace posture)."""
+    from real_estate_etl_dev_spark.plans.llmdata import corpus_curation_funnel
+
+    df = corpus_curation_funnel(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "CartesianProduct" not in plan
+    # decontamination: eval grams broadcast into the semi probe
+    assert "BroadcastHashJoin" in plan and "LeftSemi" in plan
+    # exact dedup: the window exchange is keyed on the fingerprint
+    assert "hashpartitioning(fp" in plan, plan
+    # exactly ONE gram-keyed exchange: the tiny eval side's DISTINCT.
+    # The exploded corpus grams ride the broadcast semi probe and are
+    # never shuffled on the gram key.
+    assert plan.count("hashpartitioning(g") == 1, plan
