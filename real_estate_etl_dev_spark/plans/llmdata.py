@@ -6786,3 +6786,182 @@ def corpus_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+# ---------------------------------------------------------------------------
+# DSIR-style importance SELECTION — built r12 (slot-free session
+# work), REGISTRATION DEFERRED to r14+ alongside the curation funnel
+# (catalog at cap; COVERAGE.md "r13 arithmetic" — replacement slots
+# only).  Behavior is pinned NOW by tests/test_dsir.py::
+# test_dsir_oracle_parity (both local scales), re-derived zero-Spark /
+# zero-SQL by test_dsir_python_model, plan-pinned by
+# tests/test_plan_shapes.py::test_dsir_plan_shape, and growth-probed
+# by scripts/scale_probe.py dsir_growth_probe.
+# To register: wrap with
+#   @query("dsir_importance_select", _dsir_oracle_sql(),
+#          survey="llm-data-selection", tags=("text-analysis",))
+# ---------------------------------------------------------------------------
+
+_DSIR_BUCKETS = 512
+_DSIR_SALT = "dsir1"
+_DSIR_TOP_K = 3
+
+_DSIR_GRAMS_SQL = """
+      list_concat(
+        toks,
+        list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i + 1])
+      )
+"""
+
+
+def _dsir_oracle_sql() -> str:
+    return f"""
+    WITH tok AS (
+      SELECT doc_id, lang, doc_id % 31 = 0 AS is_target,
+             string_split(lower(text), ' ') AS toks
+      FROM documents
+    ),
+    grams AS (
+      SELECT doc_id, lang, is_target,
+             ('0x' || substr(md5('{_DSIR_SALT}' || g), 1, 8))::BIGINT
+               % {_DSIR_BUCKETS} AS b
+      FROM (SELECT doc_id, lang, is_target,
+                   unnest({_DSIR_GRAMS_SQL}) AS g
+            FROM tok)
+    ),
+    buckets AS (
+      SELECT b,
+             sum(CASE WHEN is_target THEN 1 ELSE 0 END) AS c_t,
+             sum(CASE WHEN is_target THEN 0 ELSE 1 END) AS c_r
+      FROM grams GROUP BY b
+    ),
+    totals AS (
+      SELECT sum(c_t) + {_DSIR_BUCKETS} AS tt,
+             sum(c_r) + {_DSIR_BUCKETS} AS rr
+      FROM buckets
+    ),
+    weights AS (
+      SELECT b, (c_t + 1) * rr - (c_r + 1) * tt AS lam
+      FROM buckets, totals
+    ),
+    scored AS (
+      SELECT g.doc_id, g.lang, CAST(sum(w.lam) AS BIGINT) AS score
+      FROM grams g JOIN weights w USING (b)
+      WHERE NOT g.is_target
+      GROUP BY g.doc_id, g.lang
+    ),
+    ranked AS (
+      SELECT lang, doc_id, score,
+             row_number() OVER (PARTITION BY lang
+                                ORDER BY score DESC, doc_id ASC) AS rnk
+      FROM scored
+    )
+    SELECT lang, CAST(rnk AS BIGINT) AS rnk, doc_id, score
+    FROM ranked WHERE rnk <= {_DSIR_TOP_K} ORDER BY lang, rnk
+    """
+
+
+def dsir_importance_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data selection with importance resampling (DSIR, Xie et al.
+    2023): score every raw document by how much more likely its
+    hashed n-gram bag is under a TARGET-domain unigram bucket model
+    than under the raw-corpus model, then take the per-language
+    top-k — the classifier-free way a pretraining pipeline upsamples
+    domain-relevant web text.
+
+    Fixture split: target = every 31st doc (the curated sample you
+    want more of); raw = the rest (the pool being selected from).
+    Features: word unigrams ∪ bigrams of the lowercased text, hashed
+    into 512 buckets with the repo's shared md5-bucket
+    recipe (operators/sampling.py pattern — identical integer
+    arithmetic on both engines).
+
+    Certifiability divergence from the paper, stated: the paper
+    scores with log p_t(b) − log p_r(b); cross-engine float logs
+    differ in final ulps and sums of thousands of them can flip a
+    rank, so the weight here is the CROSS-MULTIPLIED Laplace
+    difference λ(b) = (c_t(b)+1)·R − (c_r(b)+1)·T with
+    T = Σc_t + B, R = Σc_r + B — an integer with the same sign as
+    the paper's log-ratio per bucket (λ > 0 ⟺ p_t(b) > p_r(b)),
+    linear-in-counts magnitude instead of logarithmic.  Scores stay
+    well inside BIGINT up to ~10⁹ gram occurrences; past that (true
+    100 TB corpora) swap λ to the paper's float log-ratio — the
+    plan shape is identical, only this exact-certification gate
+    changes.
+
+    Plan shape: one corpus gram explode feeding a hash aggregate
+    whose exchange is BUCKET-bounded (512 partial rows
+    per task, map-side combine — never corpus-sized); the two
+    totals ride a 1-row broadcast scalar combine (the `_id_offset`
+    posture); the λ table (≤512 rows) BROADCASTS into
+    the raw-side gram stream; then one doc-keyed aggregation and a
+    per-lang top-k window over the |raw docs| scored frame.  At
+    100 TB the corpus-sized stages are the two gram map passes —
+    executor-parallel; every shuffle is bucket-, doc-, or
+    lang-bounded.  No UDFs, no driver collect."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.lower(F.col("text")), " ")
+    bigrams = F.when(
+        F.size(toks) >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - 1),
+            lambda i: F.concat_ws(
+                " ", F.element_at(toks, i), F.element_at(toks, i + 1)
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    grams = (
+        docs.select(
+            "doc_id",
+            "lang",
+            (F.col("doc_id") % 31 == 0).alias("is_target"),
+            F.explode(F.concat(toks, bigrams)).alias("g"),
+        )
+        .withColumn(
+            "b",
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(F.lit(_DSIR_SALT), F.col("g")).cast("binary")),
+                    1,
+                    8,
+                ),
+                16,
+                10,
+            ).cast("long")
+            % _DSIR_BUCKETS,
+        )
+        .drop("g")
+    )
+    # ≤512 rows, consumed twice (totals + weights): checkpoint so the
+    # corpus gram pass behind it runs ONCE, not once per consumer
+    buckets = (
+        grams.groupBy("b")
+        .agg(
+            F.sum(F.when(F.col("is_target"), 1).otherwise(0)).alias("c_t"),
+            F.sum(F.when(F.col("is_target"), 0).otherwise(1)).alias("c_r"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    totals = buckets.agg(
+        (F.sum("c_t") + _DSIR_BUCKETS).alias("tt"),
+        (F.sum("c_r") + _DSIR_BUCKETS).alias("rr"),
+    )
+    weights = buckets.crossJoin(F.broadcast(totals)).select(
+        "b",
+        (
+            (F.col("c_t") + 1) * F.col("rr") - (F.col("c_r") + 1) * F.col("tt")
+        ).alias("lam"),
+    )
+    scored = (
+        grams.filter(~F.col("is_target"))
+        .join(F.broadcast(weights), "b")
+        .groupBy("doc_id", "lang")
+        .agg(F.sum("lam").cast("long").alias("score"))
+    )
+    w = Window.partitionBy("lang").orderBy(F.col("score").desc(), F.col("doc_id"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rnk") <= _DSIR_TOP_K)
+        .select("lang", "rnk", "doc_id", "score")
+        .orderBy("lang", "rnk")
+    )

@@ -299,6 +299,17 @@ SHOWCASE = [
         "conditional sums, not from re-running the stages.",
     ),
     (
+        "dsir_importance_select",
+        "DSIR importance selection (built r12, registers in an r14+ "
+        "replacement slot; unregistered — resolved from plans.llmdata): "
+        "hashed-n-gram importance scoring as one gram explode into a "
+        "BUCKET-bounded aggregate (512 partials per task, map-side "
+        "combine), the integer λ weight table broadcast back into the "
+        "raw gram stream, one doc-keyed aggregation, and a per-lang "
+        "top-k that plans as a rank-limited window (WindowGroupLimit) "
+        "— the corpus is never shuffled on the gram or bucket key.",
+    ),
+    (
         "bpe_learn_merges",
         "BPE merge learning (built r11, registers r13; unregistered "
         "— resolved from plans.llmdata): tokenizer TRAINING as an "

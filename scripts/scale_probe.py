@@ -117,6 +117,7 @@ def main() -> None:
     semdedup_growth_probe(spark)
     bpe_learn_growth_probe(spark)
     curation_funnel_growth_probe(spark)
+    dsir_growth_probe(spark)
 
 
 def merge_growth_probe(spark) -> None:
@@ -1102,6 +1103,122 @@ def curation_funnel_growth_probe(spark) -> None:
             f"/{tot[3]:,}/{tot[4]:,} |",
             flush=True,
         )
+
+def dsir_growth_probe(spark) -> None:
+    """Growth evidence for `dsir_importance_select` (built r12,
+    registration deferred to an r14+ replacement slot): hold the
+    TARGET sample fixed and replicate the RAW pool k× at
+    31-preserving id offsets.  Raw bucket counts then scale exactly
+    k× while the Laplace smoothing does not, so every document's
+    score follows the closed form score_k = k·S1 + S0 — the probe's
+    pure-Python twin computes the base-corpus gram counts ONCE and
+    PREDICTS the full per-lang top-k analytically at every scale;
+    the engine output must equal the prediction row for row
+    (asserted).  Replica copies of one document must tie at an
+    identical score with the doc_id ASC tie-break — the
+    partition-independence invariant.  Wall should grow ~linearly
+    (the gram explode and the bucket-bounded aggregate are the only
+    corpus-sized stages; the λ table stays ≤512 rows broadcast).
+    A prediction mismatch flags nondeterminism or an overflow; a
+    super-linear bend flags a corpus-sized shuffle."""
+    import hashlib
+    import shutil
+    import tempfile
+    from collections import Counter, defaultdict
+
+    import pyarrow.parquet as pq
+
+    from real_estate_etl_dev_spark.plans.llmdata import (
+        _DSIR_BUCKETS,
+        _DSIR_SALT,
+        _DSIR_TOP_K,
+        dsir_importance_select,
+    )
+    from real_estate_etl_dev_spark.sources.readers import load_table
+
+    OFF = 31 * 100_000
+
+    def bucket(g):
+        return (
+            int(hashlib.md5((_DSIR_SALT + g).encode()).hexdigest()[:8], 16)
+            % _DSIR_BUCKETS
+        )
+
+    def doc_grams(s):
+        toks = s.lower().split(" ")
+        return toks + [f"{a} {b}" for a, b in zip(toks, toks[1:])]
+
+    t = pq.read_table(f"{SF_DIR}/documents.parquet")
+    base = list(
+        zip(
+            t.column("doc_id").to_pylist(),
+            t.column("text").to_pylist(),
+            t.column("lang").to_pylist(),
+        )
+    )
+    c_t, c_r1 = Counter(), Counter()
+    raw_buckets = {}
+    for i, s, lg in base:
+        bs = [bucket(g) for g in doc_grams(s)]
+        if i % 31 == 0:
+            c_t.update(bs)
+        else:
+            c_r1.update(bs)
+            raw_buckets[i] = (lg, bs)
+    ct_tot = sum(c_t.values())
+
+    print()
+    print("| raw docs | wall s | prediction |")
+    print("|---|---|---|")
+    for k in (1, 4, 16):
+        docs = load_table(spark, SF_DIR, "documents")
+        target = docs.filter(F.col("doc_id") % 31 == 0)
+        reps = spark.range(k).select(F.col("id").alias("rep"))
+        raw = (
+            docs.filter(F.col("doc_id") % 31 != 0)
+            .crossJoin(reps)
+            .select(
+                (F.col("doc_id") + F.col("rep") * F.lit(OFF)).alias("doc_id"),
+                "text",
+                "lang",
+                "source",
+                "n_chars",
+            )
+        )
+        tmp = tempfile.mkdtemp(prefix=f"dsir_{k}x_")
+        try:
+            target.unionByName(raw).write.mode("overwrite").parquet(
+                f"{tmp}/documents.parquet"
+            )
+            n_raw = raw.count()
+            t0 = time.perf_counter()
+            rows = dsir_importance_select(spark, tmp).collect()
+            wall = time.perf_counter() - t0
+        finally:
+            shutil.rmtree(tmp, ignore_errors=True)
+
+        # analytic prediction: c_r scales k x, Laplace terms do not
+        tt = ct_tot + _DSIR_BUCKETS
+        rr = k * sum(c_r1.values()) + _DSIR_BUCKETS
+        lam = {
+            b: (c_t[b] + 1) * rr - (k * c_r1[b] + 1) * tt
+            for b in set(c_t) | set(c_r1)
+        }
+        by_lang = defaultdict(list)
+        for i, (lg, bs) in raw_buckets.items():
+            score = sum(lam[b] for b in bs)
+            for r in range(k):
+                by_lang[lg].append((-score, i + r * OFF))
+        want = []
+        for lg in sorted(by_lang):
+            cand = sorted(by_lang[lg])[:_DSIR_TOP_K]
+            want += [
+                (lg, rnk + 1, i, -neg) for rnk, (neg, i) in enumerate(cand)
+            ]
+        got = [(r["lang"], r["rnk"], r["doc_id"], r["score"]) for r in rows]
+        assert got == want, (k, got, want)
+        print(f"| {n_raw:,} | {wall:.1f} | exact ({len(got)} rows) |", flush=True)
+
 
 if __name__ == "__main__":
     import argparse

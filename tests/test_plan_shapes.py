@@ -989,3 +989,23 @@ def test_curation_funnel_plan_shape(spark, sf_dir):
     # The exploded corpus grams ride the broadcast semi probe and are
     # never shuffled on the gram key.
     assert plan.count("hashpartitioning(g") == 1, plan
+
+
+def test_dsir_plan_shape(spark, sf_dir):
+    """Pre-registration plan pin for the r14-deferred
+    dsir_importance_select (built r12 — see the deferral note in
+    plans/llmdata.py): the scoring stays JVM-side (zero Python
+    evaluation), the λ weight table BROADCASTS into the raw gram
+    stream (never a sort-merge on the bucket key), the bucket
+    aggregate is checkpoint-pinned so no bucket-keyed exchange
+    survives into the final plan, and the per-lang top-k runs as a
+    rank-limited window (WindowGroupLimit), not a global sort."""
+    from real_estate_etl_dev_spark.plans.llmdata import dsir_importance_select
+
+    df = dsir_importance_select(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan
+    assert "WindowGroupLimit" in plan, plan
+    assert plan.count("hashpartitioning(b#") == 0, plan
