@@ -74,3 +74,44 @@ def test_bpe_learn_counts_non_increasing(spark):
     # space never merges and steps are dense from 1
     assert [r["step"] for r in rows] == list(range(1, len(rows) + 1))
     assert all(r["a"] != " " and r["b"] != " " for r in rows)
+
+
+def test_learned_table_drops_into_applier_mechanics(spark):
+    """The 'drops straight into BPE_MERGES' contract (ADVICE r11),
+    pinned mechanically: tokenize the SAME pre-lowercased, pre-stripped
+    corpus with the APPLIER's replace-chain recipe
+    (functions/bpe.py:bpe_tokenized's exact expression shape) fed the
+    LEARNED table, and the resulting engine-side token budget must
+    equal a pure-Python replay of render+merges (str.replace is the
+    same left-to-right non-overlapping semantics as F.replace).  Any
+    drift between the learner's per-round replace and the applier's
+    chain — or a violated input precondition — breaks the equality."""
+    from pyspark.sql import functions as F
+
+    from real_estate_etl_dev_spark.plans.llmdata import bpe_learn_merges
+    from real_estate_etl_dev_spark.sources.readers import load_table
+
+    learned = sorted(
+        (r["step"], r["a"], r["b"]) for r in bpe_learn_merges(spark, SF_SMALL).collect()
+    )
+    merges = [(a, b) for _, a, b in learned]
+    assert merges, "learner produced no merges"
+
+    strip = "[_\n\r\u0085\u2028\u2029]"
+    docs = load_table(spark, SF_SMALL, "documents")
+    pre = F.regexp_replace(F.lower("text"), strip, " ")
+    out = F.regexp_replace(pre, "(.)", "_$1_")
+    for a, b in merges:
+        out = F.replace(out, F.lit(f"_{a}__{b}_"), F.lit(f"_{a}{b}_"))
+    n_tokens = (F.length(out) - F.length(F.replace(out, F.lit("_"), F.lit("")))) / 2
+    got = docs.select(F.sum(n_tokens).cast("long").alias("n")).collect()[0]["n"]
+
+    t = pq.read_table(f"{SF_SMALL}/documents.parquet")
+    want = 0
+    for s in t.column("text").to_pylist():
+        s = re.sub(strip, " ", s.lower())
+        m = "".join(f"_{c}_" for c in s)
+        for a, b in merges:
+            m = m.replace(f"_{a}__{b}_", f"_{a}{b}_")
+        want += m.count("_") // 2
+    assert got == want and want > 0
