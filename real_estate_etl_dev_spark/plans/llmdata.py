@@ -40,16 +40,23 @@ def _id_offset(df: DataFrame, col: str, floor: int = 1_000_000) -> DataFrame:
     return df.agg(F.greatest(F.lit(floor), F.max(col) + 1).alias("_off"))
 
 
-def _augmented_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
-    dupes = (
+def _srcdup_docs(docs: DataFrame) -> DataFrame:
+    """The planted-duplicate branch: every 7th doc copied into the
+    data-derived disjoint id namespace under source='srcdup' — shared
+    by ``_augmented_docs`` and ``corpus_curation_funnel`` so the
+    namespace recipe can't diverge between consumers."""
+    return (
         docs.filter(F.col("doc_id") % 7 == 0)
         .crossJoin(F.broadcast(_id_offset(docs, "doc_id")))
         .withColumn("doc_id", F.col("doc_id") + F.col("_off"))
         .drop("_off")
         .withColumn("source", F.lit("srcdup"))
     )
-    return docs.unionByName(dupes)
+
+
+def _augmented_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.unionByName(_srcdup_docs(docs))
 
 
 _DOC_OFF_SQL = "(SELECT greatest(1000000, max(doc_id) + 1) FROM documents)"
@@ -1639,6 +1646,20 @@ _DECON_GRAMS_SQL = """
 """
 
 
+def _decon_gram_explode(df: DataFrame, *cols: str) -> DataFrame:
+    """Word 8-grams of ``text``, exploded — the Spark twin of
+    ``_DECON_GRAMS_SQL``, shared by ``doc_decontaminate`` and
+    ``corpus_curation_funnel`` so the gram window and the ≥8-token
+    guard can never silently diverge between the two consumers."""
+    grams = F.expr(
+        "transform(sequence(0, size(split(text, ' ')) - 8), "
+        "i -> array_join(slice(split(text, ' '), i + 1, 8), ' '))"
+    )
+    return df.filter(F.size(F.split("text", " ")) >= 8).select(
+        *cols, F.explode(grams).alias("g")
+    )
+
+
 @query(
     "doc_decontaminate",
     f"""
@@ -1706,20 +1727,9 @@ def doc_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     train = docs.filter(F.col("doc_id") % 41 != 0).unionByName(planted)
 
-    grams = F.expr(
-        "transform(sequence(0, size(split(text, ' ')) - 8), "
-        "i -> array_join(slice(split(text, ' '), i + 1, 8), ' '))"
-    )
-
-    def _explode(df: DataFrame, *cols: str) -> DataFrame:
-        return (
-            df.filter(F.size(F.split("text", " ")) >= 8)
-            .select(*cols, F.explode(grams).alias("g"))
-        )
-
-    eval_grams = _explode(eval_df).select("g").distinct()
+    eval_grams = _decon_gram_explode(eval_df).select("g").distinct()
     hits = (
-        _explode(train, "doc_id")
+        _decon_gram_explode(train, "doc_id")
         .join(F.broadcast(eval_grams), "g", "left_semi")
         .select("doc_id")
         .distinct()
@@ -6639,7 +6649,7 @@ def _curation_funnel_oracle_sql() -> str:
       SELECT doc_id, lang, text,
              len(string_split(text, ' ')) AS n_tokens,
              length(replace(text, ' ', '')) AS alpha_len,
-             md5(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS fp
+             md5(regexp_replace(lower(text), '[ \\t\\n\\x0B\\f\\r]+', ' ', 'g')) AS fp
       FROM corpus
     ),
     flags AS (
@@ -6724,17 +6734,22 @@ def corpus_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     docs = load_table(spark, sf_dir, "documents")
     eval_df = docs.filter(F.col("doc_id") % 41 == 0)
-    corpus = docs.filter(F.col("doc_id") % 41 != 0).unionByName(
-        docs.filter(F.col("doc_id") % 7 == 0)
-        .crossJoin(F.broadcast(_id_offset(docs, "doc_id")))
-        .withColumn("doc_id", F.col("doc_id") + F.col("_off"))
-        .drop("_off")
-        .withColumn("source", F.lit("srcdup"))
-    )
+    corpus = docs.filter(F.col("doc_id") % 41 != 0).unionByName(_srcdup_docs(docs))
 
     n_tokens = F.size(F.split("text", " ")).cast("long")
     alpha_len = F.length(F.replace(F.col("text"), F.lit(" "), F.lit(""))).cast("long")
-    fp = F.md5(F.regexp_replace(F.lower(F.col("text")), r"\s+", " ").cast("binary"))
+    # EXPLICIT whitespace class, not \s+: Java's ASCII \s includes
+    # vertical tab (\x0B) while RE2's does not — the same silent
+    # cross-engine divergence class as the BPE learner's line
+    # separators.  [ \t\n\x0B\f\r] is Java-\s spelled out, and both
+    # engines read it identically (verified live on \x0B input).
+    # doc_fingerprints' certified oracle still carries the bare \s+
+    # (fixture-safe today — flagged for its next forced canary).
+    fp = F.md5(
+        F.regexp_replace(F.lower(F.col("text")), "[ \t\n\x0B\f\r]+", " ").cast(
+            "binary"
+        )
+    )
     feat = corpus.select(
         "doc_id",
         "lang",
@@ -6750,19 +6765,9 @@ def corpus_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     min_q = F.min(F.when(F.col("q"), F.col("doc_id"))).over(Window.partitionBy("fp"))
     dd = flags.withColumn("d", F.col("q") & (F.col("doc_id") == min_q))
 
-    grams = F.expr(
-        "transform(sequence(0, size(split(text, ' ')) - 8), "
-        "i -> array_join(slice(split(text, ' '), i + 1, 8), ' '))"
-    )
-
-    def _explode(df: DataFrame, *cols: str) -> DataFrame:
-        return df.filter(F.size(F.split("text", " ")) >= 8).select(
-            *cols, F.explode(grams).alias("g")
-        )
-
-    eval_grams = _explode(eval_df).select("g").distinct()
+    eval_grams = _decon_gram_explode(eval_df).select("g").distinct()
     hits = (
-        _explode(corpus, "doc_id")
+        _decon_gram_explode(corpus, "doc_id")
         .join(F.broadcast(eval_grams), "g", "left_semi")
         .select("doc_id")
         .distinct()

@@ -184,6 +184,11 @@ def test_curation_funnel_boundary_semantics(spark, tmp_path):
         8: good + " zeroeval",     # eval doc 0's text verbatim in-corpus
         9: short,
         10: (good + " unique six").replace(" ", "  "),  # doubled spaces
+        # fully disjoint vocabulary: survives every stage, pinning a
+        # NONZERO clean count + tokens_clean (without it every dedup
+        # survivor shares an 8-gram with eval doc 0 and the clean
+        # stage is only ever tested at 0 == 0)
+        12: " ".join(f"free{j}" for j in range(11)),
     }
     tbl = pa.table(
         {
@@ -227,8 +232,12 @@ def test_curation_funnel_boundary_semantics(spark, tmp_path):
     assert got == model
 
     # the gate fires on this corpus (unlike the committed fixtures)
-    n_raw, n_quality, n_dedup, n_clean, _ = model["en"]
+    n_raw, n_quality, n_dedup, n_clean, tokens_clean = model["en"]
     assert n_quality < n_raw and n_dedup < n_quality and n_clean < n_dedup
+    # the clean stage passes SOMETHING: doc 12's disjoint vocabulary
+    # survives every stage and its 11 tokens land in the budget
+    assert flags[12] == (True, True, False, True)
+    assert n_clean >= 1 and tokens_clean >= 11
     # dup class where every member fails the gate: d false, never null
     for i in (1, 4, 9):
         q, dd, _, c = flags[i]

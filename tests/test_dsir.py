@@ -18,9 +18,15 @@ from collections import Counter, defaultdict
 import pyarrow as pa
 import pyarrow.parquet as pq
 
-_B = 512
-_SALT = "dsir1"
-_TOP_K = 3
+# module constants imported, never re-hardcoded (a re-tune of the
+# bucket count or salt must break HERE as a constant drift, not as a
+# wholesale score mismatch); the model's hashing and arithmetic below
+# stay pure Python
+from real_estate_etl_dev_spark.plans.llmdata import (  # noqa: E402
+    _DSIR_BUCKETS as _B,
+    _DSIR_SALT as _SALT,
+    _DSIR_TOP_K as _TOP_K,
+)
 
 
 def _bucket(g: str) -> int:
