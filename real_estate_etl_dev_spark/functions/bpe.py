@@ -32,16 +32,21 @@ tokenizer's (the mechanics — ordered pair merges — are the same
 algorithm); the fixed table keeps the operator oracle-checkable with
 DuckDB evaluating the SAME nested replace chain.
 
-INPUT-ALPHABET PRECONDITION (r09 ADVICE): the delimiter arithmetic
-assumes the input contains no literal ``'_'`` (it would render as
-``___``, contributing 1.5 delimiter pairs) and no newline (``(.)``
-matches neither in Java regex nor RE2, so newline chars are silently
-skipped by the wrap).  Both engines agree in either case — the
-failure is semantic miscounting, not an oracle divergence.  The
-committed fixtures are lowercase ``[a-z ]`` text, which satisfies
-the precondition; a caller tokenizing arbitrary text must pre-strip
-or escape ``'_'`` and newlines (e.g. ``regexp_replace(text,
-'[_\\n]', ' ')``) before calling these builders.
+INPUT-ALPHABET PRECONDITION (r09 ADVICE; sharpened r12): the
+delimiter arithmetic assumes the input contains no literal ``'_'``
+(it would render as ``___``, contributing 1.5 delimiter pairs) and
+no newline (``(.)`` matches it in neither Java regex nor RE2, so
+``\\n`` is silently skipped by the wrap — both engines agree, the
+failure is semantic miscounting only).  Four MORE code points are
+worse than miscounting: ``\\r``, ``\\u0085``, ``\\u2028`` and
+``\\u2029`` are skipped by Java's ``.`` but MATCHED by RE2's, a
+silent cross-engine divergence (the r12 BPE-learner hardening;
+pinned live by tests/test_regex_semantics_audit.py).  The committed
+fixtures are lowercase ``[a-z ]`` text, which satisfies everything;
+a caller tokenizing arbitrary text must pre-strip the whole set
+first (``regexp_replace(text, '[_\\n\\r\\u0085\\u2028\\u2029]',
+' ')`` — the exact recipe ``bpe_learn_merges`` applies on both
+engines).
 """
 
 from __future__ import annotations
