@@ -6888,11 +6888,16 @@ def dsir_importance_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     difference λ(b) = (c_t(b)+1)·R − (c_r(b)+1)·T with
     T = Σc_t + B, R = Σc_r + B — an integer with the same sign as
     the paper's log-ratio per bucket (λ > 0 ⟺ p_t(b) > p_r(b)),
-    linear-in-counts magnitude instead of logarithmic.  Scores stay
-    well inside BIGINT up to ~10⁹ gram occurrences; past that (true
-    100 TB corpora) swap λ to the paper's float log-ratio — the
-    plan shape is identical, only this exact-certification gate
-    changes.
+    linear-in-counts magnitude instead of logarithmic.  Overflow
+    bound, stated precisely: |λ(b)| ≲ total_t·total_r, so a doc's
+    int64 score needs grams_per_doc·total_t·total_r < 2⁶³ — a FIXED
+    curated target (≤10⁵ gram occurrences, the DSIR deployment
+    shape) screens raw pools to ~10¹⁰ occurrences, while a
+    PROPORTIONAL split like this fixture's 1-in-31 caps near 10⁷
+    (the 16× growth probe's 3×10⁶ sits comfortably inside and is
+    asserted exact).  Past the bound swap λ to the paper's float
+    log-ratio — the plan shape is identical, only this
+    exact-certification gate changes.
 
     Plan shape: one corpus gram explode feeding a hash aggregate
     whose exchange is BUCKET-bounded (512 partial rows
