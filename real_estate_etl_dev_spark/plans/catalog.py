@@ -850,26 +850,16 @@ def schema_inventory(spark: SparkSession, sf_dir: str) -> DataFrame:
 _WINDOW_SIZE = 50
 _SMOKE_GATE = "schema_inventory"
 # Canaries: certified queries whose implementation was touched this
-# round — force them into the window ahead of pure aging.  r12 (per
-# VERDICT r11 items 2 and 4): three forced re-certs —
-#   seq_pack_bpe_windows       : next_fit_fold's measured-quadratic
-#       array accumulator swapped for the probe-validated
-#       per-window scalar-state fold (behavior-preserving plan
-#       change; oracle untouched)
-#   dedup_setsim_prefix_zipf   : _ZIPF_CTE near-copy branch now
-#   setsim_zipf_bucket_audit     qualifies zipfbase.doc_id instead
-#       of relying on DuckDB's base-table-first alias precedence
-#       (byte-identical output; ADVICE r10 item 2)
-# Window arithmetic: 1 smoke + 2 never-certified registrations
-# (dedup_minhash_pairs_zipf, dedup_semantic_kmeans) + these 3 + 44
-# aged r08 rows = 50 exactly; the dedup_bucket_audit pin-key second
-# discriminator slips to r14+ (its r11 Python-model leg covers the
-# risk — VERDICT r11 item 4).
-_FORCE_WINDOW: list[str] = [
-    "seq_pack_bpe_windows",
-    "dedup_setsim_prefix_zipf",
-    "setsim_zipf_bucket_audit",
-]
+# round — force them into the window ahead of pure aging.  r13: NONE —
+# all three r12 canaries certified green in CORRECTNESS_r12 and no
+# certified plan/oracle changed this round (the round's only catalog
+# change is the `bpe_learn_merges` registration, which enters through
+# the never-certified tier).  Window arithmetic (COVERAGE.md "r13
+# arithmetic", stated r12): 1 smoke + 1 never-certified registration
+# (bpe_learn_merges) + 48 aged r09 rows = 50 exactly.  The
+# dedup_bucket_audit pin-key second discriminator stays staged for its
+# r14 forced canary (_BUCKET_AUDIT_ORACLE_R14, plans/llmdata.py).
+_FORCE_WINDOW: list[str] = []
 
 
 def _cert_history() -> dict[str, int]:

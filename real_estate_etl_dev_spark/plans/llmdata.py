@@ -6436,18 +6436,14 @@ def seq_pack_bpe_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# BPE merge LEARNING (tokenizer training) — built late r11,
-# REGISTRATION DEFERRED to r13 (r12's 5 window slots are fully
-# budgeted: 2 deferred registrations + 3 ADVICE canaries, COVERAGE.md
-# "r12 arithmetic"; r13's head is 48 r09-aged rows ⇒ exactly 1 free
-# slot, which this row takes).  Behavior is pinned NOW by
+# BPE merge LEARNING (tokenizer training) — built late r11, hardened
+# r12 (Unicode line-separator pre-strip on both engines; lowercase
+# caveat documented), REGISTERED r13 in the window's single free slot
+# exactly as COVERAGE.md "r13 arithmetic" budgeted (1 smoke + 48
+# r09-aged + this = 50).  Behavior was pinned ahead of registration by
 # tests/test_llmdata.py::test_bpe_learn_oracle_parity (the exact
-# compare the catalog row will certify, both local scales) and
-# re-derived zero-Spark/zero-SQL by tests/test_lloyd_model.py's
-# sibling model in tests/test_bpe_learn_model.py.
-# To register in r13: wrap with
-#   @query("bpe_learn_merges", _bpe_learn_oracle_sql(),
-#          survey="llm-tokenizer-train", tags=("llm-text",))
+# compare the catalog row certifies, both local scales) and re-derived
+# zero-Spark/zero-SQL by tests/test_bpe_learn_model.py.
 # ---------------------------------------------------------------------------
 
 _BPE_LEARN_ROUNDS = 4
@@ -6501,6 +6497,12 @@ def _bpe_learn_oracle_sql(rounds: int = _BPE_LEARN_ROUNDS) -> str:
     return "".join(parts)
 
 
+@query(
+    "bpe_learn_merges",
+    _bpe_learn_oracle_sql(),
+    survey="llm-tokenizer-train",
+    tags=("llm-text",),
+)
 def bpe_learn_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LEARN the BPE merge table from corpus pair statistics — the
     training half of the tokenizer whose application half
@@ -6810,6 +6812,13 @@ def corpus_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
 _DSIR_BUCKETS = 512
 _DSIR_SALT = "dsir1"
 _DSIR_TOP_K = 3
+# Runtime ceiling for the int64-exact λ-score regime (ADVICE r12): the
+# guard in dsir_importance_select fails the job once
+# gmax·total_t·total_r reaches this.  Conservative float compare — the
+# 1e-9 margin absorbs the double product's rounding, so the guard can
+# only fire EARLY, never late.  Module-level so the guard-fires test
+# can monkeypatch it below any fixture's mass.
+_DSIR_INT64_BOUND = float(2**63) * (1.0 - 1e-9)
 
 _DSIR_GRAMS_SQL = """
       list_concat(
@@ -6899,6 +6908,25 @@ def dsir_importance_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     log-ratio — the plan shape is identical, only this
     exact-certification gate changes.
 
+    The bound is ENFORCED at runtime (ADVICE r12): a scalar
+    max-grams-per-doc aggregate (one lightweight tokenize-only docs
+    pass, no explode) rides the totals' broadcast, and an
+    ``F.assert_true`` woven into the ``tt`` expression fails the job
+    with an explicit message the moment gmax·T·R reaches 2⁶³
+    (conservative float compare, margin 1e-9) — so an out-of-bound
+    corpus fails fast on the Spark side instead of silently wrapping
+    in non-ANSI int64 while the HUGEINT oracle raises.
+
+    Fault-tolerance caveat (ADVICE r12): the ≤512-row bucket
+    aggregate is pinned with ``localCheckpoint(eager=False)`` so the
+    corpus gram pass behind it runs once, not once per consumer.
+    localCheckpoint blocks live on EXECUTORS — an executor loss
+    invalidates them and Spark cannot recompute a truncated lineage.
+    Fine here (bounded local runs); at the 100 TB posture use a
+    reliable checkpoint directory (``spark.sparkContext
+    .setCheckpointDir`` + ``.checkpoint()``) or ``.persist()`` with
+    lineage intact, trading a possible recompute for fault tolerance.
+
     Plan shape: one corpus gram explode feeding a hash aggregate
     whose exchange is BUCKET-bounded (512 partial rows
     per task, map-side combine — never corpus-sized); the two
@@ -6952,9 +6980,43 @@ def dsir_importance_select(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .localCheckpoint(eager=False)
     )
-    totals = buckets.agg(
-        (F.sum("c_t") + _DSIR_BUCKETS).alias("tt"),
-        (F.sum("c_r") + _DSIR_BUCKETS).alias("rr"),
+    # Overflow guard (ADVICE r12): enforce the docstring's int64-exact
+    # regime at runtime.  gmax = max grams per doc (unigrams+bigrams =
+    # 2·n_tokens−1) from a tokenize-only docs pass; the assert_true is
+    # woven INTO the tt expression (tt + coalesce(assert, 0)) so
+    # Catalyst's column pruning cannot drop the check with the column.
+    gmax = docs.select(
+        (2 * F.size(F.split(F.lower(F.col("text")), " ")) - 1)
+        .cast("double")
+        .alias("gmax")
+    ).agg(F.max("gmax").alias("gmax"))
+    in_bound = (
+        F.col("gmax") * F.col("tt").cast("double") * F.col("rr").cast("double")
+    ) < F.lit(_DSIR_INT64_BOUND)
+    totals = (
+        buckets.agg(
+            (F.sum("c_t") + _DSIR_BUCKETS).alias("tt"),
+            (F.sum("c_r") + _DSIR_BUCKETS).alias("rr"),
+        )
+        .crossJoin(F.broadcast(gmax))
+        .select(
+            (
+                F.col("tt")
+                + F.coalesce(
+                    F.assert_true(
+                        in_bound,
+                        F.lit(
+                            "dsir_importance_select: grams_per_doc * total_t"
+                            " * total_r >= 2^63 — the integer λ score would"
+                            " overflow int64; switch the score to the float"
+                            " log-ratio (see docstring)"
+                        ),
+                    ).cast("long"),
+                    F.lit(0).cast("long"),
+                )
+            ).alias("tt"),
+            "rr",
+        )
     )
     weights = buckets.crossJoin(F.broadcast(totals)).select(
         "b",

@@ -37,6 +37,16 @@ from real_estate_etl_dev_spark.operators.dedup import (  # noqa: E402
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 
+def _check(cond: bool, label: str, *info) -> None:
+    """Probe correctness gate.  NOT a bare ``assert`` (ADVICE r12
+    item 4): these checks are committed evidence — under ``python -O``
+    an assert is stripped and a broken probe would still print its
+    success table.  Raise explicitly so the probe fails loudly on any
+    interpreter."""
+    if not cond:
+        raise RuntimeError(f"scale_probe check failed: {label}: {info}")
+
+
 def replicated(spark, k: int):
     docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").select(
         "doc_id", "text"
@@ -386,7 +396,8 @@ def bloom_vs_exact(spark) -> None:
         # verdict per distinct probe ROW — duplicate texts under
         # different doc_ids each survive the gate (operators/bloom.py
         # bloom_probe docstring).
-        assert n_confirmed == n_dup, (n_confirmed, n_dup)
+        _check(n_confirmed == n_dup, "bloom confirmed == exact dups",
+                n_confirmed, n_dup)
 
         print(
             f"| {n_in:,} | {t_exact:.1f} ({n_dup:,}) "
@@ -709,7 +720,7 @@ def zipf_minhash_growth_probe(spark) -> None:
             f"| {n:,} | {wall:.1f} | {n_pairs:,} | {found:,}/{expected:,} |",
             flush=True,
         )
-        assert found == expected, (found, expected)
+        _check(found == expected, "zipf minhash recall", found, expected)
 
 
 def zipf_ppjoin_growth_probe(spark) -> None:
@@ -741,7 +752,11 @@ def zipf_ppjoin_growth_probe(spark) -> None:
     # multisets)
     probe1 = corpus_at(1).groupBy("lang", "text").count()
     cert1 = _zipf_docs(spark, SF_DIR).groupBy("lang", "text").count()
-    assert probe1.exceptAll(cert1).isEmpty() and cert1.exceptAll(probe1).isEmpty()
+    _check(
+        probe1.exceptAll(cert1).isEmpty()
+        and cert1.exceptAll(probe1).isEmpty(),
+        "probe k=1 corpus == certified zipf corpus",
+    )
 
     print()
     print(
@@ -917,8 +932,10 @@ def bpe_learn_growth_probe(spark) -> None:
         if k == 1:
             base_merges, base_counts = merges, counts
         else:
-            assert merges == base_merges, (k, merges, base_merges)
-            assert counts == [c * k for c in base_counts], (k, counts)
+            _check(merges == base_merges, "bpe merges replica-invariant",
+                    k, merges, base_merges)
+            _check(counts == [c * k for c in base_counts],
+                    "bpe pair counts scale exactly k-fold", k, counts)
         desc = " ".join(f"{a}+{b}@{c:,}" for (_, a, b), c in zip(merges, counts))
         print(f"| {n:,} | {wall:.1f} | {desc} |", flush=True)
 
@@ -1016,7 +1033,8 @@ def next_fit_fold_probe(spark) -> None:
             scalar_fold(xs_expr(n))["wid"].alias("w")
         ).collect()[0]["w"]
         t_scal = time.perf_counter() - t0
-        assert full == scal == prod - 1, (full, scal, prod)
+        _check(full == scal == prod - 1,
+                "legacy/scalar folds and closed form agree", full, scal, prod)
         print(
             f"| {n:,} | {t_full:.2f} ({full + 1:,}) "
             f"| {t_prod:.2f} ({prod:,}) | {t_scal:.2f} ({scal + 1:,}) |",
@@ -1096,7 +1114,8 @@ def curation_funnel_growth_probe(spark) -> None:
             want = {
                 lg: tuple(v * k for v in cell) for lg, cell in base.items()
             }
-            assert cells == want, (k, cells, want)
+            _check(cells == want, "funnel cells tile exactly k-fold",
+                    k, cells, want)
         tot = tuple(sum(c[i] for c in cells.values()) for i in range(5))
         print(
             f"| {n:,} | {wall:.1f} | {tot[0]:,}/{tot[1]:,}/{tot[2]:,}"
@@ -1216,7 +1235,8 @@ def dsir_growth_probe(spark) -> None:
                 (lg, rnk + 1, i, -neg) for rnk, (neg, i) in enumerate(cand)
             ]
         got = [(r["lang"], r["rnk"], r["doc_id"], r["score"]) for r in rows]
-        assert got == want, (k, got, want)
+        _check(got == want, "dsir top-k matches closed-form prediction",
+                k, got, want)
         print(f"| {n_raw:,} | {wall:.1f} | exact ({len(got)} rows) |", flush=True)
 
 

@@ -1,5 +1,5 @@
 """Pure-Python model + invariants for ``bpe_learn_merges`` (built
-late r11, registers r13 — see the deferral note in plans/llmdata.py).
+late r11, registered r13 in the window's free slot).
 
 The model replays merge learning with zero Spark and zero SQL in the
 derivation path: Python strings, ``collections.Counter``, and

@@ -174,3 +174,22 @@ def test_dsir_planted_relevance(spark, tmp_path):
     assert min(scores[i] for i in relevant) > max(
         scores[i] for i in scores if i not in relevant
     )
+
+
+def test_dsir_overflow_guard_fires(spark, sf_dir, monkeypatch):
+    """ADVICE r12 item 1: the int64-exact regime bound is now ENFORCED
+    in-plan, not just documented.  No feasible fixture can exceed the
+    real 2^63 ceiling, so pin the wiring by lowering the module bound
+    below the committed fixture's gmax*T*R mass: the job must fail
+    fast with the guard's message instead of silently wrapping.  The
+    in-bound side (guard present, output unchanged) is covered by the
+    parity/model legs above, which run with the real bound."""
+    from pyspark.errors.exceptions.captured import SparkRuntimeException
+
+    import real_estate_etl_dev_spark.plans.llmdata as L
+
+    monkeypatch.setattr(L, "_DSIR_INT64_BOUND", 1.0)
+    import pytest
+
+    with pytest.raises(SparkRuntimeException, match="overflow int64"):
+        L.dsir_importance_select(spark, sf_dir).collect()

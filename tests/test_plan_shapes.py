@@ -945,9 +945,8 @@ def test_semdedup_kmeans_plan_shape(spark, sf_dir):
 
 
 def test_bpe_learn_plan_shape(spark, sf_dir):
-    """Pre-registration plan pin for the r13-deferred
-    bpe_learn_merges (built r11 — see the deferral note in
-    plans/llmdata.py): the whole unrolled learning loop stays
+    """Plan pin for bpe_learn_merges (built r11, registered r13 in
+    the window's free slot): the whole unrolled learning loop stays
     JVM-side (zero Python evaluation) with no CartesianProduct.
     The per-round argmax rides the repo's 1-row broadcast
     scalar-combine (crossJoin of a broadcast 1-row frame — Spark
