@@ -42,9 +42,11 @@ def _catalog():
 BACKSLASH_S_ALLOWED = {
     # Certified r08, predates the explicit-class convention.  Latent:
     # Spark's Java \s collapses \x0B, the DuckDB oracle's RE2 \s does
-    # not; committed fixtures contain no \x0B.  Exit: swap both sides
-    # to [ \t\n\x0B\f\r]+ at the row's next forced canary
-    # (COVERAGE.md r12 second addendum).
+    # not; committed fixtures contain no \x0B.  Exit STAGED (r13):
+    # _doc_fingerprints_r15 / _DOC_FP_ORACLE_R15 in plans/llmdata.py,
+    # evidenced by tests/test_doc_fp_r15.py (fixture-identical;
+    # fixes the planted-\x0B divergence) — execute the swap at the
+    # row's r15 forced canary and drop this entry.
     "doc_fingerprints",
 }
 
@@ -75,6 +77,7 @@ STAGED_ORACLE_BUILDERS = (
     "_curation_funnel_oracle_sql",  # r14 replacement candidate
     "_dsir_oracle_sql",  # r14 replacement candidate
     "_BUCKET_AUDIT_ORACLE_R14",  # dedup_bucket_audit's r14 oracle swap
+    "_DOC_FP_ORACLE_R15",  # doc_fingerprints' r15 explicit-class swap
 )
 STAGED_BACKSLASH_S_ALLOWED: set[str] = set()
 STAGED_WRAP_DOT_ALLOWED: set[str] = set()
