@@ -43,16 +43,49 @@ worse than miscounting: ``\\r``, ``\\u0085``, ``\\u2028`` and
 silent cross-engine divergence (the r12 BPE-learner hardening;
 pinned live by tests/test_regex_semantics_audit.py).  The committed
 fixtures are lowercase ``[a-z ]`` text, which satisfies everything;
-a caller tokenizing arbitrary text must pre-strip the whole set
-first (``regexp_replace(text, '[_\\n\\r\\u0085\\u2028\\u2029]',
-' ')`` — the exact recipe ``bpe_learn_merges`` applies on both
-engines).
+a caller tokenizing arbitrary text pre-normalizes with
+:func:`bpe_fold` — lowercase + the full pre-strip set, the ONE
+recipe shared with the learner (``bpe_learn_merges``) so a learned
+table composes with this applier on any input (r14 unification of
+the ADVICE r11 lowercase caveat; the learn → apply chain is pinned
+on a mixed-case corpus by tests/test_bpe_learn_model.py).
 """
 
 from __future__ import annotations
 
 from pyspark.sql import Column
 from pyspark.sql import functions as F
+
+# The learner/applier shared input normalization: code points that
+# must leave the token stream before the '(.)' render — literal '_'
+# (breaks the delimiter arithmetic), '\n' (skipped by '.' in BOTH
+# engines), and the four points Java's '.' skips but RE2's matches
+# ('\r' + NEL + LINE/PARAGRAPH SEPARATOR — the cross-engine
+# divergence set).  ONE definition; bpe_fold / bpe_fold_sql render it
+# for each engine and bpe_learn_merges' oracle spells the identical
+# class (pinned by tests).
+BPE_PRESTRIP_CODEPOINTS = ("_", "\n", "\r", "\u0085", "\u2028", "\u2029")
+_PRESTRIP_CLASS = "[" + "".join(BPE_PRESTRIP_CODEPOINTS) + "]"
+# RE2 spelling: escape the non-ASCII points as \x{...} so the SQL
+# text stays ASCII-safe end to end
+_PRESTRIP_CLASS_SQL = "[_\\n\\r\\x{0085}\\x{2028}\\x{2029}]"
+
+
+def bpe_fold(text: Column, case_fold: bool = True) -> Column:
+    """The learner's exact input normalization, importable as the ONE
+    recipe: optional lowercase (BPE case folding — the learner always
+    folds), then the pre-strip class → space.  Apply this before
+    :func:`bpe_tokenized` (or pass ``fold=True`` there) when the
+    input is not already normalized lowercase text."""
+    t = F.lower(text) if case_fold else text
+    return F.regexp_replace(t, _PRESTRIP_CLASS, " ")
+
+
+def bpe_fold_sql(text_expr: str, case_fold: bool = True) -> str:
+    """DuckDB twin of :func:`bpe_fold` — same class, same fold."""
+    t = f"lower({text_expr})" if case_fold else text_expr
+    return f"regexp_replace({t}, '{_PRESTRIP_CLASS_SQL}', ' ', 'g')"
+
 
 # Ordered merge table: earlier rules feed later ones ("r"+"o"→"ro",
 # then "ro"+"w"→"row").  Order is semantic, as in real BPE.
@@ -78,20 +111,42 @@ BPE_MERGES: list[tuple[str, str]] = [
 ]
 
 
-def bpe_tokenized(text: Column) -> Column:
+def bpe_tokenized(
+    text: Column,
+    merges: list[tuple[str, str]] | None = None,
+    fold: bool = False,
+) -> Column:
     """The merged token string (``_tok__tok_...``) — chars wrapped as
     delimited tokens, then the merge table applied in order.  All
-    JVM-side string expressions; no UDF."""
+    JVM-side string expressions; no UDF.
+
+    ``merges`` defaults to the fixed :data:`BPE_MERGES` table; pass a
+    learned table (``bpe_learn_merges`` output) to apply a trained
+    tokenizer.  ``fold=True`` routes the input through
+    :func:`bpe_fold` first — REQUIRED when applying a learned table
+    to text that is not already lowercase pre-stripped, because the
+    learner folds its corpus with the same recipe (the r14
+    unification of the learn/apply case asymmetry).  The default
+    ``False`` preserves the certified fixed-table queries, whose
+    inputs satisfy the module precondition by construction."""
+    if merges is None:
+        merges = BPE_MERGES
+    if fold:
+        text = bpe_fold(text)
     out = F.regexp_replace(text, "(.)", "_$1_")
-    for a, b in BPE_MERGES:
+    for a, b in merges:
         out = F.replace(out, F.lit(f"_{a}__{b}_"), F.lit(f"_{a}{b}_"))
     return out
 
 
-def bpe_token_count(text: Column) -> Column:
+def bpe_token_count(
+    text: Column,
+    merges: list[tuple[str, str]] | None = None,
+    fold: bool = False,
+) -> Column:
     """BPE token count of ``text``: half the delimiter count of the
     merged rendering (every token contributes exactly two '_')."""
-    merged = bpe_tokenized(text)
+    merged = bpe_tokenized(text, merges=merges, fold=fold)
     return F.floor(
         (
             F.length(merged)
@@ -101,11 +156,20 @@ def bpe_token_count(text: Column) -> Column:
     ).cast("long")
 
 
-def bpe_tokenized_sql(text_expr: str) -> str:
+def bpe_tokenized_sql(
+    text_expr: str,
+    merges: list[tuple[str, str]] | None = None,
+    fold: bool = False,
+) -> str:
     """The DuckDB twin of :func:`bpe_tokenized` — the same wrap +
-    nested replace chain as SQL text."""
+    nested replace chain as SQL text; ``merges``/``fold`` mirror the
+    Spark side exactly."""
+    if merges is None:
+        merges = BPE_MERGES
+    if fold:
+        text_expr = bpe_fold_sql(text_expr)
     out = f"regexp_replace({text_expr}, '(.)', '_\\1_', 'g')"
-    for a, b in BPE_MERGES:
+    for a, b in merges:
         out = f"replace({out}, '_{a}__{b}_', '_{a}{b}_')"
     return out
 

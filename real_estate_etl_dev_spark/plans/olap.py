@@ -169,22 +169,17 @@ def revenue_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "revenue_cube_status_priority",
-    """
-    SELECT COALESCE(o_orderstatus, 'ALL') AS status,
-           COALESCE(o_orderpriority, 'ALL') AS priority,
-           CAST(GROUPING(o_orderstatus, o_orderpriority) AS BIGINT) AS grp_id,
-           CAST(count(*) AS BIGINT) AS n_orders,
-           round(CAST(sum(CAST(o_totalprice AS DECIMAL(20,8))) AS DOUBLE), 2)
-             AS revenue
-    FROM orders
-    GROUP BY CUBE (o_orderstatus, o_orderpriority)
-    ORDER BY grp_id, status, priority
-    """,
-    survey="A-cube",
-    tags=("olap",),
-)
+# Catalog row RETIRED r14 (pre-agreed replacement plan, COVERAGE.md
+# "r14 arithmetic"): the seat went to `corpus_curation_funnel`.  The
+# operator itself stays — CUBE is grouping-sets' superset sugar and
+# the OLAP multi-grain family remains certified via
+# `revenue_grouping_sets` (same Expand+agg plan, arbitrary grains);
+# this function is still importable and covered by the same pytest
+# harness style as any non-catalog helper.  Last driver green: r10
+# (CORRECTNESS_r10, 24/24 rows hash-matched).  Former oracle:
+#   SELECT COALESCE(o_orderstatus,'ALL') status, COALESCE(o_orderpriority,'ALL')
+#   priority, GROUPING(...) grp_id, count(*), round(sum(decimal price),2)
+#   FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
 def revenue_cube_status_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CUBE — all four grains of the (status, priority) pair (detail,
     each one-dimension margin, grand total) in ONE pass, completing

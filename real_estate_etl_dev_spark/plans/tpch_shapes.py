@@ -597,45 +597,16 @@ def idle_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "price_trend_by_priority",
-    """
-    WITH m AS (
-      SELECT o_orderpriority,
-             count(*) AS n,
-             sum(CAST(date_diff('day', DATE '1970-01-01',
-                                CAST(o_orderdate AS DATE)) AS DECIMAL(10,2)))
-               AS sx,
-             sum(CAST(o_totalprice AS DECIMAL(12,2))) AS sy,
-             sum(CAST(date_diff('day', DATE '1970-01-01',
-                                CAST(o_orderdate AS DATE)) AS DECIMAL(10,2))
-                 * CAST(o_totalprice AS DECIMAL(12,2))) AS sxy,
-             sum(CAST(date_diff('day', DATE '1970-01-01',
-                                CAST(o_orderdate AS DATE)) AS DECIMAL(10,2))
-                 * CAST(date_diff('day', DATE '1970-01-01',
-                                  CAST(o_orderdate AS DATE)) AS DECIMAL(10,2)))
-               AS sxx
-      FROM orders GROUP BY o_orderpriority
-    )
-    SELECT o_orderpriority,
-           CAST(n AS BIGINT) AS n_orders,
-           round((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
-                  - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
-                 / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
-                    - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)), 6)
-             AS slope_per_day,
-           round((CAST(sy AS DOUBLE)
-                  - ((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
-                      - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
-                     / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
-                        - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)))
-                    * CAST(sx AS DOUBLE)) / CAST(n AS DOUBLE), 4)
-             AS intercept
-    FROM m ORDER BY o_orderpriority
-    """,
-    survey="A-regression",
-    tags=("tpch",),
-)
+# Catalog row RETIRED r14 (pre-agreed replacement plan, COVERAGE.md
+# "r14 arithmetic"): the seat went to `dsir_importance_select`.  The
+# operator itself stays — the exact-decimal moment machinery (ship
+# Σx/Σy/Σxy/Σx², not rows) remains certified via
+# `price_qty_exact_corr`, which exercises the identical one-pass
+# map-side-combinable aggregate; the least-squares readout here is a
+# driver-free arithmetic epilogue over those moments.  Last driver
+# green: r10 (CORRECTNESS_r10, 5/5 rows hash-matched).  Former oracle:
+# the same four DECIMAL moments per priority in DuckDB with the
+# slope/intercept computed from their DOUBLE casts, rounded 6/4 dp.
 def price_trend_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-group LEAST-SQUARES TREND (slope + intercept of price over
     time) from exact decimal moments — the distributed form of SQL's

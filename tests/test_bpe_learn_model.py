@@ -115,3 +115,107 @@ def test_learned_table_drops_into_applier_mechanics(spark):
             m = m.replace(f"_{a}__{b}_", f"_{a}{b}_")
         want += m.count("_") // 2
     assert got == want and want > 0
+
+
+def test_fold_recipe_is_shared():
+    """The r14 unification's wiring: the learner's normalization and
+    the applier's ``bpe_fold`` are the SAME definition, not parallel
+    copies — the model above, the shared Spark class, and the
+    learner's oracle SQL all spell the identical pre-strip set (and
+    the live plan-identity of the refactored learner vs its certified
+    r13 text was verified at the swap; this pins the single-source
+    invariant going forward)."""
+    from real_estate_etl_dev_spark.functions.bpe import (
+        _PRESTRIP_CLASS,
+        _PRESTRIP_CLASS_SQL,
+        BPE_PRESTRIP_CODEPOINTS,
+    )
+    from real_estate_etl_dev_spark.plans.llmdata import _bpe_learn_oracle_sql
+
+    # the model's class (line 25) == the shared constant
+    assert _PRESTRIP_CLASS == "[_\n\r\u0085\u2028\u2029]"
+    assert "".join(BPE_PRESTRIP_CODEPOINTS) == _PRESTRIP_CLASS[1:-1]
+    # the learner's DuckDB oracle embeds the exact RE2 spelling of it
+    assert _PRESTRIP_CLASS_SQL in _bpe_learn_oracle_sql()
+
+
+def test_learn_apply_composes_on_mixed_case(spark):
+    """VERDICT r13 item 3 executed: the learn → apply chain on a
+    MIXED-CASE corpus, with no caveat escape hatch — the learner folds
+    case, and the applier's ``fold=True`` applies the same shared
+    recipe, so a learned table composes on text the committed
+    lowercase fixtures never exercised.  Three pins: (1) Spark
+    ``bpe_token_count(merges=learned, fold=True)`` on the RAW
+    mixed-case text equals a pure-Python replay of fold + render +
+    merges; (2) the DuckDB twin (``bpe_tokenized_sql`` with the same
+    merges/fold) equals it too — cross-engine exact; (3) the fold is
+    load-bearing: applying the learned table WITHOUT fold yields a
+    different (larger) count on this corpus, i.e. the pre-r14 caveat
+    was a real composition hazard, not a theoretical one."""
+    import duckdb
+    from pyspark.sql import functions as F
+
+    from real_estate_etl_dev_spark.functions.bpe import (
+        bpe_token_count,
+        bpe_token_count_sql,
+        bpe_tokenized_sql,
+    )
+
+    texts = [
+        "The Theater THE these",
+        "Another OTHER the Thorough",
+        "THE THE the Rother",
+        "other brother The\u2028THEME",  # line separator exercises the strip
+        "Then_the Tether THE",  # literal '_' exercises the strip
+    ]
+    rounds = 4
+    learned = _learn_python(texts, rounds)
+    merges = [(a, b) for _, a, b, _ in learned]
+    assert merges and any(
+        any(c.isupper() for c in t) for t in texts
+    ), "fixture must be mixed-case"
+
+    # pure-Python replay: fold (lower + strip) then render + merges
+    strip = "[_\n\r\u0085\u2028\u2029]"
+
+    def replay(fold: bool) -> int:
+        total = 0
+        for s in texts:
+            if fold:
+                s = re.sub(strip, " ", s.lower())
+            m = "".join(f"_{c}_" for c in s)
+            for a, b in merges:
+                m = m.replace(f"_{a}__{b}_", f"_{a}{b}_")
+            total += m.count("_") // 2
+        return total
+
+    want = replay(fold=True)
+
+    df = spark.createDataFrame([(t,) for t in texts], ["text"])
+    got = df.select(
+        F.sum(bpe_token_count(F.col("text"), merges=merges, fold=True))
+        .cast("long")
+        .alias("n")
+    ).collect()[0]["n"]
+    assert got == want and want > 0
+
+    con = duckdb.connect()
+    try:
+        con.execute("CREATE TABLE t (text VARCHAR)")
+        con.executemany("INSERT INTO t VALUES (?)", [(t,) for t in texts])
+        merged = bpe_tokenized_sql("text", merges=merges, fold=True)
+        duck = con.execute(
+            f"SELECT sum(n) FROM (SELECT {bpe_token_count_sql(f'({merged})')}"
+            " AS n FROM t)"
+        ).fetchone()[0]
+    finally:
+        con.close()
+    assert int(duck) == want
+
+    # the fold is load-bearing: unfolded application diverges here
+    got_nofold = df.select(
+        F.sum(bpe_token_count(F.col("text"), merges=merges, fold=False))
+        .cast("long")
+        .alias("n")
+    ).collect()[0]["n"]
+    assert got_nofold != want

@@ -1354,15 +1354,15 @@ def test_bpe_learn_oracle_parity(spark, sf_dir, oracle_sf_dir):
 
 
 def test_bucket_audit_r14_oracle_twin(spark, sf_dir, oracle_sf_dir):
-    """Pre-swap pin for the r14-deferred `dedup_bucket_audit` oracle
-    hardening (see the note above _BUCKET_AUDIT_ORACLE_R14): the
-    replacement text — row count AND sum(n_chars) as the skip-branch
-    key — must be output-identical to the certified oracle at every
-    committed fixture, and the Spark plan must match it
-    cell-for-cell at both certification scales.  Also pins the
-    discriminator fact that motivates the swap: the two cert corpora
-    share row count 572 but differ in char mass, so a count-only key
-    genuinely cannot tell fixtures apart."""
+    """Pin for the `dedup_bucket_audit` two-discriminator oracle
+    (staged r12, SWAPPED IN r14 — the registered oracle now IS
+    _BUCKET_AUDIT_ORACLE_R14, so the equality leg below is the
+    wiring check that the registration references the hardened text):
+    row count AND sum(n_chars) key the skip branch, and the Spark
+    plan must match the oracle cell-for-cell at both certification
+    scales.  Also pins the discriminator fact that motivated the
+    swap: the two cert corpora share row count 572 but differ in char
+    mass, so a count-only key genuinely cannot tell fixtures apart."""
     import os
 
     from real_estate_etl_dev_spark.plans.catalog import oracle_sqls

@@ -74,9 +74,9 @@ WRAP_DOT_ALLOWED = {
 # a new candidate is staged, prune when one registers (the catalog
 # scan takes over).
 STAGED_ORACLE_BUILDERS = (
-    "_curation_funnel_oracle_sql",  # r14 replacement candidate
-    "_dsir_oracle_sql",  # r14 replacement candidate
-    "_BUCKET_AUDIT_ORACLE_R14",  # dedup_bucket_audit's r14 oracle swap
+    # r14 pruned _curation_funnel_oracle_sql / _dsir_oracle_sql /
+    # _BUCKET_AUDIT_ORACLE_R14 — all three registered (the catalog
+    # scans above cover them now).
     "_DOC_FP_ORACLE_R15",  # doc_fingerprints' r15 explicit-class swap
 )
 STAGED_BACKSLASH_S_ALLOWED: set[str] = set()
