@@ -7069,3 +7069,183 @@ def dsir_importance_select(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("lang", "rnk", "doc_id", "score")
         .orderBy("lang", "rnk")
     )
+
+
+# ---------------------------------------------------------------------------
+# KMV dataset-overlap estimation — built r14 (slot-free session work),
+# REGISTRATION DEFERRED to r15+ (catalog at its 194-row cap; r15's
+# budget is 3 slots: the doc_fingerprints forced canary plus up to two
+# replacement registrations — this is the staged replacement
+# candidate; recommended retirement pick recorded in COVERAGE.md
+# "Round-14 record").  Behavior is pinned NOW by tests/test_kmv.py::
+# test_kmv_overlap_oracle_parity (the exact compare the catalog row
+# will certify, both local scales), re-derived zero-Spark / zero-SQL
+# by test_kmv_python_model, plan-pinned by
+# tests/test_plan_shapes.py::test_kmv_overlap_plan_shape, and
+# growth-probed by scripts/scale_probe.py kmv_overlap_growth_probe
+# (which also asserts the tau-filter scale path is sketch-identical).
+# To register: wrap with
+#   @query("dataset_overlap_kmv", _kmv_overlap_oracle_sql(),
+#          survey="llm-dataset-governance", tags=("llm-dedup",))
+# ---------------------------------------------------------------------------
+
+_KMV_K = 256
+# content-overlapping corpus slices: A = 2/3 of docs, B = 1/2, with
+# A∩B = the ids coprime to both moduli (~1/3) — exact Jaccard ≈ 0.40
+# at every committed fixture, so the estimator has real signal
+_KMV_SLICE_A = "doc_id % 3 <> 0"
+_KMV_SLICE_B = "doc_id % 2 <> 0"
+
+
+def _kmv_overlap_oracle_sql() -> str:
+    from ..operators.bloom import kmv_estimate_sql
+
+    k = _KMV_K
+    key = "('0x' || substr(md5(text), 1, 15))::BIGINT"
+    return f"""
+    WITH ha AS (SELECT DISTINCT {key} AS h FROM documents
+                WHERE {_KMV_SLICE_A}),
+    hb AS (SELECT DISTINCT {key} AS h FROM documents
+           WHERE {_KMV_SLICE_B}),
+    ska AS (SELECT h FROM ha ORDER BY h LIMIT {k}),
+    skb AS (SELECT h FROM hb ORDER BY h LIMIT {k}),
+    comb AS (SELECT h FROM (SELECT h FROM ska UNION SELECT h FROM skb)
+             ORDER BY h LIMIT {k}),
+    ea AS ({kmv_estimate_sql('ska', k)}),
+    eb AS ({kmv_estimate_sql('skb', k)}),
+    ecu AS ({kmv_estimate_sql('comb', k)}),
+    m AS (SELECT CAST(count(*) AS BIGINT) AS matches
+          FROM comb
+          WHERE h IN (SELECT h FROM ska) AND h IN (SELECT h FROM skb)),
+    x AS (SELECT
+            (SELECT CAST(count(*) AS BIGINT) FROM ha) AS xa,
+            (SELECT CAST(count(*) AS BIGINT) FROM hb) AS xb,
+            (SELECT CAST(count(*) AS BIGINT)
+             FROM (SELECT h FROM ha INTERSECT SELECT h FROM hb)) AS xi,
+            (SELECT CAST(count(*) AS BIGINT)
+             FROM (SELECT h FROM ha UNION SELECT h FROM hb)) AS xu)
+    SELECT CAST({k} AS BIGINT) AS k,
+           round(ea.est, 4) AS est_distinct_a, x.xa AS exact_distinct_a,
+           round(eb.est, 4) AS est_distinct_b, x.xb AS exact_distinct_b,
+           round(ecu.est, 4) AS est_distinct_union,
+           x.xu AS exact_distinct_union,
+           m.matches AS sketch_matches,
+           round(CAST(m.matches AS DOUBLE) / ecu.n_seen, 6) AS est_jaccard,
+           round(CAST(x.xi AS DOUBLE) / x.xu, 6) AS exact_jaccard
+    FROM ea, eb, ecu, m, x
+    """
+
+
+def dataset_overlap_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dataset-overlap ESTIMATION from KMV sketches (Bar-Yossef et
+    al. 2002; the DataSketches theta family's simplest member) — the
+    dataset-governance question a 100 TB pipeline asks constantly
+    ("how much of corpus B is already in A?", "did the new crawl
+    snapshot drift from the last one?", "does the training set
+    overlap the eval suite's source dump?") answered WITHOUT a
+    corpus-by-corpus join: each side reduces to its k smallest
+    distinct content-hash values (``operators/bloom.py:kmv_sketch``),
+    and union / intersection / Jaccard estimates come from merging
+    two k-row sketches.
+
+    Unlike the certified HLL rows (distinct COUNT only), KMV
+    composes under set algebra, and unlike engine-internal sketches
+    it is a deterministic pure function of the data — the k smallest
+    distinct md5-derived 60-bit integers — so the DuckDB oracle
+    replays every estimate EXACTLY (same hash arithmetic, same
+    guarded estimator expression, same IEEE division order; see
+    ``kmv_estimate``/``kmv_estimate_sql``).
+
+    Fixture slices: A = docs with id % 3 != 0, B = id % 2 != 0
+    (content overlap ~0.40 Jaccard at every committed fixture).  The
+    B slice holds 250 distinct texts < k = 256 at the certification
+    scales, so the under-full branch (est == exact by construction)
+    certifies next to the estimator branch (A, 333 distinct), and
+    sf0.1 exercises the estimator on both sides plus the combined
+    sketch.  Columns: per-slice and union estimate-vs-exact pairs,
+    the matched-sketch count, and estimated vs exact Jaccard.
+
+    Scale: the sketch legs are ONE map pass per corpus (map-side
+    partial dedup) + an 8-byte-key exchange + TakeOrderedAndProject
+    (k) — the reduce side sees partitions x k rows, never the corpus;
+    at the 100 TB posture pass ``tau`` < 1 to cut the exchange
+    ~1/tau, provably sketch-identical while >= k distinct survive
+    (kmv_sketch docstring; asserted at 16x by the growth probe).  The
+    exact_* columns are the AUDIT leg that proves the estimator at
+    fixture scale — a production overlap screen drops them (they are
+    the corpus-sized distinct/join this operator exists to avoid).
+    Everything downstream of the sketches is <= 2k rows of
+    broadcast-combined scalars.  No UDFs, no driver collect."""
+    from ..operators.bloom import kmv_estimate, kmv_sketch, md5_key
+
+    k = _KMV_K
+    docs = load_table(spark, sf_dir, "documents")
+    a = docs.filter(F.expr(_KMV_SLICE_A))
+    b = docs.filter(F.expr(_KMV_SLICE_B))
+    # sketches and exact-audit distinct sets each feed 2-3 consumers:
+    # pin them so the corpus passes behind them run once
+    ska = kmv_sketch(a, "text", k).localCheckpoint(eager=False)
+    skb = kmv_sketch(b, "text", k).localCheckpoint(eager=False)
+    ha = a.select(md5_key("text").alias("h")).distinct().localCheckpoint(
+        eager=False
+    )
+    hb = b.select(md5_key("text").alias("h")).distinct().localCheckpoint(
+        eager=False
+    )
+    comb = (
+        ska.unionByName(skb)
+        .distinct()
+        .orderBy("h")
+        .limit(k)
+        .localCheckpoint(eager=False)
+    )
+    ea = kmv_estimate(ska, k).select(
+        F.round("est", 4).alias("est_distinct_a")
+    )
+    eb = kmv_estimate(skb, k).select(
+        F.round("est", 4).alias("est_distinct_b")
+    )
+    ecu = kmv_estimate(comb, k).select(
+        F.round("est", 4).alias("est_distinct_union"),
+        F.col("n_seen").alias("_comb_n"),
+    )
+    m = (
+        comb.join(ska, "h", "left_semi")
+        .join(skb, "h", "left_semi")
+        .agg(F.count(F.lit(1)).cast("long").alias("sketch_matches"))
+    )
+    xa = ha.agg(F.count("h").cast("long").alias("exact_distinct_a"))
+    xb = hb.agg(F.count("h").cast("long").alias("exact_distinct_b"))
+    xi = ha.join(hb, "h", "left_semi").agg(
+        F.count(F.lit(1)).cast("long").alias("_xi")
+    )
+    xu = (
+        ha.unionByName(hb)
+        .distinct()
+        .agg(F.count(F.lit(1)).cast("long").alias("exact_distinct_union"))
+    )
+    row = (
+        ea.crossJoin(eb)
+        .crossJoin(ecu)
+        .crossJoin(m)
+        .crossJoin(xa)
+        .crossJoin(xb)
+        .crossJoin(xi)
+        .crossJoin(xu)
+    )
+    return row.select(
+        F.lit(k).cast("long").alias("k"),
+        "est_distinct_a",
+        "exact_distinct_a",
+        "est_distinct_b",
+        "exact_distinct_b",
+        "est_distinct_union",
+        "exact_distinct_union",
+        "sketch_matches",
+        F.round(
+            F.col("sketch_matches").cast("double") / F.col("_comb_n"), 6
+        ).alias("est_jaccard"),
+        F.round(
+            F.col("_xi").cast("double") / F.col("exact_distinct_union"), 6
+        ).alias("exact_jaccard"),
+    )

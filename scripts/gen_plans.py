@@ -288,8 +288,8 @@ SHOWCASE = [
     ),
     (
         "corpus_curation_funnel",
-        "End-to-end curation funnel (built r12, registers in an r14+ "
-        "replacement slot; unregistered — resolved from plans.llmdata): "
+        "End-to-end curation funnel (built r12, REGISTERED r14 — catalog "
+        "row `corpus_curation_funnel`): "
         "quality gate, exact dedup, and decontamination ride as boolean "
         "flags through ONE pass — one window exchange on the content "
         "fingerprint (the exact-dedup stage), the DISTINCT eval grams "
@@ -300,14 +300,27 @@ SHOWCASE = [
     ),
     (
         "dsir_importance_select",
-        "DSIR importance selection (built r12, registers in an r14+ "
-        "replacement slot; unregistered — resolved from plans.llmdata): "
+        "DSIR importance selection (built r12, REGISTERED r14 — catalog "
+        "row `dsir_importance_select`): "
         "hashed-n-gram importance scoring as one gram explode into a "
         "BUCKET-bounded aggregate (512 partials per task, map-side "
         "combine), the integer λ weight table broadcast back into the "
         "raw gram stream, one doc-keyed aggregation, and a per-lang "
         "top-k that plans as a rank-limited window (WindowGroupLimit) "
         "— the corpus is never shuffled on the gram or bucket key.",
+    ),
+    (
+        "dataset_overlap_kmv",
+        "KMV dataset-overlap estimation (built r14, registers in an "
+        "r15+ replacement slot; unregistered — resolved from "
+        "plans.llmdata): each corpus slice reduces to its k smallest "
+        "distinct content hashes — map-side partial dedup, ONE "
+        "8-byte-key exchange (tau-cut ~1/tau at the 100 TB posture, "
+        "provably sketch-identical), TakeOrderedAndProject(k) — and "
+        "every union/intersection/Jaccard estimate is scalar algebra "
+        "over the checkpointed k-row sketches; the exact_* audit "
+        "columns are the one corpus-keyed distinct/join a production "
+        "overlap screen drops.",
     ),
     (
         "bpe_learn_merges",

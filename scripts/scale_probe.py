@@ -128,6 +128,7 @@ def main() -> None:
     bpe_learn_growth_probe(spark)
     curation_funnel_growth_probe(spark)
     dsir_growth_probe(spark)
+    kmv_overlap_growth_probe(spark)
 
 
 def merge_growth_probe(spark) -> None:
@@ -1238,6 +1239,119 @@ def dsir_growth_probe(spark) -> None:
         _check(got == want, "dsir top-k matches closed-form prediction",
                 k, got, want)
         print(f"| {n_raw:,} | {wall:.1f} | exact ({len(got)} rows) |", flush=True)
+
+
+def kmv_overlap_growth_probe(spark) -> None:
+    """Growth evidence for `dataset_overlap_kmv` (built r14,
+    registration deferred to an r15+ replacement slot): replicate the
+    documents corpus k× with per-replica-distinct texts and doc_id
+    offsets that are multiples of 6, so BOTH slice memberships
+    (id % 3, id % 2) are preserved per replica.  Every exact set then
+    tiles k-fold — distinct_a/b, their intersection and union all
+    scale exactly k× — so exact_jaccard is INVARIANT across sizes
+    (asserted), the three KMV estimates must track their exact audit
+    columns within the k=256 error budget at every size (asserted,
+    15% ≈ 2.4σ), and the tau-filter scale path must be SKETCH-
+    IDENTICAL to the unfiltered run when tau sits just above the
+    k-th minimum (asserted per size — the provable-losslessness
+    claim in operators/bloom.py:kmv_sketch).  The sketch stays k
+    rows while the corpus grows: at 16× the only corpus-sized work
+    is the map pass + the tau-cut distinct exchange, so wall should
+    grow sub-linearly in data; a bend flags a reduce-side
+    concentration the TakeOrdered pin missed."""
+    import shutil
+    import tempfile
+
+    from real_estate_etl_dev_spark.operators.bloom import (
+        KMV_SPACE,
+        kmv_sketch,
+    )
+    from real_estate_etl_dev_spark.plans.llmdata import (
+        _KMV_K,
+        dataset_overlap_kmv,
+    )
+    from real_estate_etl_dev_spark.sources.readers import load_table
+
+    print()
+    print(
+        "| docs | wall s | exact_a (est) | exact_J (est_J) "
+        "| tau survivors |"
+    )
+    print("|---|---|---|---|---|")
+    base_j = None
+    for k in (1, 4, 16):
+        docs = load_table(spark, SF_DIR, "documents")
+        reps = spark.range(k).select(F.col("id").alias("rep"))
+        tagged = docs.crossJoin(reps).select(
+            # 6,000,000 is a multiple of 2 and 3: slice membership is
+            # replica-invariant
+            (F.col("doc_id") + F.col("rep") * F.lit(6_000_000)).alias(
+                "doc_id"
+            ),
+            F.when(F.col("rep") == 0, F.col("text"))
+            .otherwise(F.concat(F.col("text"), F.lit(" rep"), F.col("rep")))
+            .alias("text"),
+            "lang",
+            "source",
+            "n_chars",
+        )
+        tmp = tempfile.mkdtemp(prefix=f"kmv_{k}x_")
+        try:
+            tagged.write.mode("overwrite").parquet(f"{tmp}/documents.parquet")
+            n = tagged.count()
+            t0 = time.perf_counter()
+            [row] = dataset_overlap_kmv(spark, tmp).collect()
+            wall = time.perf_counter() - t0
+            for side in ("a", "b", "union"):
+                est = row[f"est_distinct_{side}"]
+                exact = row[f"exact_distinct_{side}"]
+                _check(
+                    abs(est - exact) <= 0.15 * exact,
+                    "kmv estimate within 15% of exact",
+                    k, side, est, exact,
+                )
+            if k == 1:
+                base_j = row["exact_jaccard"]
+                base_exact = (
+                    row["exact_distinct_a"],
+                    row["exact_distinct_b"],
+                    row["exact_distinct_union"],
+                )
+            else:
+                _check(
+                    row["exact_jaccard"] == base_j,
+                    "exact jaccard replica-invariant", k,
+                    row["exact_jaccard"], base_j,
+                )
+                got_exact = (
+                    row["exact_distinct_a"],
+                    row["exact_distinct_b"],
+                    row["exact_distinct_union"],
+                )
+                _check(
+                    got_exact == tuple(v * k for v in base_exact),
+                    "exact sets tile k-fold", k, got_exact, base_exact,
+                )
+            # tau losslessness at this size: threshold just above the
+            # k-th minimum admits exactly the k-min set
+            a = load_table(spark, tmp, "documents").filter(
+                F.col("doc_id") % 3 != 0
+            )
+            full = [r["h"] for r in kmv_sketch(a, "text", _KMV_K).collect()]
+            tau = (max(full) * 1.001) / KMV_SPACE
+            cut = [
+                r["h"]
+                for r in kmv_sketch(a, "text", _KMV_K, tau=tau).collect()
+            ]
+            _check(cut == full, "tau-filtered sketch identical", k, tau)
+        finally:
+            shutil.rmtree(tmp, ignore_errors=True)
+        print(
+            f"| {n:,} | {wall:.1f} | {row['exact_distinct_a']:,} "
+            f"({row['est_distinct_a']:,.1f}) | {row['exact_jaccard']:.4f} "
+            f"({row['est_jaccard']:.4f}) | tau={tau:.2e} |",
+            flush=True,
+        )
 
 
 if __name__ == "__main__":
