@@ -129,6 +129,7 @@ def main() -> None:
     curation_funnel_growth_probe(spark)
     dsir_growth_probe(spark)
     kmv_overlap_growth_probe(spark)
+    streaming_funnel_growth_probe(spark)
 
 
 def merge_growth_probe(spark) -> None:
@@ -1350,6 +1351,82 @@ def kmv_overlap_growth_probe(spark) -> None:
             f"| {n:,} | {wall:.1f} | {row['exact_distinct_a']:,} "
             f"({row['est_distinct_a']:,.1f}) | {row['exact_jaccard']:.4f} "
             f"({row['est_jaccard']:.4f}) | tau={tau:.2e} |",
+            flush=True,
+        )
+
+
+def streaming_funnel_growth_probe(spark) -> None:
+    """Growth evidence for `streaming_curation_funnel` (built r14,
+    registration deferred to an r15+ replacement slot): the same
+    replica construction as curation_funnel_growth_probe — 41*7-
+    preserving id offsets + a per-replica token tag, so classes and
+    grams are replica-local and every per-lang funnel cell must tile
+    EXACTLY k-fold (asserted) — but run through the STREAM: a real
+    availableNow multi-micro-batch execution whose cross-batch dedup
+    state is the class sink.  Per-trigger work is batch-bounded (the
+    anti-join build side is the sink's (lang, fp) index), so wall
+    should grow ~linearly in corpus size at a fixed trigger slice; a
+    super-linear bend would flag per-batch work proportional to the
+    TOTAL corpus rather than to the batch."""
+    import shutil
+    import tempfile
+
+    from real_estate_etl_dev_spark.plans.llmdata import (
+        streaming_curation_funnel,
+    )
+    from real_estate_etl_dev_spark.sources.readers import load_table
+
+    print()
+    print("| base docs | wall s | sum(n_raw/n_quality/n_dedup/n_clean/tokens_clean) |")
+    print("|---|---|---|")
+    base = None
+    for k in (1, 4, 16):
+        docs = load_table(spark, SF_DIR, "documents")
+        reps = spark.range(k).select(F.col("id").alias("rep"))
+        tagged = docs.crossJoin(reps).select(
+            (F.col("doc_id") + F.col("rep") * F.lit(287 * 100_000)).alias(
+                "doc_id"
+            ),
+            F.regexp_replace(
+                "text",
+                "(^| )",
+                F.concat(F.lit("$1"), F.char(F.col("rep") + 97)),
+            ).alias("text"),
+            "lang",
+            "source",
+            "n_chars",
+        )
+        tmp = tempfile.mkdtemp(prefix=f"sfunnel_{k}x_")
+        try:
+            tagged.write.mode("overwrite").parquet(f"{tmp}/documents.parquet")
+            n = tagged.count()
+            t0 = time.perf_counter()
+            rows = streaming_curation_funnel(spark, tmp).collect()
+            wall = time.perf_counter() - t0
+        finally:
+            shutil.rmtree(tmp, ignore_errors=True)
+        cells = {
+            r["lang"]: (
+                r["n_raw"],
+                r["n_quality"],
+                r["n_dedup"],
+                r["n_clean"],
+                r["tokens_clean"],
+            )
+            for r in rows
+        }
+        if k == 1:
+            base = cells
+        else:
+            want = {
+                lg: tuple(v * k for v in cell) for lg, cell in base.items()
+            }
+            _check(cells == want, "streaming funnel cells tile exactly k-fold",
+                    k, cells, want)
+        tot = tuple(sum(c[i] for c in cells.values()) for i in range(5))
+        print(
+            f"| {n:,} | {wall:.1f} | {tot[0]:,}/{tot[1]:,}/{tot[2]:,}"
+            f"/{tot[3]:,}/{tot[4]:,} |",
             flush=True,
         )
 

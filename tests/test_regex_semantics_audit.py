@@ -79,6 +79,7 @@ STAGED_ORACLE_BUILDERS = (
     # scans above cover them now).
     "_DOC_FP_ORACLE_R15",  # doc_fingerprints' r15 explicit-class swap
     "_kmv_overlap_oracle_sql",  # r15 replacement candidate (KMV overlap)
+    "_streaming_funnel_oracle_sql",  # r15 candidate (streaming funnel)
 )
 STAGED_BACKSLASH_S_ALLOWED: set[str] = set()
 STAGED_WRAP_DOT_ALLOWED: set[str] = set()
