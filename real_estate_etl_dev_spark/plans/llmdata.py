@@ -7522,3 +7522,190 @@ def streaming_curation_funnel(
     schema = out.schema
     shutil.rmtree(workdir, ignore_errors=True)
     return spark.createDataFrame(rows, schema)
+
+
+# ---------------------------------------------------------------------------
+# Exact substring-span duplication accounting — built r14 (slot-free
+# session work), REGISTRATION DEFERRED to an r15+ replacement slot
+# (the r15 window already holds two candidates; this queues behind
+# them).  Span-LEVEL exact duplication (Lee et al. 2022,
+# "Deduplicating Training Data Makes Language Models Better"): the
+# doc-level dedup family answers "which documents are near-copies";
+# this answers "how many TOKENS of each document sit inside a
+# substring that also occurs elsewhere" — the memorization-mass
+# observable a pipeline tracks when deciding span-cut thresholds.
+# Behavior is pinned NOW by tests/test_substring_spans.py (oracle
+# parity both scales, a pure-Python interval-union model, a planted
+# shared-span semantics proof), plan-pinned by
+# tests/test_plan_shapes.py::test_substring_spans_plan_shape, and
+# growth-probed by scripts/scale_probe.py
+# substring_spans_growth_probe.  To register: wrap with
+#   @query("dedup_substring_spans", _substring_spans_oracle_sql(),
+#          survey="llm-dedup-substring", tags=("llm-dedup",))
+# ---------------------------------------------------------------------------
+
+# span length in tokens: a duplicated span is a run of >= _SPAN_L
+# consecutive tokens whose every _SPAN_L-gram occurs >= _SPAN_MIN_OCC
+# times corpus-wide.  8 tokens ~ the 50-char threshold the paper's
+# EXACTSUBSTR uses on this fixture's ~6-char tokens.
+_SPAN_L = 8
+_SPAN_MIN_OCC = 2
+
+
+def _substring_spans_oracle_sql() -> str:
+    return f"""
+    WITH {_AUG_CTE},
+    tok AS (
+      SELECT doc_id, lang,
+             string_split(lower(coalesce(text, '')), ' ') AS toks
+      FROM corpus
+    ),
+    pos AS (
+      SELECT doc_id, lang, i,
+             md5(array_to_string(toks[i:i+{_SPAN_L - 1}], ' ')) AS h
+      FROM tok, unnest(range(1, greatest(len(toks) - {_SPAN_L - 2}, 1))) AS t(i)
+    ),
+    dup AS (
+      SELECT h FROM pos GROUP BY h HAVING count(*) >= {_SPAN_MIN_OCC}
+    ),
+    kept AS (
+      SELECT doc_id, lang, i,
+             lag(i) OVER (PARTITION BY doc_id ORDER BY i) AS pi
+      FROM pos WHERE h IN (SELECT h FROM dup)
+    ),
+    perdoc AS (
+      SELECT doc_id, lang,
+             sum(CASE WHEN pi IS NULL THEN {_SPAN_L}
+                      ELSE least({_SPAN_L}, i - pi) END) AS dup_toks
+      FROM kept GROUP BY doc_id, lang
+    ),
+    base AS (
+      SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(len(toks)) AS BIGINT) AS tokens_total
+      FROM tok GROUP BY lang
+    ),
+    agg AS (
+      SELECT lang, CAST(count(*) AS BIGINT) AS docs_with_dup,
+             CAST(sum(dup_toks) AS BIGINT) AS tokens_dup
+      FROM perdoc GROUP BY lang
+    )
+    SELECT b.lang, b.n_docs,
+           CAST(coalesce(a.docs_with_dup, 0) AS BIGINT) AS docs_with_dup,
+           b.tokens_total,
+           CAST(coalesce(a.tokens_dup, 0) AS BIGINT) AS tokens_dup,
+           round(CAST(coalesce(a.tokens_dup, 0) AS DOUBLE)
+                 / b.tokens_total, 6) AS dup_token_ratio
+    FROM base b LEFT JOIN agg a USING (lang)
+    ORDER BY b.lang
+    """
+
+
+def dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Span-level EXACT substring duplication accounting (Lee et al.
+    2022, EXACTSUBSTR): per language, how many tokens of the corpus
+    sit inside a duplicated run of >= ``_SPAN_L`` consecutive tokens
+    — where a position is duplicated iff its ``_SPAN_L``-gram occurs
+    >= ``_SPAN_MIN_OCC`` times corpus-wide (within-doc repeats count,
+    as in the paper).  The doc-level dedup family (MinHash, SimHash,
+    n-gram Jaccard, containment) scores whole documents; this is the
+    finer observable — boilerplate headers, licence blocks, and
+    templated sentences inside otherwise-unique documents — that
+    drives span-cut thresholds and memorization studies.  Runs over
+    the family's augmented corpus (documents ∪ srcdup of every 7th
+    doc) so full-document duplicate spans provably exist; the
+    fixture's small vocabulary supplies natural partial overlaps.
+
+    The paper builds a suffix array; the order-free equivalent here:
+    a duplicated RUN of length m >= L covers exactly its m - L + 1
+    member L-gram positions, so the union of intervals
+    [i, i + L - 1] over duplicated positions i IS the duplicated
+    span mass.  The union is computed without interval grouping:
+    sorted by i, each kept position contributes
+    ``min(L, i - lag(i))`` new tokens (``L`` for the first) — a
+    single lag window, no islands pass.  Integer-exact end to end;
+    the only float is the final ratio (one division of exact BIGINTs
+    + round 6, deterministic on both engines).
+
+    Scale (100 TB): the gram pass is a map-side explode (corpus x
+    ~n_tokens rows, never collected); the duplicated-gram set is a
+    count aggregate on the 16-byte gram hash with MAP-SIDE PARTIALS
+    (the exchange carries one row per distinct gram per task, not
+    per occurrence), and the join-back is hash-equality on the same
+    key — auto-broadcast at fixture scale (AQE), a co-partitioned
+    shuffle join at web scale.  Hot boilerplate grams skew the count
+    aggregate's reduce side: partial aggregation already absorbs
+    per-task repeats, AQE skew-join handles the join-back, and a
+    HAVING count cap (duplicated is duplicated — the paper caps
+    occurrence counts too) bounds any single reducer.  The window is
+    doc-keyed (bounded per doc) and everything after is
+    lang-cardinality scalar algebra.  No UDFs, no driver collect."""
+    docs = _augmented_docs(spark, sf_dir)
+    toks = F.split(F.lower(F.coalesce(F.col("text"), F.lit(""))), " ")
+    base = docs.select("doc_id", "lang", toks.alias("toks"))
+    # one explode produces (position, gram-hash) pairs; the struct
+    # keeps i and h paired through the explode
+    grams = base.select(
+        "doc_id",
+        "lang",
+        F.explode(
+            F.when(
+                F.size("toks") >= _SPAN_L,
+                F.transform(
+                    F.sequence(F.lit(1), F.size("toks") - (_SPAN_L - 1)),
+                    lambda i: F.struct(
+                        i.alias("i"),
+                        F.md5(
+                            F.concat_ws(
+                                " ", F.slice("toks", i, _SPAN_L)
+                            ).cast("binary")
+                        ).alias("h"),
+                    ),
+                ),
+            ).otherwise(F.array().cast("array<struct<i:int,h:string>>"))
+        ).alias("ph"),
+    ).select("doc_id", "lang", F.col("ph.i").alias("i"), F.col("ph.h").alias("h"))
+    dup = (
+        grams.groupBy("h")
+        .agg(F.count(F.lit(1)).alias("occ"))
+        .filter(F.col("occ") >= _SPAN_MIN_OCC)
+        .select("h")
+    )
+    kept = grams.join(dup, "h", "left_semi")
+    w = Window.partitionBy("doc_id").orderBy("i")
+    perdoc = (
+        kept.withColumn("pi", F.lag("i").over(w))
+        .groupBy("doc_id", "lang")
+        .agg(
+            F.sum(
+                F.when(F.col("pi").isNull(), _SPAN_L).otherwise(
+                    F.least(F.lit(_SPAN_L), F.col("i") - F.col("pi"))
+                )
+            ).alias("dup_toks")
+        )
+    )
+    basea = base.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum(F.size("toks")).cast("long").alias("tokens_total"),
+    )
+    agg = perdoc.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("long").alias("docs_with_dup"),
+        F.sum("dup_toks").cast("long").alias("tokens_dup"),
+    )
+    return (
+        basea.join(agg, "lang", "left")
+        .select(
+            "lang",
+            "n_docs",
+            F.coalesce("docs_with_dup", F.lit(0))
+            .cast("long")
+            .alias("docs_with_dup"),
+            "tokens_total",
+            F.coalesce("tokens_dup", F.lit(0)).cast("long").alias("tokens_dup"),
+            F.round(
+                F.coalesce("tokens_dup", F.lit(0)).cast("double")
+                / F.col("tokens_total"),
+                6,
+            ).alias("dup_token_ratio"),
+        )
+        .orderBy("lang")
+    )

@@ -130,6 +130,7 @@ def main() -> None:
     dsir_growth_probe(spark)
     kmv_overlap_growth_probe(spark)
     streaming_funnel_growth_probe(spark)
+    substring_spans_growth_probe(spark)
 
 
 def merge_growth_probe(spark) -> None:
@@ -1427,6 +1428,92 @@ def streaming_funnel_growth_probe(spark) -> None:
         print(
             f"| {n:,} | {wall:.1f} | {tot[0]:,}/{tot[1]:,}/{tot[2]:,}"
             f"/{tot[3]:,}/{tot[4]:,} |",
+            flush=True,
+        )
+
+
+
+def substring_spans_growth_probe(spark) -> None:
+    """Growth evidence for `dedup_substring_spans` (built r14,
+    registration deferred to an r15+/r16 replacement slot): the same
+    replica construction as the funnel probes — 41*7-preserving id
+    offsets + a per-replica token tag, so every L-gram is
+    replica-LOCAL and each per-lang cell (n_docs, docs_with_dup,
+    tokens_total, tokens_dup — and the ratio, exactly, since
+    (k*a)/(k*b) is the same correctly-rounded double as a/b) must
+    tile EXACTLY k-fold (asserted).  A cross-replica gram collision,
+    a hash-bucket artifact, or an interval-union bug that depends on
+    absolute corpus size would all fail loudly.  Wall tracks the
+    gram-occurrence volume: the explode and the partial-agg exchange
+    are the only corpus-sized stages, so growth should be ~linear;
+    a super-linear bend would flag the dup-set join-back degrading
+    off its broadcast/partial-agg path."""
+    import shutil
+    import tempfile
+
+    from real_estate_etl_dev_spark.plans.llmdata import dedup_substring_spans
+    from real_estate_etl_dev_spark.sources.readers import load_table
+
+    print()
+    print("| base docs | wall s | sum(docs_with_dup/tokens_total/tokens_dup) |")
+    print("|---|---|---|")
+    base = None
+    for k in (1, 4, 16):
+        docs = load_table(spark, SF_DIR, "documents")
+        reps = spark.range(k).select(F.col("id").alias("rep"))
+        tagged = docs.crossJoin(reps).select(
+            (F.col("doc_id") + F.col("rep") * F.lit(287 * 100_000)).alias(
+                "doc_id"
+            ),
+            F.regexp_replace(
+                "text",
+                "(^| )",
+                F.concat(F.lit("$1"), F.char(F.col("rep") + 97)),
+            ).alias("text"),
+            "lang",
+            "source",
+            "n_chars",
+        )
+        tmp = tempfile.mkdtemp(prefix=f"spans_{k}x_")
+        try:
+            tagged.write.mode("overwrite").parquet(f"{tmp}/documents.parquet")
+            n = tagged.count()
+            t0 = time.perf_counter()
+            rows = dedup_substring_spans(spark, tmp).collect()
+            wall = time.perf_counter() - t0
+        finally:
+            shutil.rmtree(tmp, ignore_errors=True)
+        cells = {
+            r["lang"]: (
+                r["n_docs"],
+                r["docs_with_dup"],
+                r["tokens_total"],
+                r["tokens_dup"],
+                r["dup_token_ratio"],
+            )
+            for r in rows
+        }
+        if k == 1:
+            base = cells
+        else:
+            want = {
+                lg: tuple(v * k for v in cell[:4]) + (cell[4],)
+                for lg, cell in base.items()
+            }
+            _check(
+                cells == want,
+                "substring-span cells tile exactly k-fold",
+                k,
+                cells,
+                want,
+            )
+        tot = (
+            sum(c[1] for c in cells.values()),
+            sum(c[2] for c in cells.values()),
+            sum(c[3] for c in cells.values()),
+        )
+        print(
+            f"| {n:,} | {wall:.1f} | {tot[0]:,}/{tot[1]:,}/{tot[2]:,} |",
             flush=True,
         )
 

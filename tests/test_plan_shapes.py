@@ -1050,3 +1050,25 @@ def test_kmv_overlap_plan_shape(spark, sf_dir):
     assert "CartesianProduct" not in plan
     assert "BroadcastHashJoin" in plan and "LeftSemi" in plan
     assert plan.count("hashpartitioning") == 1, plan
+
+
+def test_substring_spans_plan_shape(spark, sf_dir):
+    """Pre-registration plan pin for the r16-deferred
+    dedup_substring_spans (see the deferral note in plans/llmdata.py):
+    everything stays JVM-side (zero Python evaluation), zero
+    CartesianProduct (the only nested-loop is the 1-row `_id_offset`
+    broadcast combine), the duplicated-gram set is built by a hash
+    aggregate WITH map-side partials whose exchange is the plan's
+    ONLY gram-hash-keyed shuffle (the occurrence stream itself never
+    shuffles on h — the dup set broadcasts back as a LeftSemi), and
+    the interval-union runs as one doc-keyed lag window."""
+    from real_estate_etl_dev_spark.plans.llmdata import dedup_substring_spans
+
+    df = dedup_substring_spans(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan and "LeftSemi" in plan
+    assert plan.count("hashpartitioning(h#") == 1, plan
+    assert "partial_count" in plan, plan
+    assert "Window" in plan and "lag(i#" in plan, plan

@@ -80,6 +80,7 @@ STAGED_ORACLE_BUILDERS = (
     "_DOC_FP_ORACLE_R15",  # doc_fingerprints' r15 explicit-class swap
     "_kmv_overlap_oracle_sql",  # r15 replacement candidate (KMV overlap)
     "_streaming_funnel_oracle_sql",  # r15 candidate (streaming funnel)
+    "_substring_spans_oracle_sql",  # r16 candidate (substring spans)
 )
 STAGED_BACKSLASH_S_ALLOWED: set[str] = set()
 STAGED_WRAP_DOT_ALLOWED: set[str] = set()
