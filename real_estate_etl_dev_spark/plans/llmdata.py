@@ -6961,23 +6961,34 @@ def dsir_importance_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     100 TB the corpus-sized stages are the two gram map passes —
     executor-parallel; every shuffle is bucket-, doc-, or
     lang-bounded.  No UDFs, no driver collect."""
+    from ..functions.core import let_
+
     docs = load_table(spark, sf_dir, "documents")
     toks = F.split(F.lower(F.col("text")), " ")
-    bigrams = F.when(
-        F.size(toks) >= 2,
-        F.transform(
-            F.sequence(F.lit(1), F.size(toks) - 1),
-            lambda i: F.concat_ws(
-                " ", F.element_at(toks, i), F.element_at(toks, i + 1)
+
+    # unigrams ∪ bigrams with the split let_-bound ONCE: referencing
+    # the raw F.split expression from inside the transform lambda
+    # re-tokenizes the string per element_at lookup — O(tokens²) per
+    # doc, the shingles() lesson (measured 4.6s → ~1s per gram pass at
+    # sf0.1 for this exact reason).  F.get on the bound array is O(1);
+    # the value sequence is IDENTICAL (bigram i pairs tokens i, i+1 in
+    # order, guarded to the empty array below 2 tokens).
+    def _grams_of(tk: F.Column) -> F.Column:
+        bi = F.when(
+            F.size(tk) >= 2,
+            F.transform(
+                F.sequence(F.lit(1), F.size(tk) - 1),
+                lambda i: F.concat_ws(" ", F.get(tk, i - 1), F.get(tk, i)),
             ),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
+        ).otherwise(F.array().cast("array<string>"))
+        return F.concat(tk, bi)
+
     grams = (
         docs.select(
             "doc_id",
             "lang",
             (F.col("doc_id") % 31 == 0).alias("is_target"),
-            F.explode(F.concat(toks, bigrams)).alias("g"),
+            F.explode(let_(toks, _grams_of)).alias("g"),
         )
         .withColumn(
             "b",
