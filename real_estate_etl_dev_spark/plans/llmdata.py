@@ -6574,17 +6574,44 @@ def bpe_learn_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     asserted by the same test file \u2014 so the certified row's behavior
     is byte-unchanged.)
 
-    Returns one row per learned merge: (step, a, b, pair_count)."""
+    Returns one row per learned merge: (step, a, b, pair_count).
+
+    r14 OPTIMIZATION (guide §2.2 pre-aggregation; results identical):
+    the learning state is a weighted WORD VOCABULARY, not the corpus.
+    Space is its own never-merged symbol and space-adjacent pairs are
+    excluded, so every counted pair lies strictly inside a maximal
+    space-free run — a "word" of ``split(folded_text, ' ')`` — and a
+    merge pattern ``_a__b_`` can never span the ``_ _`` rendering of
+    a space.  Pair counts therefore decompose exactly as
+    Σ_distinct-word (word_count × in-word pair occurrences), and the
+    per-round replace acts word-locally.  The corpus is read ONCE
+    (split + count words — the only corpus-sized pass); every round's
+    tokenize/explode/count/replace then runs over the distinct-word
+    frame, which is vocabulary-sized (≪ corpus at every scale; the
+    classic Sennrich-implementation trick).  Single-character words
+    are dropped up front: they can never produce a pair nor contain a
+    ≥2-symbol merge pattern, at any round.  Ties, exclusions, and the
+    learned table are bit-identical to the corpus-sized formulation
+    (oracle unchanged; pinned by tests/test_bpe_learn_model.py)."""
     from ..functions.bpe import bpe_fold
 
-    df = load_table(spark, sf_dir, "documents").select(
-        "doc_id",
-        F.regexp_replace(bpe_fold(F.col("text")), "(.)", "_$1_").alias("s"),
+    words = (
+        load_table(spark, sf_dir, "documents")
+        .select(F.explode(F.split(bpe_fold(F.col("text")), " ", -1)).alias("w"))
+        .filter(F.length("w") >= 2)
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        .select(
+            F.regexp_replace(F.col("w"), "(.)", "_$1_").alias("s"),
+            "n",
+        )
+        .localCheckpoint(eager=False)
     )
     merges = []
     for k in range(1, _BPE_LEARN_ROUNDS + 1):
-        toks = df.select(
-            F.regexp_extract_all(F.col("s"), F.lit(r"_([^_]+)_"), 1).alias("t")
+        toks = words.select(
+            F.regexp_extract_all(F.col("s"), F.lit(r"_([^_]+)_"), 1).alias("t"),
+            "n",
         ).filter(F.size("t") >= 2)
         pairs = toks.select(
             F.explode(
@@ -6594,12 +6621,12 @@ def bpe_learn_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
                         F.get("t", i - 1).alias("a"), F.get("t", i).alias("b")
                     ),
                 )
-            ).alias("p")
-        ).select("p.a", "p.b")
+            ).alias("p"),
+            "n",
+        ).select("p.a", "p.b", "n")
         best = (
-            pairs.filter((F.col("a") != " ") & (F.col("b") != " "))
-            .groupBy("a", "b")
-            .agg(F.count(F.lit(1)).cast("long").alias("c"))
+            pairs.groupBy("a", "b")
+            .agg(F.sum("n").cast("long").alias("c"))
             .orderBy(F.col("c").desc(), "a", "b")
             .limit(1)
             .localCheckpoint(eager=False)
@@ -6612,14 +6639,13 @@ def bpe_learn_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.col("c").alias("pair_count"),
             )
         )
-        df = (
-            df.crossJoin(
+        words = (
+            words.crossJoin(
                 F.broadcast(
                     best.select(F.col("a").alias("_ma"), F.col("b").alias("_mb"))
                 )
             )
             .select(
-                "doc_id",
                 F.replace(
                     F.col("s"),
                     F.concat(
@@ -6627,6 +6653,7 @@ def bpe_learn_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
                     ),
                     F.concat(F.lit("_"), F.col("_ma"), F.col("_mb"), F.lit("_")),
                 ).alias("s"),
+                "n",
             )
             .localCheckpoint(eager=False)
         )
