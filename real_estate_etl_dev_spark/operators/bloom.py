@@ -122,7 +122,19 @@ def bloom_probe(probes: DataFrame, key: str, bits: DataFrame, m: int, k: int) ->
 
     The join against ``bits`` is broadcast (≤ m rows); the verdict
     agg rides the explode's own key, so the only exchange is one hash
-    partition on the probe row."""
+    partition on the probe row.
+
+    r14 verdict form (identical truth table, cheaper plan): ``bits``
+    is DISTINCT on bitpos, so the left join matches each exploded row
+    at most once and ``_hit`` is a pure function of the row's
+    position.  "Every distinct probed position matched" is therefore
+    exactly "no exploded row missed": ``count(*) == count(_hit)``.
+    A distinct-collapsed position either hits on ALL its duplicate
+    rows or on none, so within-key hash collisions cannot split the
+    two forms.  Dropping the two countDistincts removes the Expand
+    (which doubled the exploded rows) and restores map-side partial
+    aggregation: the exchange carries ONE partial row per probe row
+    instead of up to k distinct (row, bitpos) pairs."""
     kc = F.col(key)
     exploded = probes.select(
         "*",
@@ -136,12 +148,9 @@ def bloom_probe(probes: DataFrame, key: str, bits: DataFrame, m: int, k: int) ->
         exploded.join(hit, "bitpos", "left")
         .groupBy(key, *other)
         .agg(
-            (
-                F.countDistinct("bitpos")
-                == F.countDistinct(
-                    F.when(F.col("_hit").isNotNull(), F.col("bitpos"))
-                )
-            ).alias("bloom_positive"),
+            (F.count(F.lit(1)) == F.count(F.col("_hit"))).alias(
+                "bloom_positive"
+            ),
         )
     )
 

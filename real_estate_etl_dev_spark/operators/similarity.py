@@ -159,6 +159,83 @@ def cosine_topk(
     )
 
 
+def blocked_cosine_pairs_np(
+    frame: DataFrame,
+    block_col: str,
+    id_col: str,
+    vec_col: str,
+    min_raw_cos: float,
+) -> DataFrame:
+    """All within-block ``id_a < id_b`` cosine pairs whose RAW cosine
+    clears ``min_raw_cos``, scored in one vectorized NumPy pass per
+    block — the blocked-pair twin of :func:`cosine_topk`'s kernel
+    (guide §4.2: the JVM ``zip_with``/``aggregate`` pair expression
+    evaluates interpreted per element, so a Σ block² stage pays
+    ~µs/pair/dim; the NumPy kernel is the same flops vectorized).
+
+    Bit-exactness: the kernel replays the JVM expression pipeline op
+    for op — norm = sqrt of the dimension-order left-fold of x·x,
+    normalization is the per-element double division x/n, and the
+    pair dot accumulates dimension-by-dimension into a float64
+    accumulator, the exact IEEE sequence of ``dot(__na, __nb)`` on
+    pre-normalized vectors.  Rounding is NOT done here: callers apply
+    the certified JVM ``F.round(..., 6)`` and threshold on the
+    rounded value, so ``min_raw_cos`` must sit at least one rounding
+    quantum below the certified threshold (pass ``t - 2e-6``) — every
+    pair that can round up to the threshold survives the raw cut.
+    NaN cosines (zero vectors) are KEPT, matching Spark's
+    NaN-is-greatest comparison semantics downstream.
+
+    Returns (``id_a``, ``id_b``, ``cos_raw``) with the input id type.
+    Block sizes bound the per-task quadratic work — this is the
+    blocked EXACT baseline's own scale posture (at corpus scale the
+    block key must come from LSH/IVF bucketing; see
+    embedding_near_dup_pairs' docstring)."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as Tp
+
+    id_type = frame.schema[id_col].dataType
+    out_schema = Tp.StructType(
+        [
+            Tp.StructField("id_a", id_type),
+            Tp.StructField("id_b", id_type),
+            Tp.StructField("cos_raw", Tp.DoubleType()),
+        ]
+    )
+
+    def _block(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        ids = pdf[id_col].to_numpy()
+        order = np.argsort(ids, kind="stable")
+        ids = ids[order]
+        m = np.stack([np.asarray(v) for v in pdf[vec_col].iloc[order]]).astype(
+            np.float64, copy=False
+        )
+        n_rows, dim = m.shape
+        if n_rows < 2:
+            return pd.DataFrame({"id_a": ids[:0], "id_b": ids[:0], "cos_raw": []})
+        acc = np.zeros(n_rows, dtype=np.float64)
+        for i in range(dim):
+            acc += m[:, i] * m[:, i]
+        with np.errstate(divide="ignore", invalid="ignore"):
+            nm = m / np.sqrt(acc)[:, None]
+        g = np.zeros((n_rows, n_rows), dtype=np.float64)
+        for i in range(dim):
+            g += nm[:, i : i + 1] * nm[None, :, i]
+        ia, ib = np.triu_indices(n_rows, k=1)
+        s = g[ia, ib]
+        keep = (s >= min_raw_cos) | np.isnan(s)
+        return pd.DataFrame(
+            {"id_a": ids[ia[keep]], "id_b": ids[ib[keep]], "cos_raw": s[keep]}
+        )
+
+    return (
+        frame.select(block_col, id_col, vec_col)
+        .groupBy(block_col)
+        .applyInPandas(_block, out_schema)
+    )
+
+
 def rp_signature(vec: Column, n_planes: int = 8, seed: int = 7) -> Column:
     """Deterministic sign-random-projection signature (n_planes bits).
 
@@ -737,14 +814,20 @@ def _argmin_cell(
     """Assign each vector to its nearest centroid under
     :func:`decimal_sq_dist` (ties by cell id) — the deterministic-IVF
     twin's assignment, metrically IDENTICAL to its probe ranking so
-    a planted copy's cell is always its query's first probe."""
-    w = Window.partitionBy(id_name).orderBy("__d", "__cell")
+    a planted copy's cell is always its query's first probe.
+
+    The argmin is ``min(struct(__d, __cell))`` grouped on the vector:
+    lexicographic struct order is exactly the (__d ASC, __cell ASC)
+    rank-1 row the previous window computed, but partial aggregation
+    collapses the |centroids| scored rows per vector MAP-SIDE — the
+    exchange carries one partial row per vector instead of all scored
+    candidates, and the per-group sort disappears (guide §2.2)."""
     return (
         rows.crossJoin(cent)
         .withColumn("__d", decimal_sq_dist(F.col(vec_name), F.col("__center")))
-        .withColumn("__r", F.row_number().over(w))
-        .filter(F.col("__r") == 1)
-        .select(id_name, vec_name, "__cell")
+        .groupBy(id_name, vec_name)
+        .agg(F.min(F.struct("__d", "__cell")).alias("__m"))
+        .select(id_name, vec_name, F.col("__m.__cell").alias("__cell"))
     )
 
 

@@ -1019,45 +1019,22 @@ def _near_dup_pair_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.transform("v", lambda x: x * 1.0 + 0.02).alias("v"),
         )
     )
-    # Normalize ONCE map-side so the quadratic pair stage pays one dot
-    # product, not dot + two norms (measured ~3x on the blocked join).
-    from ..functions.core import let_
-    from ..operators.similarity import l2_norm
+    # r14: the label-blocked pair stage runs through the vectorized
+    # NumPy kernel (guide §4.2) — the previous JVM expression plan
+    # (normalize once map-side via let_, then an interpreted
+    # zip_with/aggregate dot per pair behind the label join) paid
+    # ~µs/pair/dim; the kernel replays the identical IEEE op sequence
+    # (norm fold, x/n, dim-by-dim dot fold), rounding and the 0.9
+    # threshold stay in the certified JVM expressions below, and the
+    # raw pre-cut at 0.9 - 2e-6 keeps every pair that can round up to
+    # the threshold (pinned bit-for-bit against the old expression
+    # plan by tests/test_llmdata.py::test_near_dup_pairs_matches_jvm).
+    from ..operators.similarity import blocked_cosine_pairs_np
 
-    # let_-bind the norm so it is computed once per vector, not once
-    # per element inside the transform lambda.
-    corpus = base.unionByName(perturbed).select(
-        "label",
-        "vec_id",
-        let_(
-            l2_norm(F.col("v")),
-            lambda n: F.transform("v", lambda x: x / n),
-        ).alias("__n"),
-    )
-    a = corpus.select(
-        F.col("label"), F.col("vec_id").alias("id_a"), F.col("__n").alias("__na")
-    )
-    b = corpus.select(
-        F.col("label"), F.col("vec_id").alias("id_b"), F.col("__n").alias("__nb")
-    )
-    return _pairs(a, b)
-
-
-def _pairs(a: DataFrame, b: DataFrame) -> DataFrame:
-    """Unsorted cosine near-dup pairs — the certified query adds its
-    oracle ORDER BY; graph consumers (dedup_semantic_keepers) take
-    this form so they don't pay a corpus-wide range-exchange + sort
-    they immediately re-shuffle by node."""
-    from ..operators.similarity import dot
-
+    corpus = base.unionByName(perturbed).select("label", "vec_id", "v")
     return (
-        a.join(b, "label")
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select(
-            "id_a",
-            "id_b",
-            F.round(dot(F.col("__na"), F.col("__nb")), 6).alias("cos_sim"),
-        )
+        blocked_cosine_pairs_np(corpus, "label", "vec_id", "v", 0.9 - 2e-6)
+        .select("id_a", "id_b", F.round("cos_raw", 6).alias("cos_sim"))
         .filter(F.col("cos_sim") >= 0.9)
     )
 
@@ -3796,13 +3773,17 @@ def embedding_pq_adc_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             "sv", "w", lambda x, y: F.round((x - y) * (x - y), 6).cast(dec)
         )
     )
-    w_arg = Window.partitionBy("vec_id", "s").orderBy("d", "k")
+    # argmin as min(struct(d, k)) — lexicographic struct order IS the
+    # (d ASC, k ASC) rank-1 row, but partial aggregation collapses the
+    # 16 candidates per (vec, subspace) map-side: the exchange carries
+    # one partial row per group instead of all K scored rows, and the
+    # per-group sort disappears (guide §2.2)
     codes = (
         tall.join(F.broadcast(cw.select("s", "k", "w")), "s")
         .select("vec_id", "s", "k", d.alias("d"))
-        .withColumn("__r", F.row_number().over(w_arg))
-        .filter(F.col("__r") == 1)
-        .select("vec_id", "s", "k")
+        .groupBy("vec_id", "s")
+        .agg(F.min(F.struct("d", "k")).alias("__m"))
+        .select("vec_id", "s", F.col("__m.k").alias("k"))
     )
 
     qsubs = queries.select(

@@ -151,6 +151,70 @@ def test_cosine_topk_matches_pair_join(spark):
     assert len(got_t) == 10 * 3  # every query filled its k
 
 
+def test_near_dup_pairs_matches_jvm(spark):
+    """The vectorized blocked-pair kernel (blocked_cosine_pairs_np)
+    must reproduce the pre-r14 JVM expression plan EXACTLY on the
+    real fixture — same (id_a, id_b) set, cos_sim bit-identical at
+    6 dp — including the perturbed near-duplicates that sit right at
+    the 0.9 threshold the raw pre-cut must not lose."""
+    from real_estate_etl_dev_spark.functions.core import let_
+    from real_estate_etl_dev_spark.operators.similarity import dot, l2_norm
+    from real_estate_etl_dev_spark.plans.llmdata import (
+        _id_offset,
+        _near_dup_pair_frames,
+    )
+    from real_estate_etl_dev_spark.sources.readers import load_table
+
+    sf = "/root/testdata/sf0.001"
+    got = sorted(map(tuple, _near_dup_pair_frames(spark, sf).collect()))
+
+    # reference: the pre-optimization JVM expression pipeline, verbatim
+    base = load_table(spark, sf, "embeddings").select(
+        "vec_id",
+        "label",
+        F.transform("embedding", lambda x: x.cast("double")).alias("v"),
+    )
+    perturbed = (
+        base.filter(F.col("vec_id") % 20 == 0)
+        .crossJoin(F.broadcast(_id_offset(base, "vec_id")))
+        .select(
+            (F.col("vec_id") + F.col("_off")).alias("vec_id"),
+            "label",
+            F.transform("v", lambda x: x * 1.0 + 0.02).alias("v"),
+        )
+    )
+    corpus = base.unionByName(perturbed).select(
+        "label",
+        "vec_id",
+        let_(
+            l2_norm(F.col("v")),
+            lambda n: F.transform("v", lambda x: x / n),
+        ).alias("__n"),
+    )
+    a = corpus.select(
+        "label", F.col("vec_id").alias("id_a"), F.col("__n").alias("__na")
+    )
+    b = corpus.select(
+        "label", F.col("vec_id").alias("id_b"), F.col("__n").alias("__nb")
+    )
+    want = sorted(
+        map(
+            tuple,
+            a.join(b, "label")
+            .filter(F.col("id_a") < F.col("id_b"))
+            .select(
+                "id_a",
+                "id_b",
+                F.round(dot(F.col("__na"), F.col("__nb")), 6).alias("cos_sim"),
+            )
+            .filter(F.col("cos_sim") >= 0.9)
+            .collect(),
+        )
+    )
+    assert got == want
+    assert len(got) > 0  # the planted perturbed copies must be found
+
+
 def test_lsh_topk_finds_identical_bucket(spark):
     # an EXACT copy of the query must share its bucket at any plane
     # count (identical vector ⇒ identical signature) and re-rank to
