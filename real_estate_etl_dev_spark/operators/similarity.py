@@ -159,6 +159,95 @@ def cosine_topk(
     )
 
 
+def cosine_prefix_scores(
+    corpus: DataFrame,
+    queries: DataFrame,
+    dims: tuple,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """RAW prefix-truncated cosines of every (query, corpus) pair at
+    each prefix width in ``dims`` — one vectorized NumPy pass over the
+    corpus (guide §4.2), the multi-width sibling of
+    :func:`cosine_topk`'s kernel.  Returns one row per non-self pair
+    with columns ``cos_d{d}`` (raw double; callers apply the certified
+    JVM ``F.round``).
+
+    Bit-exactness: the JVM expression this replaces evaluates
+    ``cosine(slice(q, 1, d), slice(c, 1, d))`` per width — a
+    sequential left fold over the first ``d`` elements.  The kernel
+    accumulates dot and both square-norms dimension BY dimension in
+    float64 and snapshots all three accumulators at each width in
+    ``dims``, so the prefix value IS the first ``d`` iterations of the
+    identical IEEE op sequence; ``sqrt`` and the final division are
+    single correctly-rounded ops on both sides, and a zero-norm
+    prefix yields the same NaN.  Pinned by
+    ``tests/test_llmdata.py::test_cosine_prefix_scores_matches_jvm``.
+
+    Scale: the bounded query batch rides the task closure; the corpus
+    is scanned once, and the pair frame that leaves Python carries
+    only ids + |dims| doubles — the vectors never enter a shuffle."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as Tp
+
+    dims = tuple(dims)
+    id_type_q = queries.schema[id_col].dataType
+    id_type_c = corpus.schema[id_col].dataType
+    out_schema = Tp.StructType(
+        [
+            Tp.StructField("query_id", id_type_q),
+            Tp.StructField("neighbor_id", id_type_c),
+            *[Tp.StructField(f"cos_d{d}", Tp.DoubleType()) for d in dims],
+        ]
+    )
+    q_pdf = queries.select(F.col(id_col), F.col(vec_col)).toPandas()
+    spark = corpus.sparkSession
+    if len(q_pdf) == 0:
+        return spark.createDataFrame([], out_schema)
+    qids = q_pdf[id_col].to_numpy()
+    qm = np.stack([np.asarray(v) for v in q_pdf[vec_col]]).astype(
+        np.float64, copy=False
+    )
+    dimset = set(dims)
+
+    def _score(pdfs):
+        for pdf in pdfs:
+            if len(pdf) == 0:
+                continue
+            cids = pdf[id_col].to_numpy()
+            cm = np.stack([np.asarray(v) for v in pdf[vec_col]]).astype(
+                np.float64, copy=False
+            )
+            n_c, n_q = len(cids), len(qids)
+            dot = np.zeros((n_c, n_q), dtype=np.float64)
+            cn = np.zeros(n_c, dtype=np.float64)
+            qn = np.zeros(n_q, dtype=np.float64)
+            out = {}
+            for i in range(cm.shape[1]):
+                dot += cm[:, i : i + 1] * qm[None, :, i]
+                cn += cm[:, i] * cm[:, i]
+                qn += qm[:, i] * qm[:, i]
+                if (i + 1) in dimset:
+                    with np.errstate(divide="ignore", invalid="ignore"):
+                        out[i + 1] = dot / (
+                            np.sqrt(cn)[:, None] * np.sqrt(qn)[None, :]
+                        )
+            keep = cids[:, None] != qids[None, :]
+            ii, jj = np.nonzero(keep)
+            yield pd.DataFrame(
+                {
+                    "query_id": qids[jj],
+                    "neighbor_id": cids[ii],
+                    **{f"cos_d{d}": out[d][ii, jj] for d in dims},
+                }
+            )
+
+    return corpus.select(F.col(id_col), F.col(vec_col)).mapInPandas(
+        _score, out_schema
+    )
+
+
 def blocked_cosine_pairs_np(
     frame: DataFrame,
     block_col: str,

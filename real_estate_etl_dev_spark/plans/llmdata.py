@@ -3350,24 +3350,35 @@ def embedding_matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.transform("embedding", lambda x: x.cast("double")).alias("v"),
     )
     queries = emb.filter(F.col("vec_id") < 8)
-    from ..operators.similarity import cosine
+    from ..operators.similarity import cosine_prefix_scores
 
-    q = queries.select(F.col("vec_id").alias("query_id"), F.col("v").alias("qv"))
-    c = emb.select(F.col("vec_id").alias("neighbor_id"), F.col("v").alias("cv"))
     nq = queries.agg(F.count(F.lit(1)).cast("long").alias("n_queries"))
 
-    pairs = c.join(
-        F.broadcast(q), F.col("neighbor_id") != F.col("query_id")
+    dims = [8, 16, 32, 64]
+    # r14 (guide §4.2, §2.3): ONE vectorized kernel pass scores every
+    # non-self (query, neighbor) pair at ALL four prefix widths — the
+    # previous shape evaluated five interpreted zip_with/aggregate
+    # cosines (full + 4 slices, the funnel re-rank re-scoring a sixth
+    # time) over a checkpointed pair frame that carried both 64-dim
+    # vectors through every window exchange.  The prefix cosine at
+    # width d is the first d iterations of the full fold, so one
+    # accumulator sweep with snapshots replays the identical IEEE op
+    # sequence (bit-exactness pinned by
+    # test_cosine_prefix_scores_matches_jvm); rounding stays in the
+    # certified JVM F.round, and the frame that leaves Python carries
+    # ids + 4 doubles — the vectors never enter a shuffle.
+    scored = cosine_prefix_scores(
+        emb, queries, dims, id_col="vec_id", vec_col="v"
     ).localCheckpoint(eager=True)
 
     w_full = Window.partitionBy("query_id").orderBy(
         F.desc("cos_full"), F.asc("neighbor_id")
     )
     full5 = (
-        pairs.select(
+        scored.select(
             "query_id",
             "neighbor_id",
-            F.round(cosine(F.col("qv"), F.col("cv")), 6).alias("cos_full"),
+            F.round("cos_d64", 6).alias("cos_full"),
         )
         .withColumn("__r", F.row_number().over(w_full))
         .filter(F.col("__r") <= 5)
@@ -3375,19 +3386,16 @@ def embedding_matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         .localCheckpoint(eager=True)
     )
 
-    dims = [8, 16, 32, 64]
-    # one tall (dim, query, neighbor) frame: truncated cosine + rank
+    # one tall (dim, query, neighbor) frame: truncated cosine + rank;
+    # cos_full rides along so the funnel re-rank needs no re-scoring
     tall = None
     for d in dims:
-        sl = pairs.select(
+        sl = scored.select(
             F.lit(d).cast("long").alias("dim"),
             "query_id",
             "neighbor_id",
-            "qv",
-            "cv",
-            F.round(
-                cosine(F.slice("qv", 1, d), F.slice("cv", 1, d)), 6
-            ).alias("cos_trunc"),
+            F.round(f"cos_d{d}", 6).alias("cos_trunc"),
+            F.round("cos_d64", 6).alias("cos_full"),
         )
         tall = sl if tall is None else tall.unionByName(sl)
     w_t = Window.partitionBy("dim", "query_id").orderBy(
@@ -3408,9 +3416,6 @@ def embedding_matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     funnel = (
         ranked.filter(F.col("__r") <= 50)
-        .withColumn(
-            "cos_full", F.round(cosine(F.col("qv"), F.col("cv")), 6)
-        )
         .withColumn("__rr", F.row_number().over(w_re))
         .filter(F.col("__rr") <= 5)
         .join(full5, ["query_id", "neighbor_id"], "left_semi")

@@ -151,6 +151,67 @@ def test_cosine_topk_matches_pair_join(spark):
     assert len(got_t) == 10 * 3  # every query filled its k
 
 
+def test_cosine_prefix_scores_matches_jvm(spark):
+    """The multi-width prefix kernel (cosine_prefix_scores) must equal
+    the JVM ``cosine(slice(q,1,d), slice(c,1,d))`` expression EXACTLY
+    (raw doubles, bitwise) at every width — duplicate vectors force
+    rounding ties — since embedding_matryoshka_recall's certified
+    values are F.round over these raw cosines.  (No zero-norm prefix
+    in the fixture: under ANSI mode the JVM reference THROWS on a
+    zero divisor, so the real query could never have computed one —
+    the kernel's NaN there is unreachable-by-construction.)"""
+    import math
+
+    from real_estate_etl_dev_spark.operators.similarity import (
+        cosine,
+        cosine_prefix_scores,
+    )
+
+    rows = []
+    for i in range(30):
+        base = i % 8
+        v = [((base * 5 + j * 11) % 13) / 6.0 - 1.05 for j in range(12)]
+        rows.append((i, v))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    queries = emb.filter(F.col("vec_id") % 5 == 0)
+    dims = (4, 8, 12)
+
+    got = {
+        (r["query_id"], r["neighbor_id"]): tuple(r[f"cos_d{d}"] for d in dims)
+        for r in cosine_prefix_scores(emb, queries, dims).collect()
+    }
+
+    q = queries.select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+    )
+    c = emb.select(
+        F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("cv")
+    )
+    want_rows = (
+        c.join(F.broadcast(q), F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            *[
+                cosine(F.slice("qv", 1, d), F.slice("cv", 1, d)).alias(f"c{d}")
+                for d in dims
+            ],
+        )
+        .collect()
+    )
+    want = {
+        (r["query_id"], r["neighbor_id"]): tuple(r[f"c{d}"] for d in dims)
+        for r in want_rows
+    }
+    assert set(got) == set(want) and len(got) == 6 * 29
+    for k in want:
+        for g, w in zip(got[k], want[k]):
+            if w is None or (isinstance(w, float) and math.isnan(w)):
+                assert g is None or math.isnan(g), (k, g, w)
+            else:
+                assert g == w, (k, g, w)  # bitwise-equal doubles
+
+
 def test_near_dup_pairs_matches_jvm(spark):
     """The vectorized blocked-pair kernel (blocked_cosine_pairs_np)
     must reproduce the pre-r14 JVM expression plan EXACTLY on the
