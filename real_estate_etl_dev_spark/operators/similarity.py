@@ -21,6 +21,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from ..sources.readers import fan_out
+
 
 def dot(a: Column, b: Column) -> Column:
     return F.aggregate(
@@ -773,6 +775,11 @@ def ann_operating_curve(
         "neighbor_id",
         "__cvec",
     ).localCheckpoint(eager=True)
+    # fan_out (r14): AQE coalesces the argmin group exchange to one
+    # partition at fixture byte-sizes and the checkpoint freezes it,
+    # so all three IVF probe joins emitted candidates from one core;
+    # conditional spread, no-op at real scale.
+    assigned = fan_out(assigned)
     q_cells = (
         queries.select(
             F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qvec")

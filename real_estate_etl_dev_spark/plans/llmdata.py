@@ -23,7 +23,7 @@ from ..operators.dedup import (
 )
 from ..operators.multimodal import attach_binary, fake_feature_extractor
 from ..operators.similarity import cosine_topk, lsh_topk
-from ..sources.readers import load_table
+from ..sources.readers import fan_out, load_table
 from .catalog import query
 
 
@@ -418,10 +418,20 @@ def _planted_embeddings(
 
     The planted copy is the query's EXACT vector, so for any sound ANN
     index it must be the rank-1 neighbor with cosine 1.0 — an
-    invariant DuckDB can state without modelling the index."""
-    emb = load_table(spark, sf_dir, "embeddings").select(
-        "vec_id",
-        F.transform("embedding", lambda x: x.cast("double")).alias("embedding"),
+    invariant DuckDB can state without modelling the index.
+
+    fan_out (r14, guide §2.5): the consumers' per-row work — LCG
+    decimal signing, decimal argmin assignment, KMeans aggregation —
+    is the heavy kind, and the committed single-row-group embeddings
+    scan gave it ONE task; the conditional spread is a no-op at real
+    scale."""
+    emb = fan_out(
+        load_table(spark, sf_dir, "embeddings").select(
+            "vec_id",
+            F.transform("embedding", lambda x: x.cast("double")).alias(
+                "embedding"
+            ),
+        )
     )
     queries = emb.filter(F.col("vec_id") < 8)
     dups = (
@@ -3723,7 +3733,10 @@ def embedding_pq_adc_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     codeword) dots are a 16x8-entry lookup table, which is exactly
     how a production PQ/ADC scan runs at 100 TB — the corpus is read
     as 8 4-bit codes per vector (128x compression vs float64) and
-    scoring is table lookups + adds.  The audit emits BOTH operating
+    scoring is table lookups + adds.  (fan_out r14: the assignment
+    argmin and both exact re-rank passes are decimal/fold map work
+    over the single-task fixture scan — spread across cores; no-op
+    at real scale.)  The audit emits BOTH operating
     points per query: direct ADC top-5 overlap with the exact
     full-precision top-5 (honestly low on this unclusterable random
     fixture — that IS the 128x price) and the production funnel —
@@ -3743,9 +3756,11 @@ def embedding_pq_adc_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     for only 50 candidates per query."""
     from ..operators.similarity import cosine
 
-    emb = load_table(spark, sf_dir, "embeddings").select(
-        "vec_id",
-        F.transform("embedding", lambda x: x.cast("double")).alias("v"),
+    emb = fan_out(
+        load_table(spark, sf_dir, "embeddings").select(
+            "vec_id",
+            F.transform("embedding", lambda x: x.cast("double")).alias("v"),
+        )
     )
     queries = emb.filter(F.col("vec_id") < 8)
     dec = "decimal(24,6)"
@@ -5086,7 +5101,11 @@ def streaming_ann_enrichment_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         assigned, centers = ivf_index(
             corpus, n_centroids=8, seed=42, max_iter=4
         )
-        assigned = assigned.localCheckpoint()
+        # fan_out (r14): the checkpoint freezes AQE's byte-coalesced
+        # layout (one partition at fixture sizes), serializing every
+        # trigger's candidate scoring; conditional spread, no-op at
+        # real scale where the assignment persists with the corpus.
+        assigned = fan_out(assigned.localCheckpoint())
 
     stream = stream_source(
         spark, drop_dir, queries.schema, fmt="parquet", maxFilesPerTrigger=2
@@ -6983,7 +7002,9 @@ def dsir_importance_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     lang-bounded.  No UDFs, no driver collect."""
     from ..functions.core import let_
 
-    docs = load_table(spark, sf_dir, "documents")
+    # fan_out (r14): both gram map passes ran on the fixture scan's
+    # single task; spread them across cores.  No-op at real scale.
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
     toks = F.split(F.lower(F.col("text")), " ")
 
     # unigrams ∪ bigrams with the split let_-bound ONCE: referencing

@@ -97,6 +97,45 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(path)
 
 
+def fan_out(df: DataFrame) -> DataFrame:
+    """Spread a CPU-heavy map pipeline across the cluster when its
+    input's PHYSICAL parallelism is below the session's core count —
+    the guide §2.5 "repartition immediately after the read" remedy
+    for unsplittable inputs, made conditional so it is a no-op at
+    real scale.
+
+    Why it exists: the committed testdata ships every table as ONE
+    parquet row group, so a scan is one task no matter what
+    ``maxPartitionBytes``/``minPartitionNum`` say (byte-ranges of a
+    single row group collapse to one non-empty split), and every
+    map-heavy stage above it — regex batteries, shingle explodes,
+    decimal distance passes — runs on one core while the other 31
+    idle.  The same degeneracy appears above ``localCheckpoint``:
+    AQE coalesces small-BYTE exchanges to one partition
+    (`parallelismFirst` still respects the 1 MB floor), the
+    checkpoint freezes that layout, and a fan-out stage reading it
+    (prefix-token candidate joins, bucket-pair explodes) serializes.
+
+    At 100 TB inputs carry orders of magnitude more row groups than
+    cores and checkpointed frames inherit real shuffle parallelism,
+    so the partition check fails and this returns ``df`` untouched —
+    the repartition only fires when the frame is provably narrower
+    than the cluster, where its round-robin shuffle is by
+    construction small (fewer partitions than cores of data).
+
+    CALLER CONTRACT: only wrap frames whose plan below is scans +
+    maps + already-materialized checkpoints.  ``df.rdd`` must build
+    the physical RDD to read the partition count; over an
+    unexecuted exchange (AQE) that would force the stage to run
+    early (harmless for timing — still inside the query — but it
+    would also freeze the plan).  Apply AFTER pushed filters: an
+    exchange between scan and filter would defeat pushdown."""
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 def register_views(spark: SparkSession, sf_dir: str, prefix: str = "") -> None:
     """Register every table as a temp view for spark.sql paths."""
     for name in TABLES:
