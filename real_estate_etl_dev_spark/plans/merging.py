@@ -384,20 +384,41 @@ def merge_bucketed_scd1(spark: SparkSession, sf_dir: str) -> DataFrame:
         for t in (cur_t, stg_t):
             spark.sql(f"DROP TABLE IF EXISTS {t}")
             shutil.rmtree(f"{wh}/{t}", ignore_errors=True)
-        # repartition(1): one writer task => exactly one file per
-        # bucket, keeping the layout canonical.  Fixture-sized by
-        # construction.  At a real deployment the current table is
-        # written bucketed ONCE and amortized over every nightly
-        # merge — this span is the per-invocation analog of that
-        # one-time cost, hence setup, not merge time.
+        # repartition(8, url): Spark's bucket id IS the hash-partition
+        # id (both are pmod(murmur3(url), 8)), so partition-aligning
+        # the writer gives EXACTLY one file per bucket — the same
+        # canonical layout the old repartition(1) single writer
+        # produced — with 8 writers in parallel instead of one task
+        # writing all 8 files sequentially (r14; the one-file-per-
+        # bucket invariant is asserted right below).  At a real
+        # deployment the current table is written bucketed ONCE and
+        # amortized over every nightly merge — this span is the
+        # per-invocation analog of that one-time cost, hence setup,
+        # not merge time.
         write_bucketed(
-            current_fixture(spark, sf_dir).repartition(1),
+            current_fixture(spark, sf_dir).repartition(8, F.col("url")),
             cur_t, n_buckets=8, sort_col="url",
         )
         write_bucketed(
-            staging_fixture(spark, sf_dir).repartition(1),
+            staging_fixture(spark, sf_dir).repartition(8, F.col("url")),
             stg_t, n_buckets=8, sort_col="url",
         )
+        # one-file-per-bucket invariant: a second file in any bucket
+        # would silently demote the sorted-bucket read to Sort-on-read
+        # (no Exchange, so the plan assert below would NOT catch it)
+        import os as _os
+
+        for t in (cur_t, stg_t):
+            data_files = [
+                fn
+                for fn in _os.listdir(f"{wh}/{t}")
+                if fn.endswith(".parquet") and not fn.startswith("_")
+            ]
+            if len(data_files) != 8:
+                raise AssertionError(
+                    f"bucketed table {t}: expected exactly 8 bucket "
+                    f"files (one per bucket), found {len(data_files)}"
+                )
     cur, stg = bucketed_merge_ready(spark, cur_t, stg_t)
     merged = merge_listings(cur, stg, run_date=RUN_DATE)
     plan = merged._jdf.queryExecution().executedPlan().toString()
