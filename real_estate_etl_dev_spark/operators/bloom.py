@@ -67,6 +67,31 @@ def bit_position(key, i: int, m: int):
     return (F.lit(a2).cast("long") * w) % m31 % F.lit(m).cast("long")
 
 
+def bit_position_col(key, i, m) -> F.Column:
+    """COLUMN-parametric twin of :func:`bit_position`: the hash index
+    ``i`` and modulus ``m`` arrive as columns, so ONE tall frame can
+    carry every (config, hash-index) combination through a single
+    explode + exchange instead of one plan subtree per config (the
+    r14 bloom_sizing_design rewrite — guide §2.4, share the
+    exchange).  The arithmetic is the literal form's, term for term,
+    with the ``lcg_params`` derivations inlined as int64 column
+    expressions; every intermediate stays below 2^62 exactly as in
+    the literal form, so the positions are bit-identical (pinned by
+    tests/test_llmdata.py::test_bit_position_col_matches_literal)."""
+    m31 = F.lit(_M31).cast("long")
+    m30 = F.lit(_M30).cast("long")
+    i1 = i.cast("long") + 1
+    a = 2 * ((F.lit(1103515245).cast("long") * i1 + 12345) % m30) + 1
+    c = (F.lit(1013904223).cast("long") * i1) % m31
+    i9 = i.cast("long") + 9  # lcg_params(i + 8) → multiplier index i+9
+    a2 = 2 * ((F.lit(1103515245).cast("long") * i9 + 12345) % m30) + 1
+    x = key.cast("long") % m31
+    y = x.bitwiseXOR(F.shiftrightunsigned(x, 15))
+    z = (a * y + c) % m31
+    w = z.bitwiseXOR(F.shiftrightunsigned(z, 13))
+    return (a2 * w) % m31 % m.cast("long")
+
+
 def bit_position_sql(key_expr: str, i: int, m: int) -> str:
     """The DuckDB twin of :func:`bit_position` — kept adjacent so the
     two formulations can be reviewed as one."""

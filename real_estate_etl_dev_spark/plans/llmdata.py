@@ -4504,75 +4504,96 @@ def bloom_filter_fp_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     quantifies per configuration — the same audit-before-trust
     pattern as setsim_bucket_audit and embedding_ann_recall_cost.
 
-    Plan/scale: per config, the filter is ONE distinct agg over a
-    map-side k-way explode, bounded at m rows — broadcast-sized by
-    the CONSTANT m however large the member set grows; the probe is
-    that broadcast join plus one per-key verdict agg.  Nothing in the
-    plan shuffles more than k rows per input key, and the four
-    configs are independent union branches.  Hash determinism: LCG
-    family in exact int64 (operators/bloom.py:lcg_params) — every bit
-    position, hence every audited count, is integer-identical across
-    engines; the only floats are the two final ratio divisions
-    (round 6).  Production note: at 100 TB you'd localCheckpoint/
-    persist ``bits`` (it is the shippable artifact); here the tiny
-    double evaluation keeps the audit one self-contained action."""
-    from ..operators.bloom import bloom_bits, bloom_probe
+    Plan/scale (r14 TALL rewrite, guide §2.4 — same as
+    bloom_sizing_design): the four configs ride ONE tall frame keyed
+    by (m, k) instead of four independent plan subtrees — one distinct
+    exchange builds every config's bit set (still bounded at Σm rows —
+    broadcast-sized by the CONSTANT grid however large the member set
+    grows), one verdict exchange scores every config's probes, two
+    scalar aggs.  The hash positions come from the column-parametric
+    ``bit_position_col`` — bit-identical to the literal family,
+    test-pinned.  Hash determinism: LCG family in exact int64
+    (operators/bloom.py:lcg_params) — every bit position, hence every
+    audited count, is integer-identical across engines; the only
+    floats are the two final ratio divisions (round 6).  Production
+    note: at 100 TB you'd localCheckpoint/persist ``bits`` (it is the
+    shippable artifact); here the tiny double evaluation keeps the
+    audit one self-contained action."""
+    from ..operators.bloom import bit_position_col
 
     orders = load_table(spark, sf_dir, "orders")
-    members = (
-        orders.filter(F.col("o_orderpriority") == "1-URGENT")
-        .select(F.col("o_orderkey").alias("key"))
+    grid = F.broadcast(
+        spark.createDataFrame(list(_BLOOM_CONFIGS), "m long, k long")
     )
-    probes = orders.select(
+    tall = orders.select(
         F.col("o_orderkey").alias("key"),
         (F.col("o_orderpriority") == "1-URGENT").alias("is_member"),
+    ).crossJoin(grid)
+    pos_of = bit_position_col(F.col("key"), F.col("__i"), F.col("m"))
+    bits = (
+        tall.filter("is_member")
+        .select(
+            "m",
+            "k",
+            F.explode(F.sequence(F.lit(0).cast("long"), F.col("k") - 1)).alias("__i"),
+            "key",
+        )
+        .select("m", "k", pos_of.alias("bitpos"))
+        .distinct()
     )
-    parts = []
-    for m, k in _BLOOM_CONFIGS:
-        bits = bloom_bits(members, "key", m, k)
-        bits_set = bits.agg(F.count(F.lit(1)).cast("long").alias("bits_set"))
-        verdicts = bloom_probe(probes, "key", bits, m, k)
-        mem = F.col("is_member")
-        pos = F.col("bloom_positive")
-        stats = verdicts.agg(
-            F.sum(F.when(mem, 1).otherwise(0)).cast("long").alias("n_members"),
-            F.count(F.lit(1)).cast("long").alias("n_probes"),
-            F.sum(F.when(mem & pos, 1).otherwise(0))
-            .cast("long")
-            .alias("true_pos"),
-            F.sum(F.when(~mem & pos, 1).otherwise(0))
-            .cast("long")
-            .alias("false_pos"),
-            F.sum(F.when(mem & ~pos, 1).otherwise(0))
-            .cast("long")
-            .alias("false_neg"),
+    exploded = tall.select(
+        "m",
+        "k",
+        "key",
+        "is_member",
+        F.explode(F.sequence(F.lit(0).cast("long"), F.col("k") - 1)).alias("__i"),
+    ).select("m", "k", "key", "is_member", pos_of.alias("bitpos"))
+    verdicts = (
+        exploded.join(
+            F.broadcast(bits.withColumn("_hit", F.lit(1))),
+            ["m", "k", "bitpos"],
+            "left",
         )
-        parts.append(
-            stats.crossJoin(F.broadcast(bits_set)).select(
-                F.lit(m).cast("long").alias("m"),
-                F.lit(k).cast("long").alias("k"),
-                "n_members",
-                "bits_set",
+        .groupBy("m", "k", "key", "is_member")
+        .agg((F.count(F.lit(1)) == F.count(F.col("_hit"))).alias("bloom_positive"))
+    )
+    mem = F.col("is_member")
+    pos = F.col("bloom_positive")
+    stats = verdicts.groupBy("m", "k").agg(
+        F.sum(F.when(mem, 1).otherwise(0)).cast("long").alias("n_members"),
+        F.count(F.lit(1)).cast("long").alias("n_probes"),
+        F.sum(F.when(mem & pos, 1).otherwise(0)).cast("long").alias("true_pos"),
+        F.sum(F.when(~mem & pos, 1).otherwise(0)).cast("long").alias("false_pos"),
+        F.sum(F.when(mem & ~pos, 1).otherwise(0)).cast("long").alias("false_neg"),
+    )
+    bits_set = bits.groupBy("m", "k").agg(
+        F.count(F.lit(1)).cast("long").alias("bits_set")
+    )
+    return (
+        stats.join(F.broadcast(bits_set), ["m", "k"])
+        .select(
+            "m",
+            "k",
+            "n_members",
+            "bits_set",
+            F.round(F.col("bits_set").cast("double") / F.col("m"), 6).alias(
+                "fill_ratio"
+            ),
+            "n_probes",
+            "true_pos",
+            "false_pos",
+            "false_neg",
+            F.when(
+                (F.col("n_probes") - F.col("n_members")) > 0,
                 F.round(
-                    F.col("bits_set").cast("double") / F.lit(m).cast("long"), 6
-                ).alias("fill_ratio"),
-                "n_probes",
-                "true_pos",
-                "false_pos",
-                "false_neg",
-                F.when(
-                    (F.col("n_probes") - F.col("n_members")) > 0,
-                    F.round(
-                        F.col("false_pos").cast("double")
-                        / (F.col("n_probes") - F.col("n_members")),
-                        6,
-                    ),
-                ).alias("fp_rate"),
-            )
+                    F.col("false_pos").cast("double")
+                    / (F.col("n_probes") - F.col("n_members")),
+                    6,
+                ),
+            ).alias("fp_rate"),
         )
-    from functools import reduce
-
-    return reduce(lambda a, b: a.unionByName(b), parts).orderBy("m", "k")
+        .orderBy("m", "k")
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -4740,72 +4761,137 @@ def bloom_sizing_design(spark: SparkSession, sf_dir: str) -> DataFrame:
     every hash position is the exact
     int64 LCG family; the measured-FP division is ANSI-guarded for
     the degenerate all-members case (sf0.001 loads the whole orders
-    table into the larger grids).  Plan/scale: identical to the FP
-    audit — per config ONE distinct agg over a k-way explode bounded
-    at m rows, broadcast back over the probe explode; the member
-    threshold is a 1-row broadcast."""
+    table into the larger grids).
+
+    Plan/scale (r14 TALL rewrite, guide §2.4 — share the exchange):
+    the old form built one independent subtree per grid config —
+    7 member-sorts, 7 bit-set aggregates, 7 probe exchanges, ~0.76s
+    of fixed stage cost apiece, perfectly additive (measured).  Now
+    every config rides ONE tall frame: a single ranked pass derives
+    all member thresholds (max key at rank ≤ n_load — identical to
+    the old per-config orderBy/limit/max, including the
+    all-rows-member degenerate case when n_load exceeds the table),
+    the config grid (m, k, thr, Python-literal predicted_fp — same
+    plan-time arithmetic as before) broadcasts, and the bit build +
+    probe verdicts explode per (config, hash index) with the
+    COLUMN-parametric ``bit_position_col`` (bit-identical positions,
+    test-pinned) — one distinct exchange for every config's bit set,
+    one verdict exchange for every config's probes, two scalar aggs.
+    Same math, same rows; the per-config plan-copy overhead is gone."""
     import math
 
-    from ..operators.bloom import bloom_bits, bloom_probe, bloom_sizing
+    from ..operators.bloom import bit_position_col, bloom_sizing
 
     orders = load_table(spark, sf_dir, "orders")
     keys = orders.select(F.col("o_orderkey").alias("key"))
-    parts = []
+
+    grid_rows = []
     for cfg, n_design, p, n_load in _SIZING_GRID:
         m, k = bloom_sizing(n_design, p)
-        members = keys.orderBy("key").limit(n_load)
-        thr = members.agg(F.max("key").alias("_thr"))
-        probes = keys.crossJoin(F.broadcast(thr)).select(
-            "key", (F.col("key") <= F.col("_thr")).alias("is_member")
-        )
-        bits = bloom_bits(members, "key", m, k)
-        bits_set = bits.agg(F.count(F.lit(1)).cast("long").alias("bits_set"))
-        verdicts = bloom_probe(probes, "key", bits, m, k)
-        mem, pos = F.col("is_member"), F.col("bloom_positive")
-        stats = verdicts.agg(
-            F.sum(F.when(mem, 1).otherwise(0)).cast("long").alias("n_members"),
-            F.count(F.lit(1)).cast("long").alias("n_probes"),
-            F.sum(F.when(~mem & pos, 1).otherwise(0))
-            .cast("long")
-            .alias("false_pos"),
-            F.sum(F.when(mem & ~pos, 1).otherwise(0))
-            .cast("long")
-            .alias("false_neg"),
-        )
-        predicted = round(
-            (1 - math.exp(-(k * n_design) / m)) ** k, 6
-        )
-        parts.append(
-            stats.crossJoin(F.broadcast(bits_set)).select(
-                F.lit(cfg).alias("cfg"),
-                F.lit(n_design).cast("long").alias("n_design"),
-                F.lit(p).cast("double").alias("target_fp"),
-                F.lit(m).cast("long").alias("m"),
-                F.lit(k).cast("long").alias("k"),
-                "n_members",
-                "bits_set",
-                F.round(
-                    F.col("bits_set").cast("double") / F.lit(m).cast("long"), 6
-                ).alias("fill_ratio"),
-                "false_neg",
-                F.when(
-                    (F.col("n_probes") - F.col("n_members")) > 0,
-                    F.round(
-                        F.col("false_pos").cast("double")
-                        / (F.col("n_probes") - F.col("n_members")),
-                        6,
-                    ),
-                ).alias("measured_fp"),
-                F.lit(predicted).cast("double").alias("predicted_fp"),
-                F.round(
-                    F.col("n_members").cast("double") / F.lit(m).cast("long"),
-                    6,
-                ).alias("saturation"),
-            )
-        )
+        predicted = round((1 - math.exp(-(k * n_design) / m)) ** k, 6)
+        grid_rows.append((cfg, n_design, float(p), m, k, n_load, predicted))
+    grid = spark.createDataFrame(
+        grid_rows,
+        "cfg string, n_design long, target_fp double, m long, k long,"
+        " n_load long, predicted_fp double",
+    )
+
+    # member thresholds per DISTINCT n_load (3 of 7 configs share):
+    # thr = max(orderBy(key).limit(n_load)) — the old per-config
+    # derivation verbatim (TakeOrderedAndProject, scales; a corpus-
+    # global row_number window would not — the catalog-wide plan
+    # invariant test rightly rejects one), degenerate
+    # n_load > |keys| case included
     from functools import reduce
 
-    return reduce(lambda a, b: a.unionByName(b), parts).orderBy("cfg")
+    thrs = reduce(
+        lambda a, b: a.unionByName(b),
+        [
+            keys.orderBy("key")
+            .limit(nl)
+            .agg(F.max("key").alias("_thr"))
+            .select(F.lit(nl).cast("long").alias("n_load"), "_thr")
+            for nl in sorted({r[5] for r in grid_rows})
+        ],
+    )
+    cfgs = F.broadcast(
+        grid.join(thrs, "n_load").select(
+            "cfg", "n_design", "target_fp", "m", "k", "n_load",
+            "predicted_fp", "_thr",
+        )
+    )
+
+    tall = keys.crossJoin(cfgs).select(
+        "cfg", "m", "k", "key", (F.col("key") <= F.col("_thr")).alias("is_member")
+    )
+    pos_of = bit_position_col(
+        F.col("key"), F.col("__i"), F.col("m")
+    )
+    bits = (
+        tall.filter("is_member")
+        .select(
+            "cfg",
+            F.explode(F.sequence(F.lit(0).cast("long"), F.col("k") - 1)).alias("__i"),
+            "key",
+            "m",
+        )
+        .select("cfg", pos_of.alias("bitpos"))
+        .distinct()
+    )
+    exploded = tall.select(
+        "cfg",
+        "key",
+        "is_member",
+        F.explode(F.sequence(F.lit(0).cast("long"), F.col("k") - 1)).alias("__i"),
+        "m",
+    ).select("cfg", "key", "is_member", pos_of.alias("bitpos"))
+    verdicts = (
+        exploded.join(
+            F.broadcast(bits.withColumn("_hit", F.lit(1))), ["cfg", "bitpos"], "left"
+        )
+        .groupBy("cfg", "key", "is_member")
+        .agg((F.count(F.lit(1)) == F.count(F.col("_hit"))).alias("bloom_positive"))
+    )
+    mem, pos = F.col("is_member"), F.col("bloom_positive")
+    stats = verdicts.groupBy("cfg").agg(
+        F.sum(F.when(mem, 1).otherwise(0)).cast("long").alias("n_members"),
+        F.count(F.lit(1)).cast("long").alias("n_probes"),
+        F.sum(F.when(~mem & pos, 1).otherwise(0)).cast("long").alias("false_pos"),
+        F.sum(F.when(mem & ~pos, 1).otherwise(0)).cast("long").alias("false_neg"),
+    )
+    bits_set = bits.groupBy("cfg").agg(
+        F.count(F.lit(1)).cast("long").alias("bits_set")
+    )
+    return (
+        stats.join(F.broadcast(bits_set), "cfg")
+        .join(F.broadcast(grid), "cfg")
+        .select(
+            "cfg",
+            "n_design",
+            "target_fp",
+            "m",
+            "k",
+            "n_members",
+            "bits_set",
+            F.round(F.col("bits_set").cast("double") / F.col("m"), 6).alias(
+                "fill_ratio"
+            ),
+            "false_neg",
+            F.when(
+                (F.col("n_probes") - F.col("n_members")) > 0,
+                F.round(
+                    F.col("false_pos").cast("double")
+                    / (F.col("n_probes") - F.col("n_members")),
+                    6,
+                ),
+            ).alias("measured_fp"),
+            "predicted_fp",
+            F.round(F.col("n_members").cast("double") / F.col("m"), 6).alias(
+                "saturation"
+            ),
+        )
+        .orderBy("cfg")
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -1093,6 +1093,41 @@ def test_bloom_no_false_negatives_and_fp_bounded(spark):
     assert len({row[f"h{i}"] for i in range(3)}) > 1
 
 
+def test_bit_position_col_matches_literal(spark):
+    """The column-parametric hash twin (bit_position_col — the r14
+    tall-audit form where hash index and modulus arrive as columns)
+    must equal the literal family bit-for-bit at every (i, m) the two
+    bloom audits actually sweep, over a key range covering small,
+    large, and mod-2^31-wrapping keys."""
+    from real_estate_etl_dev_spark.operators.bloom import (
+        bit_position,
+        bit_position_col,
+        bloom_sizing,
+    )
+    from real_estate_etl_dev_spark.plans.llmdata import (
+        _BLOOM_CONFIGS,
+        _SIZING_GRID,
+    )
+
+    grids = set(_BLOOM_CONFIGS) | {
+        bloom_sizing(n, p) for _, n, p, _ in _SIZING_GRID
+    }
+    keys = spark.range(0, 50).selectExpr(
+        "id * 977 + 3 as key"
+    ).unionAll(
+        spark.range(0, 8).selectExpr("id * 1103515245 * 4099 as key")
+    )
+    for m, k in sorted(grids):
+        for i in range(k):
+            got = keys.select(
+                bit_position(F.col("key"), i, m).alias("lit"),
+                bit_position_col(
+                    F.col("key"), F.lit(i).cast("long"), F.lit(m).cast("long")
+                ).alias("col"),
+            ).collect()
+            assert all(r["lit"] == r["col"] for r in got), (m, k, i)
+
+
 def test_bloom_probe_keeps_duplicate_keyed_rows(spark):
     """r08 advisor finding: probe rows sharing a key (duplicate texts
     under distinct doc_ids — they exist at sf0.1) must EACH get a

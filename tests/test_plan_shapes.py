@@ -883,11 +883,17 @@ def test_r09_llm_additions_plan_as_documented(spark, sf_dir):
     first_ex = fert.find("Exchange")
     assert first_ex >= 0 and "HashAggregate" in fert[first_ex:]
 
-    # bloom_sizing_design: bit sets broadcast back over the probe
-    # explode, same as the certified FP audit; threshold is broadcast.
+    # bloom_sizing_design (r14 tall form): every config's bit set
+    # rides ONE broadcast probe join keyed (cfg, bitpos) — the bits
+    # side must broadcast (bounded by Σm — the grid CONSTANT), never
+    # sort-merge, and the config grid/threshold frames broadcast too.
+    # (The pre-r14 pin counted >= 7 BroadcastHashJoins — one bit-set
+    # probe per independent config subtree; the tall rewrite is
+    # exactly the removal of those per-config copies.)
     bs = plan_of(spark, sf_dir, "bloom_sizing_design")
     assert "Python" not in bs
-    assert bs.count("BroadcastHashJoin") >= 7  # one bit-set probe per config
+    assert "BroadcastHashJoin" in bs
+    assert "SortMergeJoin" not in bs
     assert "CartesianProduct" not in bs
 
     # embedding_pq_adc_recall: codebook/query sides broadcast; the
