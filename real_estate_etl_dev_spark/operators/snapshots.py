@@ -59,9 +59,16 @@ def publish_version(df: DataFrame, table_dir: str, version: int) -> dict:
     files = sorted(
         os.path.join(vdir, f) for f in os.listdir(vdir) if f.endswith(".parquet")
     )
-    # Count from the written files (also validates the write) rather
-    # than re-executing df's plan.
-    n_rows = df.sparkSession.read.parquet(*files).count()
+    # Count from the written files' FOOTERS (also validates the write)
+    # rather than re-executing df's plan: the parquet footer's row
+    # count is exact by format contract, and reading it is pure
+    # metadata I/O — r15 (guide §5, driver round-trips): the previous
+    # ``spark.read.parquet(*files).count()`` launched one full Spark
+    # job per publish (3 publishes per snapshot query), scanning the
+    # data that was just written.
+    import pyarrow.parquet as _pq
+
+    n_rows = sum(_pq.ParquetFile(f).metadata.num_rows for f in files)
     manifest = {
         "version": version,
         "files": files,

@@ -425,15 +425,18 @@ def _planted_embeddings(
     is the heavy kind, and the committed single-row-group embeddings
     scan gave it ONE task; the conditional spread is a no-op at real
     scale."""
-    emb = fan_out(
-        load_table(spark, sf_dir, "embeddings").select(
-            "vec_id",
-            F.transform("embedding", lambda x: x.cast("double")).alias(
-                "embedding"
-            ),
-        )
+    scan = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias(
+            "embedding"
+        ),
     )
-    queries = emb.filter(F.col("vec_id") < 8)
+    emb = fan_out(scan)
+    # queries derive from the UNWRAPPED scan (ADVICE r14): fan_out's
+    # round-robin exchange between scan and filter would defeat the
+    # vec_id < 8 parquet pushdown on this branch; the 8-row query scan
+    # needs the pushed filter, not the spread.
+    queries = scan.filter(F.col("vec_id") < 8)
     dups = (
         queries.crossJoin(F.broadcast(_id_offset(emb, "vec_id")))
         .withColumn("vec_id", F.col("vec_id") + F.col("_off"))
@@ -3756,13 +3759,16 @@ def embedding_pq_adc_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     for only 50 candidates per query."""
     from ..operators.similarity import cosine
 
-    emb = fan_out(
-        load_table(spark, sf_dir, "embeddings").select(
-            "vec_id",
-            F.transform("embedding", lambda x: x.cast("double")).alias("v"),
-        )
+    scan = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("v"),
     )
-    queries = emb.filter(F.col("vec_id") < 8)
+    emb = fan_out(scan)
+    # queries + codewords derive from the UNWRAPPED scan (ADVICE r14):
+    # fan_out's exchange between scan and filter would defeat the
+    # vec_id pushdown on these tiny branches — only the full-corpus
+    # branches (tall assignment / exact re-rank) need the spread.
+    queries = scan.filter(F.col("vec_id") < 8)
     dec = "decimal(24,6)"
 
     def dec_sum(arr):
@@ -3776,7 +3782,7 @@ def embedding_pq_adc_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     subs = F.explode(F.array(*[F.lit(s) for s in range(_PQ_S)])).alias("s")
 
     cw = (
-        emb.filter(F.col("vec_id").between(100, 100 + _PQ_K - 1))
+        scan.filter(F.col("vec_id").between(100, 100 + _PQ_K - 1))
         .select((F.col("vec_id") - 100).alias("k"), "v", subs)
         .select("s", "k", sub(F.col("v"), F.col("s")).alias("w"))
         .withColumn(

@@ -129,7 +129,21 @@ def fan_out(df: DataFrame) -> DataFrame:
     unexecuted exchange (AQE) that would force the stage to run
     early (harmless for timing — still inside the query — but it
     would also freeze the plan).  Apply AFTER pushed filters: an
-    exchange between scan and filter would defeat pushdown."""
+    exchange between scan and filter would defeat pushdown.
+
+    The contract is now ENFORCED, not docstring-only (ADVICE r14): if
+    the optimized logical plan carries a shuffle-inducing node (join,
+    aggregate, sort, window, repartition — i.e. the physical plan
+    would hold an unexecuted AQE exchange that the ``df.rdd`` probe
+    would force and freeze), fan_out declines and returns ``df``
+    untouched."""
+    plan = df._jdf.queryExecution().optimizedPlan().toString()
+    # case-sensitive NODE names — lowercase HOF expressions like
+    # aggregate(...)/sort_array(...)/window(...) must not trip this
+    unsafe = ("Join", "Aggregate [", "Sort [", "Window [",
+              "RepartitionByExpression", "Repartition ", "Deduplicate")
+    if any(tok in plan for tok in unsafe):
+        return df
     target = df.sparkSession.sparkContext.defaultParallelism
     if df.rdd.getNumPartitions() < target:
         return df.repartition(target)
