@@ -114,16 +114,25 @@ def _queue_status_fn(
 ) -> Iterator[pd.DataFrame]:
     """Queue status machine (models/queue.py:5-13 lifecycle): per url,
     keep the highest-severity status seen plus an event count.
-    Deterministic under replays: max-rank is order-insensitive."""
+    Deterministic under replays: max-rank is order-insensitive.
+
+    r15 (guide §4.2): the per-row Python loop over ``pdf["status"]``
+    (~|events| iterations per micro-batch) is replaced by a vectorized
+    rank map + idxmax.  Same result: rank→status is injective for the
+    known statuses, an unknown status ranks 0 and can therefore never
+    strictly exceed the running status (the only case the old loop
+    accepted), and the update stays strictly-greater-only."""
     if state.exists:
         status, n = state.get
     else:
         status, n = "Available", 0
     for pdf in pdfs:
         n += len(pdf)
-        for s in pdf["status"]:
-            if _STATUS_RANK.get(s, 0) > _STATUS_RANK.get(status, 0):
-                status = s
+        if len(pdf):
+            ranks = pdf["status"].map(_STATUS_RANK).fillna(0)
+            i = ranks.idxmax()
+            if ranks[i] > _STATUS_RANK.get(status, 0):
+                status = pdf["status"][i]
     state.update((status, n))
     yield pd.DataFrame({"url": [key[0]], "status": [status], "n_events": [n]})
 
