@@ -506,15 +506,25 @@ def streaming_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     counts = windowed_counts(stream, ts_col="ts", window="1 day", delay="2 hours")
     name = f"swc_{uuid.uuid4().hex[:8]}"
-    q = (
-        counts.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("complete")
-        .option("checkpointLocation", checkpoint)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    # 8 shuffle partitions while the stateful stream runs (r15): state
+    # is keyed by (window, event_type) — a handful of live keys — and
+    # the state-store cost is per partition per micro-batch; the same
+    # key-cardinality sizing the other stateful streams pinned in r06
+    # (see streaming_queue_status).  Save/restore the session conf.
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        q = (
+            counts.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("complete")
+            .option("checkpointLocation", checkpoint)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
     # The memory sink holds the result — the dropped files and
     # checkpoint are no longer needed, so don't leak them per run.
     import shutil
