@@ -18,6 +18,18 @@ from pyspark.sql import functions as F
 
 _RANK_DEC = "decimal(20,12)"
 
+# Broadcast the per-round rank table when the node count is under this
+# bound (r15, guide §3.1): the rank side is |nodes| rows of
+# (string, decimal) ≈ 40-60 B/row, so 1M nodes is a ~50 MB broadcast —
+# comfortably inside executor memory and far under the 8 GB broadcast
+# cap.  Below the bound each round's contribution join becomes
+# map-side (the |edges| list is never shuffled; only the ~|nodes|
+# partial-aggregated dst sums cross the wire).  Above it the join
+# falls back to the canonical shuffle-by-src PageRank step — the
+# decision is data-sized (from the n_nodes count the algorithm already
+# computes), not tuned to any core count.
+PAGERANK_BROADCAST_NODES = 1_000_000
+
 
 def pagerank(
     edges: DataFrame,
@@ -78,9 +90,11 @@ def pagerank(
     base = (F.lit(1.0 - damping) / F.lit(float(n_nodes))).cast(_RANK_DEC)
     init = (F.lit(1.0) / F.lit(float(n_nodes))).cast(_RANK_DEC)
     ranks = nodes.select("node", init.alias("rank"))
+    small_ranks = n_nodes <= PAGERANK_BROADCAST_NODES
     for _ in range(rounds):
+        rside = F.broadcast(ranks) if small_ranks else ranks
         contrib = (
-            ed.join(ranks, ed.src == ranks.node)
+            ed.join(rside, ed.src == rside["node"])
             .select(
                 "dst",
                 (F.col("rank").cast("double") / F.col("out_deg"))
