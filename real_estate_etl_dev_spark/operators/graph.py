@@ -74,6 +74,11 @@ def pagerank(
     n_nodes = nodes.count()
     deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("out_deg"))
     # edges with degree attached — reused every round, materialize once
+    # (a conditional fan_out + re-checkpoint of ed was measured in r15
+    # and rejected: the serialized stage under size-based AQE
+    # coalescing is the caller's edge BUILD join/distinct, mid-plan
+    # where no spread can reach, not the per-round map joins — the
+    # spread variant timed identically and was reverted)
     ed = (
         e.join(deg, "src")
         .select("src", "dst", "out_deg")

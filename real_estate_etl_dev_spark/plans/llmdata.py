@@ -3251,9 +3251,20 @@ def embedding_ann_recall_cost(spark: SparkSession, sf_dir: str) -> DataFrame:
             "query_id", (F.col("query_id") + F.col("_off")).alias("planted_id")
         )
     )
-    cents = corpus.filter(F.col("vec_id").between(100, 107)).select(
-        (F.col("vec_id") - 100).cast("int").alias("__cell"),
-        F.col("embedding").alias("__center"),
+    # centroids derive from the raw scan (r15, same ADVICE pattern as
+    # the query branches): the between-filter pushes to parquet instead
+    # of re-reading the whole corpus through fan_out's exchange.  The
+    # cast matches _planted_embeddings' corpus exactly, and planted ids
+    # (≥ 1e6) can never fall in [100, 107], so the row set is identical.
+    cents = (
+        load_table(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id").between(100, 107))
+        .select(
+            (F.col("vec_id") - 100).cast("int").alias("__cell"),
+            F.transform("embedding", lambda x: x.cast("double")).alias(
+                "__center"
+            ),
+        )
     )
     return ann_operating_curve(
         corpus,

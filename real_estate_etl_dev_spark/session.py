@@ -27,6 +27,26 @@ def get_spark(app_name: str = "real-estate-etl-dev-spark") -> SparkSession:
         .appName(app_name)
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        # Coalesce post-shuffle partitions by SIZE, not up to
+        # defaultParallelism (guide §2.2/§9): with parallelismFirst
+        # (Spark's default) every tiny shuffle fans out to one
+        # partition per core — pure scheduling overhead at bench scale,
+        # and at 100 TB the size-based target is the recommended
+        # posture anyway (partitions in the 100 MB-1 GB band).
+        # CPU-heavy small-byte stages that genuinely need a spread get
+        # it explicitly via sources.readers.fan_out.
+        .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
+        # The advisory target is parameterised: default 16 MB locally —
+        # expression-heavy stages here (decimal folds, CDC explodes,
+        # string dedups) carry far more CPU per byte than production
+        # fact scans, so the byte target that balances task overhead
+        # against per-row work sits lower than the I/O-bound
+        # production setting (256m per guide §9, where network/disk
+        # amortisation dominates).  Override via SPARK_GRAFT_ADVISORY_MB.
+        .config(
+            "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+            os.environ.get("SPARK_GRAFT_ADVISORY_MB", "16") + "m",
+        )
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.shuffle.partitions", str(max(int(cpus), 8)))
         .config("spark.sql.session.timeZone", "UTC")
