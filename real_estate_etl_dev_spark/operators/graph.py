@@ -73,12 +73,15 @@ def pagerank(
     )
     n_nodes = nodes.count()
     deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("out_deg"))
-    # edges with degree attached — reused every round, materialize once
-    # (a conditional fan_out + re-checkpoint of ed was measured in r15
-    # and rejected: the serialized stage under size-based AQE
-    # coalescing is the caller's edge BUILD join/distinct, mid-plan
-    # where no spread can reach, not the per-round map joins — the
-    # spread variant timed identically and was reverted)
+    # edges with degree attached — reused every round, materialize once.
+    # (r15 measured-and-rejected: a conditional fan_out + re-checkpoint
+    # of an EAGER ed — to counter size-based AQE coalescing freezing
+    # the checkpoint at one small-byte partition — sped the isolated
+    # 3-round stage 4.2–4.5s → 2.8–3.4s, but end-to-end through the
+    # catalog query the two extra materialization jobs ate the win
+    # (6.2–7.2s both ways, and the spread variant read WORSE on a full
+    # bench leg).  The lazy single-checkpoint form stays; at real scale
+    # a materialized edge list carries ≥ cores partitions anyway.)
     ed = (
         e.join(deg, "src")
         .select("src", "dst", "out_deg")
