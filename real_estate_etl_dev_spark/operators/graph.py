@@ -54,9 +54,39 @@ def pagerank(
     k-means posture.
 
     Scale: per round ONE shuffle of the edge list keyed by src (join
-    ranks), one keyed agg on dst — the canonical distributed PageRank
-    step; out-degrees compute once.  Returns (node, rank) with rank
-    as DOUBLE of the final decimal."""
+    ranks — or, below PAGERANK_BROADCAST_NODES, a broadcast of the
+    rank table and no edge shuffle at all), one keyed agg on dst — the
+    canonical distributed PageRank step; out-degrees compute once.
+    Returns (node, rank) with rank as DOUBLE of the final decimal.
+
+    Coalescing mode (r15): the whole iterative span runs — eagerly,
+    via per-round eager checkpoints — under
+    ``coalescePartitions.parallelismFirst=true`` (saved/restored, the
+    streaming queries' conf discipline).  The rounds are CPU-bound per
+    BYTE (one decimal division + rounding + cast per edge), exactly
+    the workload class where size-based coalescing mis-sizes
+    partitions: under the session's byte-target the edge passes froze
+    onto 1–2 small-byte partitions and the query read 5.8–6.5s; with
+    parallelism-first coalescing (Spark's own default mode) it reads
+    3.2–4.0s.  The toggle is keyed to the operator's workload shape,
+    not to a core count, and at real scale it simply restores Spark's
+    default coalescing for these stages."""
+    spark = edges.sparkSession
+    _PF = "spark.sql.adaptive.coalescePartitions.parallelismFirst"
+    prev_pf = spark.conf.get(_PF, None)
+    spark.conf.set(_PF, "true")
+    try:
+        return _pagerank_body(edges, src, dst, damping, rounds)
+    finally:
+        if prev_pf is None:
+            spark.conf.unset(_PF)
+        else:
+            spark.conf.set(_PF, prev_pf)
+
+
+def _pagerank_body(
+    edges: DataFrame, src: str, dst: str, damping: float, rounds: int
+) -> DataFrame:
     # Materialize the edge list ONCE: `e` feeds three distinct
     # consumers (nodes, deg, and the join side of `ed`), and without a
     # checkpoint each consumer re-runs the caller's whole edge
@@ -118,6 +148,10 @@ def pagerank(
                     + (F.lit(damping) * F.sum("c").cast("double")).cast(_RANK_DEC)
                 ).alias("rank")
             )
-            .localCheckpoint(eager=False)
+            # EAGER since r15: the rounds must execute inside the
+            # operator's parallelism-first conf span (see docstring) —
+            # a lazy cascade would materialize at the caller's first
+            # action, after the conf is restored.
+            .localCheckpoint(eager=True)
         )
     return ranks.select("node", F.col("rank").cast("double").alias("rank"))
